@@ -1,0 +1,113 @@
+"""Pipeline configuration.
+
+Mirrors HUMID's CLI surface (reference: src/humid.cc:413-429) as a
+dataclass, translated to the image+caption signature domain:
+
+    HUMID flag            here
+    -n word length 24     word_bits (total signature bit budget, <=64)
+    -m mismatches 1       max_distance (Hamming bits)
+    -e edit distance      distance = "hamming" | "minhash-jaccard"
+    -x maximum cluster    clustering = "directional" | "maximum"
+    -q write dedup        write_filtered
+    -a write annotated    write_annotated
+    -s statistics         write_stats
+    -d output dir         workdir
+    multi-file word       sources = ("phash", "simhash") with the bit
+                          budget split like ntFromFile
+                          (reference: src/fastq.cc:220-230)
+    header UMI            umi_from_id (hex token parsed off image_id,
+                          takes budget precedence like
+                          preCompute, reference: src/humid.cc:38-59)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+SOURCES = ("phash", "simhash")
+
+
+def bits_from_source(n_sources: int, total_bits: int) -> list[int]:
+    """Split a signature bit budget across sources; remainder goes to
+    the LAST source (reference: ntFromFile, src/fastq.cc:220-230)."""
+    if n_sources <= 0:
+        raise ValueError("need at least one source")
+    div = total_bits // n_sources
+    out = [div] * (n_sources - 1)
+    out.append(div + total_bits % n_sources)
+    return out
+
+
+@dataclass(frozen=True)
+class HumidConfig:
+    # signature assembly
+    word_bits: int = 64              # total signature budget (<= 64)
+    sources: tuple[str, ...] = SOURCES
+    umi_from_id: bool = False        # parse a hex UMI token off image_id
+    signature_source: str = "stored"  # "stored" (trust phash col) | "recompute"
+    shingle_k: int = 2               # caption shingle size (tokens)
+
+    # neighbor search
+    max_distance: int = 1            # HUMID -m
+    distance: str = "hamming"        # "hamming" | "minhash-jaccard" (HUMID -e analog)
+    n_bands: int | None = None       # default max_distance + 1 (pigeonhole)
+    hot_band_threshold: int = 65536  # band groups above this get salted sub-bands
+    max_group_bruteforce: int = 8192  # pairwise-verify group cap before recursion
+    minhash_perms: int = 128         # for distance="minhash-jaccard"
+    minhash_bands: int = 16
+    jaccard_threshold: float = 0.8
+
+    # clustering
+    clustering: str = "directional"  # "directional" | "maximum" (HUMID -x)
+    cc_strategy: str = "auto"        # "auto" | "local" | "distributed"
+    cc_local_max_edges: int = 5_000_000
+
+    # outputs
+    write_filtered: bool = True      # HUMID -q
+    write_annotated: bool = False    # HUMID -a
+    write_stats: bool = True         # HUMID -s
+    workdir: str = "/tmp/humid_ray"  # HUMID -d
+
+    # execution
+    sig_concurrency: int | tuple[int, int] | None = None  # actor pool size
+    sig_batch_size: int = 4096
+    sig_num_cpus: float = 1.0
+    join_strategy: str = "auto"      # "auto" | "broadcast" | "hash"
+    broadcast_max_rows: int = 5_000_000
+    resume: bool = True              # skip phases whose checkpoints exist
+
+    def __post_init__(self):
+        if not (0 < self.word_bits <= 64):
+            raise ValueError("word_bits must be in (0, 64]")
+        if self.distance not in ("hamming", "minhash-jaccard"):
+            raise ValueError(f"unknown distance {self.distance}")
+        if self.clustering not in ("directional", "maximum"):
+            raise ValueError(f"unknown clustering {self.clustering}")
+        for s in self.sources:
+            if s not in SOURCES:
+                raise ValueError(f"unknown source {s}")
+
+    @property
+    def bands(self) -> int:
+        return self.n_bands if self.n_bands is not None else self.max_distance + 1
+
+    def source_bits(self, umi_bits: int = 0) -> tuple[int, list[int]]:
+        """(umi_bits_used, per-source bits). UMI bits take precedence up
+        to word_bits; the remainder is split across sources with the
+        remainder on the last (reference: preCompute, src/humid.cc:38-59)."""
+        umi_used = min(umi_bits, self.word_bits)
+        from_sources = self.word_bits - umi_used
+        return umi_used, bits_from_source(len(self.sources), from_sources)
+
+    def fingerprint(self) -> str:
+        """Stable hash of the semantic config (checkpoint invalidation)."""
+        d = asdict(self)
+        # execution-only knobs don't invalidate checkpoints
+        for k in ("sig_concurrency", "sig_batch_size", "sig_num_cpus",
+                  "join_strategy", "broadcast_max_rows", "resume", "workdir",
+                  "cc_strategy", "cc_local_max_edges"):
+            d.pop(k)
+        return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

@@ -1,0 +1,218 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+Ray-Data restatement of HUMID's lifecycle (reference
+src/humid.cc:369-409; SURVEY §3):
+
+  1. signatures   read corpus -> actor-pool map_batches -> (id, sig, filtered)
+  2. uniq         groupby(sig) -> (sig, count, first_id)        [trie leaves]
+  3. edges        LSH bands -> salted groupby -> verify          [neighbors]
+  4. assign       connected components -> per-component replay   [clusters]
+  5. outputs      second pass: filtered / annotated / stats      [writers]
+
+Each phase checkpoints to ``cfg.workdir`` with a lineage manifest;
+``resume=True`` skips finished phases.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from humid_ray.config import HumidConfig
+from humid_ray.stages.clustering import ASSIGN_SCHEMA, assign_clusters, dense_cluster_ids
+from humid_ray.stages.components import connected_components
+from humid_ray.stages.exact import unique_signatures
+from humid_ray.stages.lsh import band_bucket_counts, find_edges
+from humid_ray.stages.outputs import (
+    AnnotatedWriter,
+    FilteredWriter,
+    assignment_lookup_ref,
+    compute_stats,
+    write_stats_files,
+)
+from humid_ray.stages.signatures import extract_signatures, probe_umi_bits
+from humid_ray.state import checkpoints as cp
+
+SIG_SCHEMA = pa.schema(
+    [("image_id", pa.string()), ("sig", pa.int64()), ("filtered", pa.bool_())]
+)
+UNIQ_SCHEMA = pa.schema(
+    [("sig", pa.int64()), ("count", pa.int64()), ("first_id", pa.string())]
+)
+EDGE_SCHEMA = pa.schema([("sig_a", pa.int64()), ("sig_b", pa.int64())])
+
+
+@dataclass
+class PipelineResult:
+    workdir: str
+    metrics: dict = field(default_factory=dict)
+    stats: dict | None = None
+
+    def dataset(self, phase: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(os.path.join(self.workdir, phase))
+
+
+def read_corpus(path: str) -> "ray.data.Dataset":
+    """Corpus reader — Lance when available, else parquet (dev fallback
+    documented in FIXTURES.md). ``path`` may be a dir or file list."""
+    try:  # pragma: no cover - lance not installed in this sandbox
+        import lance  # noqa: F401
+
+        if os.path.isdir(path) and path.endswith(".lance"):
+            return ray.data.read_lance(path)
+    except ImportError:
+        pass
+    return ray.data.read_parquet(path, file_extensions=["parquet"])
+
+
+class HumidPipeline:
+    def __init__(self, cfg: HumidConfig | None = None):
+        self.cfg = cfg or HumidConfig()
+
+    def run(self, corpus, workdir: str | None = None) -> PipelineResult:
+        """corpus: path or Dataset. Returns PipelineResult with lineage
+        metrics; outputs under ``workdir`` (default cfg.workdir)."""
+        cfg = self.cfg
+        wd = workdir or cfg.workdir
+        os.makedirs(wd, exist_ok=True)
+        fp = cfg.fingerprint()
+        timings: dict[str, float] = {}
+        metrics: dict = {"config_fingerprint": fp}
+
+        rows = read_corpus(corpus) if isinstance(corpus, str) else corpus
+
+        # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33)
+        first = rows.limit(1).take(1)
+        umi_bits = probe_umi_bits(first[0]["image_id"] if first else None, cfg)
+        metrics["umi_bits"] = umi_bits
+
+        # phase 1: signatures
+        t0 = time.perf_counter()
+        sig_path = os.path.join(wd, "01_signatures")
+        sig_ds, sig_mf, fresh = cp.run_phase(
+            "signatures", sig_path, fp,
+            lambda: extract_signatures(rows, cfg, umi_bits),
+            cfg.resume, schema_hint=SIG_SCHEMA,
+        )
+        total_rows = sig_mf["rows"]
+        timings["signatures"] = time.perf_counter() - t0
+        metrics["rows_scanned"] = total_rows
+
+        def usable_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.invert(t.column("filtered")))
+
+        # phase 2: uniq (exact dedup)
+        t0 = time.perf_counter()
+        uniq_path = os.path.join(wd, "02_uniq")
+        uniq_ds, uniq_mf, _ = cp.run_phase(
+            "uniq", uniq_path, fp,
+            lambda: unique_signatures(
+                sig_ds.map_batches(usable_only, batch_format="pyarrow", zero_copy_batch=True)
+            ),
+            cfg.resume, schema_hint=UNIQ_SCHEMA,
+        )
+        timings["uniq"] = time.perf_counter() - t0
+        metrics["unique_sigs"] = uniq_mf["rows"]
+
+        # phase 3: neighbor edges (LSH + verify)
+        t0 = time.perf_counter()
+        edges_path = os.path.join(wd, "03_edges")
+        if cfg.resume and cp.phase_is_done(edges_path, fp):
+            edges_ds, edges_mf = cp.read_phase(edges_path), cp.load_manifest(edges_path)
+        else:
+            bc = band_bucket_counts(uniq_ds, cfg)
+
+            def bucket_metrics(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                n = t.column("n").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "cand": pa.array([int((n * (n - 1) // 2).sum())], type=pa.int64()),
+                        "hot": pa.array([int((n > cfg.hot_band_threshold).sum())], type=pa.int64()),
+                    }
+                )
+
+            bc_small = bc.map_batches(bucket_metrics, batch_format="pyarrow")
+            agg = bc_small.sum(["cand", "hot"])
+            candidate_pairs = int(agg["sum(cand)"])
+            n_hot = int(agg["sum(hot)"])
+            hot_keys: set[tuple[int, int]] = set()
+            if n_hot:
+                def only_hot(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
+
+                hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
+                hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+            edges_ds, edges_mf, _ = cp.run_phase(
+                "edges", edges_path, fp,
+                lambda: find_edges(uniq_ds, cfg, hot_keys or None),
+                resume=False,
+                metrics={"candidate_pairs": candidate_pairs, "hot_buckets": n_hot},
+                schema_hint=EDGE_SCHEMA,
+            )
+        timings["edges"] = time.perf_counter() - t0
+        metrics["candidate_pairs"] = edges_mf["metrics"].get("candidate_pairs")
+        metrics["hot_buckets"] = edges_mf["metrics"].get("hot_buckets")
+        metrics["verified_dup_pairs"] = edges_mf["rows"]
+
+        # phase 4: clustering
+        t0 = time.perf_counter()
+        assign_path = os.path.join(wd, "04_assign")
+        assign_ds, assign_mf, _ = cp.run_phase(
+            "assign", assign_path, fp,
+            lambda: assign_clusters(
+                uniq_ds, edges_ds, connected_components(edges_ds, cfg), cfg
+            ),
+            cfg.resume, schema_hint=ASSIGN_SCHEMA,
+        )
+        timings["assign"] = time.perf_counter() - t0
+
+        # phase 5: outputs
+        t0 = time.perf_counter()
+        assign_ref = assignment_lookup_ref(assign_ds)
+        out_kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.sig_batch_size,
+            concurrency=(1, 8),
+            fn_constructor_kwargs={
+                "cfg": cfg,
+                "umi_bits": umi_bits,
+                "assign_ref": assign_ref,
+            },
+        )
+        if cfg.write_filtered:
+            fpath = os.path.join(wd, "05_filtered")
+            if not (cfg.resume and cp.phase_is_done(fpath, fp)):
+                cp.write_phase(
+                    rows.map_batches(FilteredWriter, **out_kwargs), fpath, fp
+                )
+        if cfg.write_annotated:
+            apath = os.path.join(wd, "05_annotated")
+            if not (cfg.resume and cp.phase_is_done(apath, fp)):
+                cp.write_phase(
+                    rows.map_batches(AnnotatedWriter, **out_kwargs), apath, fp
+                )
+        stats = None
+        if cfg.write_stats:
+            stats = compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows)
+            write_stats_files(stats, os.path.join(wd, "05_stats"))
+            metrics.update(stats["summary"])
+        timings["outputs"] = time.perf_counter() - t0
+
+        metrics["timings_sec"] = {k: round(v, 3) for k, v in timings.items()}
+        with open(os.path.join(wd, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1, default=str)
+        return PipelineResult(workdir=wd, metrics=metrics, stats=stats)

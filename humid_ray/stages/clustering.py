@@ -1,0 +1,205 @@
+"""Phase 4b — cluster assignment (per-component replay).
+
+HUMID analog: findClusters walking leaves in trie order and running
+assignMax/assignDirectionalCluster (reference src/humid.cc:167-193,
+src/cluster.cc:39-87). Components are independent: the reference's
+global walk only ever touches unassigned leaves inside the current
+component, so replaying each component separately in ascending-sig
+order and then ordering clusters globally by their seed signature
+reproduces the reference's walk-order semantics exactly (SURVEY §2.7).
+
+Execution shape: nodes and edges are tagged with their component
+label, unioned into one dataset, grouped by component, and each group
+replays the sequential semantics core (tiny graphs — dup clusters are
+shallow). Isolated signatures never enter the shuffle: they are
+singleton clusters by construction and stay on the vectorized path.
+
+Cluster ids: the engine's canonical cluster key is the cluster's SEED
+signature (unique, stable, distributed-friendly). ``dense_ids`` ranks
+seeds ascending into 1..K — exactly the reference's walk-order
+numbering (src/humid.cc:178) — via a driver-side rank, only sensible
+when K is small enough to hold; at 10^12-row scale use seed keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from humid_ray.config import HumidConfig
+from humid_ray.stages.clustering_core import build_csr, cluster_component
+from humid_ray.stages.joins import SigLookup
+from humid_ray.util import UINT64, u64col
+
+ASSIGN_SCHEMA = pa.schema(
+    [
+        ("sig", pa.int64()),
+        ("count", pa.int64()),
+        ("first_id", pa.string()),
+        ("cluster_seed", pa.int64()),
+        ("rep_sig", pa.int64()),
+        ("rep_image_id", pa.string()),
+        ("is_rep", pa.bool_()),
+        ("cluster_size", pa.int64()),
+    ]
+)
+
+
+def _replay(mode: str):
+    """map_groups kernel over one component's node+edge rows."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        sig = group.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        node_mask = kind == 0
+        edge_mask = ~node_mask
+        nsig = sig[node_mask]
+        counts = group.column("count").to_numpy(zero_copy_only=False)[node_mask]
+        first_id = np.asarray(group.column("first_id").to_pylist(), dtype=object)[node_mask]
+        order = np.argsort(nsig, kind="stable")
+        nsig, counts, first_id = nsig[order], counts[order], first_id[order]
+        ea = sig[edge_mask]
+        eb = group.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64)[edge_mask]
+        ia = np.searchsorted(nsig, ea)
+        ib = np.searchsorted(nsig, eb)
+        indptr, indices = build_csr(len(nsig), ia, ib)
+        res = cluster_component(counts, indptr, indices, mode)
+        local = res.cluster_of
+        seed = np.asarray(res.seed_node, dtype=np.int64)
+        maxn = np.asarray(res.max_node, dtype=np.int64)
+        sizes = np.asarray(res.sizes, dtype=np.int64)
+        return pa.table(
+            {
+                "sig": u64col(nsig),
+                "count": pa.array(counts.astype(np.int64), type=pa.int64()),
+                "first_id": pa.array(first_id.tolist(), type=pa.string()),
+                "cluster_seed": u64col(nsig[seed][local]),
+                "rep_sig": u64col(nsig[maxn][local]),
+                "rep_image_id": pa.array(first_id[maxn][local].tolist(), type=pa.string()),
+                "is_rep": pa.array(maxn[local] == np.arange(len(nsig))),
+                "cluster_size": pa.array(sizes[local], type=pa.int64()),
+            },
+            schema=ASSIGN_SCHEMA,
+        )
+
+    return kernel
+
+
+class _Singles:
+    """uniq rows NOT in the comp map -> final singleton assignments."""
+
+    def __init__(self, lookup_ref):
+        self.lk: SigLookup = ray.get(lookup_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        found, _ = self.lk.lookup(sig)
+        miss = ~found
+        count = batch.column("count").to_numpy(zero_copy_only=False)
+        fid = batch.column("first_id")
+        mask = pa.array(miss.astype(bool))
+        return pa.table(
+            {
+                "sig": u64col(sig[miss]),
+                "count": pa.array(count[miss].astype(np.int64), type=pa.int64()),
+                "first_id": fid.filter(mask),
+                "cluster_seed": u64col(sig[miss]),
+                "rep_sig": u64col(sig[miss]),
+                "rep_image_id": fid.filter(mask),
+                "is_rep": pa.array(np.ones(int(miss.sum()), dtype=bool)),
+                "cluster_size": pa.array(count[miss].astype(np.int64), type=pa.int64()),
+            },
+            schema=ASSIGN_SCHEMA,
+        )
+
+
+class _NodeRows:
+    """uniq rows IN the comp map -> tagged node rows for the replay."""
+
+    def __init__(self, lookup_ref):
+        self.lk: SigLookup = ray.get(lookup_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        found, idx = self.lk.lookup(sig)
+        comp = self.lk.get("comp", idx) if len(self.lk.keys) else sig
+        n = int(found.sum())
+        mask = pa.array(found.astype(bool))
+        comp_out = comp[found]
+        if comp_out.dtype != np.int64:
+            comp_out = comp_out.view(np.int64)
+        return pa.table(
+            {
+                "comp": pa.array(comp_out, type=pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "sig": u64col(sig[found]),
+                "count": pa.array(
+                    batch.column("count").to_numpy(zero_copy_only=False)[found].astype(np.int64)
+                ),
+                "first_id": batch.column("first_id").filter(mask),
+                "sig_b": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+
+class _EdgeRows:
+    """edges -> tagged edge rows for the replay."""
+
+    def __init__(self, lookup_ref):
+        self.lk: SigLookup = ray.get(lookup_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("sig_a").to_numpy(zero_copy_only=False).view(UINT64)
+        b = batch.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64)
+        found, idx = self.lk.lookup(a)
+        if len(self.lk.keys):
+            comp = np.where(found, self.lk.get("comp", idx).view(UINT64), a)
+        else:
+            comp = a
+        n = len(a)
+        return pa.table(
+            {
+                "comp": u64col(comp),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "sig": u64col(a),
+                "count": pa.array(np.zeros(n, dtype=np.int64)),
+                "first_id": pa.array([""] * n, type=pa.string()),
+                "sig_b": u64col(b),
+            }
+        )
+
+
+def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig):
+    """(uniq, edges, comp labels) -> assignment Dataset (ASSIGN_SCHEMA).
+
+    comp_ds holds labels only for sigs that appear in >=1 edge; all
+    other sigs are singleton clusters handled without any shuffle. The
+    comp label map is broadcast once via ``ray.put`` and read in each
+    actor's ``__init__`` — never re-shipped per batch.
+    """
+    lookup_ref = ray.put(SigLookup.from_dataset(comp_ds, "sig", ["comp"]))
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True,
+              fn_constructor_kwargs={"lookup_ref": lookup_ref}, concurrency=(1, 8))
+    singles = uniq_ds.map_batches(_Singles, **kw)
+    nodes = uniq_ds.map_batches(_NodeRows, **kw)
+    edges = edges_ds.map_batches(_EdgeRows, **kw)
+    grouped = nodes.union(edges).groupby("comp").map_groups(
+        _replay(cfg.clustering), batch_format="pyarrow"
+    )
+    return grouped.union(singles)
+
+
+def dense_cluster_ids(assign_ds) -> dict[int, int]:
+    """Driver-side rank of cluster seeds -> dense ids 1..K in ascending
+    seed order (the reference's walk-order numbering). Only for small K."""
+    seeds: set[int] = set()
+    for batch in assign_ds.select_columns(["cluster_seed"]).iter_batches(
+        batch_size=262144, batch_format="pyarrow"
+    ):
+        u = batch.column("cluster_seed").to_numpy(zero_copy_only=False).view(UINT64)
+        seeds.update(u.tolist())
+    # ascending unsigned seed sig == reference walk order
+    return {s: i + 1 for i, s in enumerate(sorted(seeds))}

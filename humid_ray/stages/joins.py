@@ -1,0 +1,60 @@
+"""Join helpers: broadcast (small side) and hash (both sides large).
+
+HUMID analog: the second-pass ``trie.find(word)`` lookups that map a
+record back to its leaf/cluster (reference src/humid.cc:220-223,
+268-277). The trie is shared process memory there; here the small
+side is put in the object store ONCE (``ray.put``) and every actor
+reads it zero-copy — never re-shipped per batch. When the small side
+isn't small, callers fall back to ``Dataset.join`` (hash shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from humid_ray.util import UINT64
+
+
+class SigLookup:
+    """Sorted-array uint64 key -> row index lookup (broadcastable)."""
+
+    def __init__(self, keys: np.ndarray, columns: dict[str, np.ndarray]):
+        order = np.argsort(keys, kind="stable")
+        self.keys = np.ascontiguousarray(keys[order])
+        self.columns = {k: v[order] for k, v in columns.items()}
+
+    @classmethod
+    def from_dataset(cls, ds, key: str, columns: list[str]) -> "SigLookup":
+        tables = []
+        for batch in ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            tables.append(batch.select([key] + columns))
+        t = pa.concat_tables(tables) if tables else None
+        if t is None or t.num_rows == 0:
+            return cls(np.empty(0, dtype=UINT64), {c: np.empty(0) for c in columns})
+        keys = t.column(key).to_numpy(zero_copy_only=False).view(UINT64)
+        cols = {
+            c: t.column(c).to_numpy(zero_copy_only=False) for c in columns
+        }
+        return cls(keys, cols)
+
+    def lookup(self, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found_mask, row_indices) for a probe uint64 array."""
+        probe = np.asarray(probe, dtype=UINT64)
+        idx = np.searchsorted(self.keys, probe)
+        idx = np.minimum(idx, max(len(self.keys) - 1, 0))
+        found = (
+            (self.keys[idx] == probe) if len(self.keys) else np.zeros(len(probe), dtype=bool)
+        )
+        return found, idx
+
+    def get(self, col: str, idx: np.ndarray) -> np.ndarray:
+        return self.columns[col][idx]
+
+
+def broadcast_lookup_ref(ds, key: str, columns: list[str]):
+    """Materialize the small side into one SigLookup in the object
+    store; returns the ObjectRef (read it in actor __init__)."""
+    return ray.put(SigLookup.from_dataset(ds, key, columns))

@@ -1,0 +1,284 @@
+"""Phase 3 — neighbor search: LSH banding + per-bucket Hamming verify.
+
+HUMID analog: findHammingNeighbours — for every word, every word
+within Hamming distance m, each unordered pair exactly once
+(reference src/humid.cc:113-130, asymmetric trie walk). The in-memory
+trie neighbor scan becomes a shuffle:
+
+  uniq(sig) --flat_map--> (m+1) band rows --groupby(band key)-->
+  per-bucket pairwise Hamming verify --> distinct edge list
+
+Correctness: pigeonhole — split the word's bits into m+1 contiguous
+blocks; two words at Hamming <= m agree on at least one block, so the
+pair co-locates in at least one band bucket. Each pair is emitted
+exactly once: only by the FIRST band (and, under salting, first
+sub-band) on which the two sigs agree — a local, recomputable rule, so
+no global distinct-shuffle is needed.
+
+Skew: bucket sizes are data-dependent (near-constant images pile into
+one band key). A cheap counting pre-pass flags hot (band, key) buckets;
+their rows are re-expanded with m+1 *sub-band* keys over the remaining
+bit positions (pigeonhole again, so completeness is preserved) which
+splits the hot bucket across tasks. Oversized groups that still slip
+through are verified with an in-kernel recursive sub-split instead of
+O(g^2) brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from humid_ray.config import HumidConfig, bits_from_source
+from humid_ray.util import UINT64, hamming64, u64col
+
+NO_SALT = -1
+
+
+def band_layout(word_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """[(shift, width)] per band over the TOP ``word_bits`` of a uint64;
+    widths split like the word budget (remainder to last,
+    reference ntFromFile src/fastq.cc:220-230)."""
+    widths = bits_from_source(n_bands, word_bits)
+    out = []
+    pos = 64
+    for wdt in widths:
+        pos -= wdt
+        out.append((pos, wdt))
+    return out
+
+
+def band_keys(sig: np.ndarray, layout: list[tuple[int, int]]) -> np.ndarray:
+    """(n_bands, n) uint64 band keys."""
+    sig = np.asarray(sig, dtype=UINT64)
+    out = np.empty((len(layout), len(sig)), dtype=UINT64)
+    for b, (shift, width) in enumerate(layout):
+        mask = UINT64((1 << width) - 1) if width < 64 else UINT64(0xFFFFFFFFFFFFFFFF)
+        out[b] = (sig >> UINT64(shift)) & mask
+    return out
+
+
+def first_equal_band(a: np.ndarray, b: np.ndarray, layout) -> np.ndarray:
+    """For sig pairs (a[i], b[i]): index of the first band whose keys
+    agree; len(layout) if none."""
+    ka = band_keys(a, layout)
+    kb = band_keys(b, layout)
+    eq = ka == kb
+    first = np.full(len(a), len(layout), dtype=np.int64)
+    for band in range(len(layout) - 1, -1, -1):
+        first = np.where(eq[band], band, first)
+    return first
+
+
+def _sub_positions(word_bits: int, layout, band: int) -> np.ndarray:
+    """MSB-ordered bit positions of the word NOT covered by ``band``."""
+    shift, width = layout[band]
+    pos = np.arange(63, 63 - word_bits, -1)
+    covered = (pos >= shift) & (pos < shift + width)
+    return pos[~covered]
+
+
+def sub_band_keys(sig: np.ndarray, positions: np.ndarray, n_sub: int) -> np.ndarray:
+    """(n_sub, n) keys: gather the given bit positions, split into
+    n_sub contiguous blocks (pigeonhole over the remaining bits)."""
+    sig = np.asarray(sig, dtype=UINT64)
+    widths = bits_from_source(n_sub, len(positions))
+    out = np.zeros((n_sub, len(sig)), dtype=UINT64)
+    start = 0
+    for j, wdt in enumerate(widths):
+        acc = np.zeros(len(sig), dtype=UINT64)
+        for p in positions[start : start + wdt]:
+            acc = (acc << UINT64(1)) | ((sig >> UINT64(int(p))) & UINT64(1))
+        out[j] = acc
+        start += wdt
+    return out
+
+
+def expand_bands(cfg: HumidConfig, hot_keys: set[tuple[int, int]] | None = None):
+    """map_batches kernel factory: uniq rows -> band rows.
+
+    Emits (band_id, band_key, salt_id, salt_key, sig, count). Buckets
+    in ``hot_keys`` are split into m+1 salted sub-band rows.
+    """
+    layout = band_layout(cfg.word_bits, cfg.bands)
+    n_sub = cfg.max_distance + 1
+    word_bits = cfg.word_bits
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        count = batch.column("count").to_numpy(zero_copy_only=False)
+        keys = band_keys(sig, layout)
+        bids, bkeys, sids, skeys, sigs_out, counts_out = [], [], [], [], [], []
+        for band in range(len(layout)):
+            k = keys[band]
+            if hot_keys:
+                hot_mask = np.fromiter(
+                    ((band, int(v)) in hot_keys for v in k), dtype=bool, count=len(k)
+                )
+            else:
+                hot_mask = np.zeros(len(k), dtype=bool)
+            cold = ~hot_mask
+            if cold.any():
+                m = int(cold.sum())
+                bids.append(np.full(m, band, dtype=np.int32))
+                bkeys.append(k[cold])
+                sids.append(np.full(m, NO_SALT, dtype=np.int32))
+                skeys.append(np.zeros(m, dtype=UINT64))
+                sigs_out.append(sig[cold])
+                counts_out.append(count[cold])
+            if hot_mask.any():
+                hsig = sig[hot_mask]
+                hcount = count[hot_mask]
+                hkey = k[hot_mask]
+                positions = _sub_positions(word_bits, layout, band)
+                sk = sub_band_keys(hsig, positions, n_sub)
+                for j in range(n_sub):
+                    m = len(hsig)
+                    bids.append(np.full(m, band, dtype=np.int32))
+                    bkeys.append(hkey)
+                    sids.append(np.full(m, j, dtype=np.int32))
+                    skeys.append(sk[j])
+                    sigs_out.append(hsig)
+                    counts_out.append(hcount)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bids), type=pa.int32()),
+                "band_key": u64col(np.concatenate(bkeys)),
+                "salt_id": pa.array(np.concatenate(sids), type=pa.int32()),
+                "salt_key": u64col(np.concatenate(skeys)),
+                "sig": u64col(np.concatenate(sigs_out)),
+            }
+        )
+
+    return kernel
+
+
+def _pairs_within(sigs: np.ndarray, m: int, cap: int) -> set[tuple[int, int]]:
+    """All sig-value pairs (a<b) with Hamming <= m within one bucket.
+
+    Brute force in memory-bounded chunks; groups larger than ``cap``
+    recurse by pigeonhole sub-splitting (handles pathological buckets
+    without O(g^2) blowup).
+    """
+    n = len(sigs)
+    if n < 2:
+        return set()
+    if n > cap:
+        # recursive pigeonhole: split on m+1 blocks of the full word;
+        # members here agree on some shuffle key but the full sig still
+        # distinguishes them.
+        out: set[tuple[int, int]] = set()
+        layout = band_layout(64, m + 1)
+        keys = band_keys(sigs, layout)
+        for band in range(m + 1):
+            order = np.argsort(keys[band], kind="stable")
+            ks = keys[band][order]
+            bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s > 1:
+                    sub = sigs[order[s:e]]
+                    if len(sub) < n:
+                        out |= _pairs_within(sub, m, cap)
+                    else:  # cannot split further; brute force after all
+                        return _pairs_within(sigs, m, n)
+        return out
+    out = set()
+    chunk = max(1, min(n, (1 << 22) // max(n, 1)))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        d = hamming64(sigs[lo:hi, None], sigs[None, :])
+        ii, jj = np.nonzero(d <= m)
+        sa, sb = sigs[ii + lo], sigs[jj]
+        lt = sa < sb
+        out.update(zip(sa[lt].tolist(), sb[lt].tolist()))
+    return out
+
+
+def make_verifier(cfg: HumidConfig):
+    """map_groups kernel: one (band,key[,salt]) bucket -> verified edges.
+
+    Emits each unordered pair once globally (first-equal-band rule; for
+    salted buckets additionally first-equal-sub-band).
+    """
+    layout = band_layout(cfg.word_bits, cfg.bands)
+    m = cfg.max_distance
+    n_sub = m + 1
+    word_bits = cfg.word_bits
+    cap = cfg.max_group_bruteforce
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sig_a": u64col([]), "sig_b": u64col([])}
+        )
+        if group.num_rows < 2:
+            return empty
+        band = int(group.column("band_id")[0].as_py())
+        salt = int(group.column("salt_id")[0].as_py())
+        sigs = np.unique(group.column("sig").to_numpy(zero_copy_only=False).view(UINT64))
+        pairs = _pairs_within(sigs, m, cap)
+        if not pairs:
+            return empty
+        a = np.fromiter((p[0] for p in pairs), dtype=UINT64, count=len(pairs))
+        b = np.fromiter((p[1] for p in pairs), dtype=UINT64, count=len(pairs))
+        keep = first_equal_band(a, b, layout) == band
+        if salt != NO_SALT:
+            positions = _sub_positions(word_bits, layout, band)
+            ska = sub_band_keys(a, positions, n_sub)
+            skb = sub_band_keys(b, positions, n_sub)
+            eq = ska == skb
+            first = np.full(len(a), n_sub, dtype=np.int64)
+            for j in range(n_sub - 1, -1, -1):
+                first = np.where(eq[j], j, first)
+            keep &= first == salt
+        a, b = a[keep], b[keep]
+        order = np.lexsort((b, a))
+        return pa.table(
+            {"sig_a": u64col(a[order]),
+             "sig_b": u64col(b[order])}
+        )
+
+    return kernel
+
+
+def _partial_band_counts(cfg: HumidConfig):
+    layout = band_layout(cfg.word_bits, cfg.bands)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        keys = band_keys(sig, layout)
+        bids, bkeys, cnts = [], [], []
+        for band in range(len(layout)):
+            uniq, counts = np.unique(keys[band], return_counts=True)
+            bids.append(np.full(len(uniq), band, dtype=np.int32))
+            bkeys.append(uniq)
+            cnts.append(counts)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bids), type=pa.int32()),
+                "band_key": u64col(np.concatenate(bkeys)),
+                "n": pa.array(np.concatenate(cnts), type=pa.int64()),
+            }
+        )
+
+    return kernel
+
+
+def band_bucket_counts(uniq_ds, cfg: HumidConfig):
+    """(band_id, band_key, n) bucket sizes — drives hot-bucket salting
+    and the candidate-pair lineage metric."""
+    partial = uniq_ds.select_columns(["sig"]).map_batches(
+        _partial_band_counts(cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.groupby(["band_id", "band_key"]).aggregate(Sum("n", alias_name="n"))
+
+
+def find_edges(uniq_ds, cfg: HumidConfig, hot_keys: set[tuple[int, int]] | None):
+    """uniq Dataset -> distinct verified edge Dataset (sig_a < sig_b)."""
+    bands = uniq_ds.map_batches(
+        expand_bands(cfg, hot_keys), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bands.groupby(["band_id", "band_key", "salt_id", "salt_key"]).map_groups(
+        make_verifier(cfg), batch_format="pyarrow"
+    )

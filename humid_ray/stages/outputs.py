@@ -1,0 +1,181 @@
+"""Phase 5 — outputs: dedup-filtered rows, annotated rows, statistics.
+
+HUMID analog: writeFiltered / writeAnnotated / runStatistics
+(reference src/humid.cc:203-292, 301-357). Like the reference, output
+is a SECOND PASS over the input that recomputes each row's signature
+and looks its cluster up — the explicit memory-for-IO trade the
+reference makes (SURVEY §3): image payloads never transit a shuffle,
+so the per-row invariant (byte-identical payload/caption on surviving
+rows) holds by construction.
+
+* filtered output: exactly one row per cluster — the first-occurrence
+  (min image_id) row of the cluster's representative signature
+  (maxLeaf, reference src/humid.cc:220-234); filtered rows dropped.
+* annotated output: every row + ``cluster_id`` (0 for filtered rows,
+  reference src/humid.cc:268-285, docs/output.rst:15-17).
+* stats: counts/neigh/clusters histograms + summary, written both as
+  reference-format ``.dat`` text files (docs/output.rst:26-54) and as
+  a JSON metrics blob.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count
+
+from humid_ray.config import HumidConfig
+from humid_ray.stages.joins import SigLookup
+from humid_ray.stages.signatures import SignatureExtractor
+from humid_ray.util import UINT64, u64col
+
+
+def assignment_lookup_ref(assign_ds):
+    """Broadcast (sig -> cluster_seed, rep_image_id) once."""
+    lk = SigLookup.from_dataset(assign_ds, "sig", ["cluster_seed", "rep_image_id"])
+    return ray.put(lk)
+
+
+class _OutputBase:
+    def __init__(self, cfg: HumidConfig, umi_bits: int, assign_ref, dense_ref=None):
+        self.extract = SignatureExtractor(cfg, umi_bits)
+        self.lk: SigLookup = ray.get(assign_ref)
+        self.dense: dict[int, int] | None = ray.get(dense_ref) if dense_ref is not None else None
+
+    def _resolve(self, batch: pa.Table):
+        sigt = self.extract(batch)
+        sig = sigt.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        filtered = sigt.column("filtered").to_numpy(zero_copy_only=False)
+        found, idx = self.lk.lookup(sig)
+        found &= ~filtered
+        if len(self.lk.keys):
+            seed = np.where(found, self.lk.get("cluster_seed", idx).view(UINT64), UINT64(0))
+        else:
+            seed = np.zeros(len(sig), dtype=UINT64)
+        if self.dense is not None:
+            cluster_id = np.array(
+                [self.dense.get(int(s), 0) if f else 0 for s, f in zip(seed, found)],
+                dtype=np.uint64,
+            )
+        else:
+            cluster_id = np.where(found, seed, UINT64(0))
+        rep_id = self.lk.get("rep_image_id", idx) if len(self.lk.keys) else np.array([None] * len(sig), dtype=object)
+        return sig, filtered, found, cluster_id, rep_id
+
+
+class FilteredWriter(_OutputBase):
+    """Corpus batch -> only cluster-representative rows (payload
+    byte-identical; schema unchanged)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig, filtered, found, cluster_id, rep_id = self._resolve(batch)
+        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        keep = found & (ids == rep_id)
+        return batch.filter(pa.array(keep))
+
+
+class AnnotatedWriter(_OutputBase):
+    """Corpus batch -> all rows + sig + cluster_id (0 = filtered)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig, filtered, found, cluster_id, rep_id = self._resolve(batch)
+        batch = batch.append_column("sig", u64col(sig))
+        return batch.append_column("cluster_id", u64col(cluster_id))
+
+
+def _hist_to_pandas(ds, key: str):
+    return (
+        ds.groupby(key)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+
+
+def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
+    """All reference statistics as small pandas frames / scalars.
+
+    counts.dat  <- histogram of exact-duplicate multiplicities
+                   (reference src/humid.cc:301-311)
+    neigh.dat   <- histogram of per-signature neighbor degree,
+                   including degree 0 (reference src/humid.cc:309)
+    clusters.dat<- histogram of cluster sizes (reference src/cluster.cc:89-95)
+    stats.dat   <- total / usable / unique / clusters
+                   (reference src/humid.cc:351-356)
+    """
+    counts_hist = _hist_to_pandas(uniq_ds, "count").rename(columns={"count": "value"})
+
+    # degree per sig (sigs without edges have degree 0)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("sig_a")
+        b = batch.column("sig_b")
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"sig": pa.concat_arrays([a, b])})
+
+    deg_ds = (
+        edges_ds.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sig")
+        .aggregate(Count(alias_name="degree"))
+    )
+    deg_lk = SigLookup.from_dataset(deg_ds, "sig", ["degree"])
+    deg_ref = ray.put(deg_lk)
+
+    class DegreeTagger:
+        def __init__(self):
+            self.lk: SigLookup = ray.get(deg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+            if len(self.lk.keys):
+                found, idx = self.lk.lookup(sig)
+                deg = np.where(found, self.lk.get("degree", idx), 0)
+            else:
+                deg = np.zeros(len(sig), dtype=np.int64)
+            return pa.table({"degree": pa.array(deg.astype(np.int64))})
+
+    neigh_hist = _hist_to_pandas(
+        uniq_ds.map_batches(DegreeTagger, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4)),
+        "degree",
+    ).rename(columns={"degree": "value"})
+
+    reps = assign_ds.map_batches(
+        lambda t: t.filter(t.column("is_rep")).select(["cluster_size"]),
+        batch_format="pyarrow",
+    )
+    cluster_hist = _hist_to_pandas(reps, "cluster_size").rename(columns={"cluster_size": "value"})
+
+    usable = int(uniq_ds.sum("count") or 0)
+    unique = uniq_ds.count()
+    n_clusters = int(cluster_hist["n"].sum()) if len(cluster_hist) else 0
+    summary = {
+        "total": int(total_rows),
+        "usable": usable,
+        "unique": unique,
+        "clusters": n_clusters,
+    }
+    return {
+        "counts": counts_hist,
+        "neigh": neigh_hist,
+        "clusters": cluster_hist,
+        "summary": summary,
+    }
+
+
+def write_stats_files(stats: dict, dirname: str):
+    """Reference-format space-separated .dat files (docs/output.rst:26-54)."""
+    os.makedirs(dirname, exist_ok=True)
+    for name in ("counts", "neigh", "clusters"):
+        df = stats[name]
+        with open(os.path.join(dirname, f"{name}.dat"), "w") as f:
+            for _, row in df.iterrows():
+                f.write(f"{int(row['value'])} {int(row['n'])}\n")
+    with open(os.path.join(dirname, "stats.dat"), "w") as f:
+        for k in ("total", "usable", "unique", "clusters"):
+            f.write(f"{k}: {stats['summary'][k]}\n")

@@ -1,0 +1,161 @@
+"""Phase 1 — per-row signature extraction (stateful actor-pool stage).
+
+HUMID analog: readData's per-record ``makeWord`` during the streaming
+read (reference src/humid.cc:70-103). Here it is a callable CLASS for
+``map_batches`` so decode state / DCT matrices / compiled regex setup
+happens once per actor, not per batch; batches are zero-copy Arrow.
+
+Output schema (payload columns are NOT carried — wide shuffles only
+ever see signature-shaped rows; payload re-joins by image_id at output
+time): (image_id: string, sig: uint64, filtered: bool).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from humid_ray.config import HumidConfig
+from humid_ray.functions.minhash import minhash_batch
+from humid_ray.functions.phash import phash_image
+from humid_ray.functions.signature import compose_signatures, umi_hex_to_bits
+from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles
+from humid_ray.functions.text import extract_umi, tokenize_batch
+from humid_ray.png import FJPG_MAGIC, PNG_SIG, decode_image
+from humid_ray.util import UINT64, int64_to_uint64, uint64_to_int64, u64col
+
+
+def probe_umi_bits(first_image_id: str | None, cfg: HumidConfig) -> int:
+    """UMI bit budget probed from the first row's id (HUMID peeks the
+    first read's header, reference: peekUMI src/humid.cc:24-33)."""
+    if not cfg.umi_from_id or first_image_id is None:
+        return 0
+    return 4 * len(extract_umi(first_image_id))
+
+
+class SignatureExtractor:
+    """Actor-pool batch kernel: rows -> (image_id, sig, filtered[, minhash]).
+
+    ``filtered`` marks rows that cannot produce a full signature
+    (undecodable/empty image payload, empty caption) — HUMID's
+    non-ACGT rule (reference src/fastq.cc:152-158); filtered rows
+    never enter the index (reference src/humid.cc:94-98).
+    """
+
+    def __init__(self, cfg: HumidConfig, umi_bits: int = 0):
+        self.cfg = cfg
+        self.umi_bits = umi_bits
+        self.emit_minhash = cfg.distance == "minhash-jaccard"
+
+    # -- helpers -----------------------------------------------------------
+
+    def _payload_ok(self, data_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """Cheap magic-byte sniff (stored mode, vectorized): payload
+        non-null and carries a known image container header."""
+        head8 = pc.binary_slice(data_col, 0, 8)
+        head4 = pc.binary_slice(data_col, 0, 4)
+        ok = pc.or_kleene(
+            pc.equal(head8, pa.scalar(PNG_SIG, type=pa.binary())),
+            pc.equal(head4, pa.scalar(FJPG_MAGIC, type=pa.binary())),
+        )
+        ok = pc.fill_null(ok, False)
+        return ok.to_numpy(zero_copy_only=False).astype(bool)
+
+    def _recompute_phash(self, data_col) -> tuple[np.ndarray, np.ndarray]:
+        """Full decode + pHash (recompute mode); returns (phash, ok)."""
+        n = len(data_col)
+        ph = np.zeros(n, dtype=UINT64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(data_col):
+            b = v.as_py()
+            try:
+                img = decode_image(b)
+            except Exception:  # noqa: BLE001 - any decode failure filters the row
+                continue
+            ph[i] = UINT64(phash_image(img))
+            ok[i] = True
+        return ph, ok
+
+    # -- batch kernel ------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        umi_used, per_source = cfg.source_bits(self.umi_bits)
+        need_phash = per_source[list(cfg.sources).index("phash")] > 0 if "phash" in cfg.sources else False
+        need_simhash = per_source[list(cfg.sources).index("simhash")] > 0 if "simhash" in cfg.sources else False
+
+        filtered = np.zeros(n, dtype=bool)
+
+        # image side
+        if need_phash or self.emit_minhash:
+            if cfg.signature_source == "recompute":
+                phash, ok = self._recompute_phash(batch.column("bytes"))
+            else:
+                ok = self._payload_ok(batch.column("bytes"))
+                stored = batch.column("phash")
+                phash = int64_to_uint64(stored.to_numpy(zero_copy_only=False))
+                phash = np.where(pc.is_null(stored).to_numpy(zero_copy_only=False), UINT64(0), phash)
+            filtered |= ~ok
+        else:
+            phash = np.zeros(n, dtype=UINT64)
+
+        # caption side
+        token_hashes, row_offsets = tokenize_batch(batch.column("caption"))
+        sh, sh_offsets = shingle_hashes(token_hashes, row_offsets, cfg.shingle_k)
+        n_sh = sh_offsets[1:] - sh_offsets[:-1]
+        if need_simhash or self.emit_minhash:
+            simhash = simhash_from_shingles(sh, sh_offsets)
+            filtered |= n_sh == 0  # empty caption -> no signature
+        else:
+            simhash = np.zeros(n, dtype=UINT64)
+
+        # id-embedded UMI (budget precedence, reference src/humid.cc:38-59)
+        umi_vals = None
+        if umi_used > 0:
+            ids = batch.column("image_id").to_pylist()
+            umi_vals = np.zeros(n, dtype=UINT64)
+            for i, ident in enumerate(ids):
+                tok = extract_umi(ident)
+                if tok:
+                    umi_vals[i] = UINT64(umi_hex_to_bits(tok, umi_used))
+                else:
+                    filtered[i] = True
+
+        sig = compose_signatures(cfg, phash, simhash, umi_vals, self.umi_bits)
+        cols = {
+            "image_id": batch.column("image_id"),
+            "sig": u64col(sig),
+            "filtered": pa.array(filtered),
+        }
+        if self.emit_minhash:
+            mh = minhash_batch(sh, sh_offsets, cfg.minhash_perms)
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                u64col(mh.reshape(-1)), cfg.minhash_perms
+            )
+        return pa.table(cols)
+
+
+def extract_signatures(ds, cfg: HumidConfig, umi_bits: int = 0):
+    """rows Dataset -> signatures Dataset (actor pool)."""
+    needed = ["image_id", "caption"]
+    if cfg.signature_source == "recompute":
+        needed.append("bytes")
+    else:
+        needed += ["bytes", "phash"]
+    ds = ds.select_columns([c for c in dict.fromkeys(needed)])
+    concurrency = cfg.sig_concurrency
+    if concurrency is None:
+        import ray
+
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+    return ds.map_batches(
+        SignatureExtractor,
+        fn_constructor_kwargs={"cfg": cfg, "umi_bits": umi_bits},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.sig_batch_size,
+        concurrency=concurrency,
+        num_cpus=cfg.sig_num_cpus,
+    )

@@ -1,0 +1,232 @@
+"""Deterministic synthetic image+caption corpus (input_hint schema).
+
+Writes parquet with EXACTLY the columns
+``(image_id, bytes, w, h, fmt, caption, phash)`` — the Lance-table
+shape from BASELINE.json:input_hint (Lance itself is not installed in
+this sandbox; parquet is the documented dev fallback).
+
+The corpus plants the duplicate families from FIXTURES.md — exact-dup
+multiplicities, 1-bit / m-bit / (m+1)-bit signature neighbors, the
+count-skew directional chain (2,4,8,10,3 from reference
+tests/test_cluster.cc:73-137), a hot LSH band, and filtered rows
+(empty caption / empty bytes / undecodable bytes — the analog of
+HUMID's N-base rule, reference src/fastq.cc:152-158).
+
+Generation is pure per group id (seeded rng per group), so any row
+range can be produced independently and in parallel; corpora are
+cached on disk keyed by (n_rows, seed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from humid_ray.functions.phash import phash_image
+from humid_ray.png import encode_fjpg, encode_png
+
+H = W = 32
+
+# group kind cycle; one full cycle = 14 groups / 49 rows
+CYCLE = (
+    ["uniq"] * 5 + ["pair"] * 2 + ["fam5"] + ["nbr"] * 2 + ["far"]
+    + ["chain"] + ["hot"] + ["filtered"]
+)
+ROWS_PER = {"uniq": 1, "pair": 2, "fam5": 5, "nbr": 2, "far": 2,
+            "chain": 27, "hot": 1, "filtered": 1}
+CYCLE_ROWS = sum(ROWS_PER[k] for k in CYCLE)  # 49
+CHAIN_MULTS = [2, 4, 8, 10, 3]  # reference tests/test_cluster.cc:73-137
+
+VOCAB = [f"w{i:03d}" for i in range(256)]
+HOT_TOP32 = 0x9E3779B9  # shared top-32 phash bits -> one hot LSH band
+
+
+def _image(rng: np.random.Generator) -> np.ndarray:
+    kind = rng.integers(0, 3)
+    x = np.arange(W)[None, :]
+    y = np.arange(H)[:, None]
+    if kind == 0:  # gradient
+        a, b = rng.uniform(-4, 4, 2)
+        img = a * x + b * y + rng.uniform(0, 255)
+    elif kind == 1:  # sinusoid
+        fx, fy = rng.uniform(0.1, 1.0, 2)
+        img = 127 + 120 * np.sin(fx * x + fy * y + rng.uniform(0, 6))
+    else:  # blocks
+        img = np.kron(rng.uniform(0, 255, (4, 4)), np.ones((8, 8)))
+    img = img + rng.normal(0, 3, (H, W))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(6, 15))
+    return " ".join(VOCAB[i] for i in rng.integers(0, len(VOCAB), n))
+
+
+def _encode(rng: np.random.Generator, img: np.ndarray) -> tuple[bytes, str]:
+    r = rng.uniform()
+    if r < 0.5:
+        return encode_png(img), "png"
+    if r < 0.8:
+        return encode_png(np.stack([img, np.roll(img, 1, 0), np.roll(img, 1, 1)], -1)), "png"
+    return encode_fjpg(img), "jpeg"
+
+
+def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
+    """Rows + meta for one group; pure function of (gid, seed, config)."""
+    kind = CYCLE[gid % len(CYCLE)]
+    rng = np.random.default_rng([seed, gid])
+    rows, meta = [], []
+
+    def emit(sub: int, data: bytes, fmt: str, caption: str, ph: int):
+        rid = gid * 64 + sub  # globally unique, order = generation order
+        rows.append(
+            {
+                "image_id": f"img{rid:010d}",
+                "bytes": data,
+                "w": W,
+                "h": H,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": np.uint64(ph).astype(np.int64).item(),
+            }
+        )
+        meta.append({"image_id": f"img{rid:010d}", "family": kind, "gid": gid})
+
+    if kind == "filtered":
+        style = gid % 3
+        img = _image(rng)
+        data, fmt = _encode(rng, img)
+        if style == 0:
+            emit(0, data, fmt, "", phash_image(img))          # empty caption
+        elif style == 1:
+            emit(0, b"", fmt, _caption(rng), 0)                # empty payload
+        else:
+            emit(0, b"JUNK" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+                 fmt, _caption(rng), 0)                        # undecodable
+        return rows, meta
+
+    img = _image(rng)
+    data, fmt = _encode(rng, img)
+    caption = _caption(rng)
+    ph = phash_image(img)
+
+    def flip(base: int, *bits: int) -> int:
+        # flip bits within the phash budget part (top bits of the
+        # composite word come from the top bits of phash)
+        v = base
+        for b in bits:
+            v ^= 1 << (63 - (b % phash_part_bits))
+        return v & 0xFFFFFFFFFFFFFFFF
+
+    if kind == "uniq":
+        emit(0, data, fmt, caption, ph)
+    elif kind == "pair":
+        emit(0, data, fmt, caption, ph)
+        emit(1, data, fmt, caption, ph)
+    elif kind == "fam5":
+        for i in range(5):
+            emit(i, data, fmt, caption, ph)
+    elif kind == "nbr":
+        emit(0, data, fmt, caption, ph)
+        emit(1, data, fmt, caption, flip(ph, gid % phash_part_bits))
+    elif kind == "far":
+        emit(0, data, fmt, caption, ph)
+        bits = [(gid + j) % phash_part_bits for j in range(max_distance + 1)]
+        # ensure distinct bit positions
+        bits = list(range(max_distance + 1)) if len(set(bits)) != len(bits) else bits
+        emit(1, data, fmt, caption, flip(ph, *bits))
+    elif kind == "chain":
+        sub = 0
+        cur = ph
+        positions = rng.permutation(phash_part_bits)[: len(CHAIN_MULTS) - 1]
+        for step, mult in enumerate(CHAIN_MULTS):
+            if step > 0:
+                cur = flip(cur, int(positions[step - 1]))
+            for _ in range(mult):
+                emit(sub, data, fmt, caption, cur)
+                sub += 1
+    elif kind == "hot":
+        ph_hot = (HOT_TOP32 << 32) | (ph & 0xFFFFFFFF)
+        emit(0, data, fmt, _caption(rng), ph_hot)
+    return rows, meta
+
+
+SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def gen_rows(n_rows: int, seed: int = 42, max_distance: int = 1,
+             phash_part_bits: int = 32, start_gid: int = 0):
+    """Generate >= n_rows rows (whole groups), truncated to n_rows."""
+    rows, meta = [], []
+    gid = start_gid
+    while len(rows) < n_rows:
+        r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+        rows.extend(r)
+        meta.extend(m)
+        gid += 1
+    rows, meta = rows[:n_rows], meta[:n_rows]
+    table = pa.Table.from_pylist(rows, schema=SCHEMA)
+    mtab = pa.Table.from_pylist(meta)
+    return table, mtab
+
+
+def corpus_path(base_dir: str, n_rows: int, seed: int = 42) -> str:
+    return os.path.join(base_dir, f"corpus_n{n_rows}_s{seed}")
+
+
+def make_corpus(base_dir: str, n_rows: int, seed: int = 42,
+                max_distance: int = 1, phash_part_bits: int = 32,
+                rows_per_file: int = 50_000) -> str:
+    """Write (and cache) the corpus parquet dir; returns the dir path."""
+    out = corpus_path(base_dir, n_rows, seed)
+    done = os.path.join(out, "_DONE.json")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    written = 0
+    part = 0
+    gid = 0
+    metas = []
+    buf_rows: list = []
+    buf_meta: list = []
+    while written < n_rows:
+        want = min(rows_per_file, n_rows - written)
+        while len(buf_rows) < want:
+            r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+            buf_rows.extend(r)
+            buf_meta.extend(m)
+            gid += 1
+        rows, buf_rows = buf_rows[:want], buf_rows[want:]
+        meta, buf_meta = buf_meta[:want], buf_meta[want:]
+        table = pa.Table.from_pylist(rows, schema=SCHEMA)
+        pq.write_table(table, os.path.join(out, f"part-{part:05d}.parquet"))
+        metas.append(pa.Table.from_pylist(meta))
+        written += want
+        part += 1
+    # note: ".pq" extension so corpus readers globbing *.parquet skip it
+    pq.write_table(pa.concat_tables(metas), os.path.join(out, "meta.pq"))
+    with open(done, "w") as f:
+        json.dump({"n_rows": n_rows, "seed": seed}, f)
+    return out
+
+
+def corpus_files(corpus_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
