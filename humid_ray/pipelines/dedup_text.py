@@ -1,0 +1,234 @@
+"""Text/document dedup operators over the ``documents`` table.
+
+The HUMID dedup semantics generalized to large-scale training-data
+curation: exact dedup (groupby-first), MinHash+LSH near-dup
+(shingle -> minhash -> band -> bucket groupby -> verify), SimHash
+fingerprints, and n-gram Jaccard verification. All kernels are the
+same vectorized primitives the flagship pipeline uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from humid_ray.functions.minhash import minhash_band_keys, minhash_batch
+from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles
+from humid_ray.functions.text import tokenize_batch
+from humid_ray.util import UINT64, u64col
+
+
+def read_documents(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --- exact dedup (HUMID T1/A1 analog; SQL-expressible) --------------------
+
+def exact_dedup(sf_dir: str):
+    """One row per distinct text: (text, cnt, rep_id=min doc_id).
+
+    Oracle: SELECT text, COUNT(*) AS cnt, MIN(doc_id) AS rep_id
+            FROM documents GROUP BY text.
+    """
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Count(alias_name="cnt"), Min("doc_id", alias_name="rep_id")
+    )
+
+
+def dup_count_hist(sf_dir: str):
+    """Histogram of exact-duplicate multiplicities (counts.dat analog)."""
+    return (
+        exact_dedup(sf_dir)
+        .groupby("cnt")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def dedup_stats(sf_dir: str):
+    """total/usable/unique summary (stats.dat analog) as one row."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        usable = pc.sum(
+            pc.cast(pc.greater(pc.utf8_length(pc.fill_null(text, "")), 0), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {
+                "total": pa.array([batch.num_rows], type=pa.int64()),
+                "usable": pa.array([int(usable)], type=pa.int64()),
+            }
+        )
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").sum(["total", "usable"])
+    unique = exact_dedup(sf_dir).count()
+    return pa.table(
+        {
+            "total": pa.array([int(totals["sum(total)"])], type=pa.int64()),
+            "usable": pa.array([int(totals["sum(usable)"])], type=pa.int64()),
+            "unique": pa.array([int(unique)], type=pa.int64()),
+        }
+    )
+
+
+# --- fingerprints ---------------------------------------------------------
+
+class SimHashDocs:
+    """Actor kernel: documents -> (doc_id, simhash) (shingle SimHash)."""
+
+    def __init__(self, k: int = 2):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, offs = tokenize_batch(batch.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        sim = simhash_from_shingles(sh, sh_offs)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": u64col(sim)}
+        )
+
+
+def simhash_docs(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(SimHashDocs, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+
+
+class MinHashDocs:
+    """documents -> one row per (band, band_key) with doc_id + minhash
+    kept for downstream verification."""
+
+    def __init__(self, k: int = 3, n_perms: int = 128, n_bands: int = 16):
+        self.k, self.n_perms, self.n_bands = k, n_perms, n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, offs = tokenize_batch(batch.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        mh = minhash_batch(sh, sh_offs, self.n_perms)
+        keys = minhash_band_keys(mh, self.n_bands)  # (n, n_bands)
+        n = batch.num_rows
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bids = np.repeat(np.arange(self.n_bands, dtype=np.int32)[None, :], n, axis=0)
+        flat_docs = np.repeat(doc, self.n_bands)
+        return pa.table(
+            {
+                "band_id": pa.array(bids.reshape(-1)),
+                "band_key": u64col(keys.reshape(-1)),
+                "doc_id": pa.array(flat_docs),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    u64col(np.repeat(mh, self.n_bands, axis=0).reshape(-1)),
+                    self.n_perms,
+                ),
+            }
+        )
+
+
+def _verify_minhash_group(threshold: float):
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc = doc[order]
+        keep_first = np.r_[True, doc[1:] != doc[:-1]]
+        order = order[keep_first]
+        doc = doc[keep_first]
+        if len(doc) < 2:
+            return empty
+        mh = np.stack(
+            [np.asarray(group.column("minhash")[int(i)].as_py(), dtype=np.int64)
+             for i in order]
+        )
+        sim = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
+        ii, jj = np.nonzero(sim >= threshold)
+        lt = ii < jj
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[ii[lt]].astype(np.int64)),
+                "doc_b": pa.array(doc[jj[lt]].astype(np.int64)),
+                "jaccard": pa.array(sim[ii[lt], jj[lt]].astype(np.float64)),
+            }
+        )
+
+    return kernel
+
+
+def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.8):
+    """Candidate pairs from MinHash-LSH buckets, verified by estimated
+    Jaccard >= threshold; distinct (doc_a < doc_b) pairs."""
+    bands = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        MinHashDocs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        _verify_minhash_group(threshold), batch_format="pyarrow"
+    )
+    # a pair can surface from several bands -> distinct
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
+    )
+
+
+class NgramJaccard:
+    """Exact n-gram (token shingle) Jaccard for given doc pairs; the
+    verification stage behind minhash_neardup_pairs (broadcast texts)."""
+
+    def __init__(self, text_ref, k: int = 3):
+        import ray
+
+        self.texts: dict[int, str] = ray.get(text_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        texts = pa.array(
+            [self.texts.get(int(i), "") for i in a_ids]
+            + [self.texts.get(int(i), "") for i in b_ids]
+        )
+        th, offs = tokenize_batch(texts)
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        n = len(a_ids)
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            sa = set(sh[sh_offs[i] : sh_offs[i + 1]].tolist())
+            sb = set(sh[sh_offs[n + i] : sh_offs[n + i + 1]].tolist())
+            denom = len(sa | sb)
+            jac[i] = (len(sa & sb) / denom) if denom else 0.0
+        out = batch.select(["doc_a", "doc_b"])
+        return out.append_column("ngram_jaccard", pa.array(jac))
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """MinHash candidates re-verified with EXACT n-gram Jaccard."""
+    import ray
+
+    cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
+    docs = read_documents(sf_dir, columns=["doc_id", "text"]).take_all()
+    text_ref = ray.put({int(r["doc_id"]): r["text"] or "" for r in docs})
+    verified = cand.map_batches(
+        NgramJaccard,
+        fn_constructor_kwargs={"text_ref": text_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    import pyarrow.compute as pc
+
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("ngram_jaccard"), threshold)),
+        batch_format="pyarrow",
+    )

@@ -90,82 +90,121 @@ def connected_components_local(edges_ds) -> "ray.data.Dataset":
     return ray.data.from_arrow(table)
 
 
-def connected_components_distributed(edges_ds, max_rounds: int = 50) -> "ray.data.Dataset":
-    """Min-label propagation, fully in Ray Data.
+def connected_components_distributed(edges_ds, max_rounds: int = 64) -> "ray.data.Dataset":
+    """Min-label propagation, fully in Ray Data — join-free.
 
-    labels(sig) start at sig; each round:
-      candidates = labels(sig_a) pushed to sig_b, labels(sig_b) pushed
-      to sig_a, plus current labels; new = min per sig.
-    Stops when the global sum of labels stops changing (a cheap
-    convergence witness: labels only ever decrease).
+    State: labels(sig, comp), comp starts = sig. Each round is two
+    groupby shuffles (no Dataset.join — robust to empty partitions):
+
+      1. scatter: union(edge rows tagged (node, peer),
+         label rows tagged (node, comp)) -> groupby(node) -> each
+         group holds the node's current label + its adjacency; emit
+         (sig=peer, cand=label) for every neighbor plus
+         (sig=node, cand=label).
+      2. gather: groupby(sig) -> new label = min(cand), plus a
+         ``changed`` flag vs the group's old label; Sum(changed) == 0
+         is the convergence witness.
+
+    Converges in O(component diameter) rounds; near-dup components are
+    shallow (stars/short chains around a popular signature), and
+    ``max_rounds`` bounds pathological chains.
     """
     edges = edges_ds.materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = _chunk(batch.column("sig_a"))
+        b = _chunk(batch.column("sig_b"))
+        node = pa.concat_arrays([a, b])
+        peer = pa.concat_arrays([b, a])
+        n = len(node)
+        return pa.table(
+            {
+                "node": node,
+                "peer": peer,
+                "comp": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_label": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
 
     def seed(batch: pa.Table) -> pa.Table:
         a = batch.column("sig_a").to_numpy(zero_copy_only=False)
         b = batch.column("sig_b").to_numpy(zero_copy_only=False)
         s = np.unique(np.concatenate([a, b]))
-        return pa.table({"sig": u64col(s),
-                         "comp": u64col(s)})
+        n = len(s)
+        return pa.table(
+            {
+                "sig": pa.array(s, type=pa.int64()),
+                "comp": pa.array(s, type=pa.int64()),
+            }
+        )
 
+    directed = edges.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     labels = (
         edges.map_batches(seed, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("sig")
         .aggregate(Min("comp", alias_name="comp"))
     ).materialize()
 
-    def edge_msgs(batch: pa.Table) -> pa.Table:
-        # (node, neighbor) both directions; label lookup via join below
-        a = batch.column("sig_a")
-        b = batch.column("sig_b")
+    def as_label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table(
             {
-                "node": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                                           b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
-                "peer": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                                           a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+                "node": _chunk(batch.column("sig")),
+                "peer": pa.array(np.zeros(n, dtype=np.int64)),
+                "comp": _chunk(batch.column("comp")),
+                "is_label": pa.array(np.ones(n, dtype=bool)),
             }
         )
 
-    directed = edges.map_batches(edge_msgs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    def scatter(group: pa.Table) -> pa.Table:
+        is_label = group.column("is_label").to_numpy(zero_copy_only=False)
+        comp = group.column("comp").to_numpy(zero_copy_only=False)[is_label]
+        label = int(comp.min()) if len(comp) else 0
+        peers = group.column("peer").to_numpy(zero_copy_only=False)[~is_label]
+        node = int(group.column("node")[0].as_py())
+        sigs = np.concatenate([peers, [node]])
+        old = np.full(len(sigs), np.iinfo(np.int64).max, dtype=np.int64)
+        old[-1] = label  # carry the node's previous label for the gather
+        return pa.table(
+            {
+                "sig": pa.array(sigs.astype(np.int64)),
+                "cand": pa.array(np.full(len(sigs), label, dtype=np.int64)),
+                "old": pa.array(old),
+            }
+        )
+
+    def gather(group: pa.Table) -> pa.Table:
+        cand = group.column("cand").to_numpy(zero_copy_only=False)
+        old = group.column("old").to_numpy(zero_copy_only=False)
+        new = int(cand.min())
+        prev = int(old.min())
+        return pa.table(
+            {
+                "sig": pa.array([int(group.column("sig")[0].as_py())], type=pa.int64()),
+                "comp": pa.array([new], type=pa.int64()),
+                "changed": pa.array([int(new != prev)], type=pa.int64()),
+            }
+        )
+
     for _ in range(max_rounds):
-        # messages: peer's current label reaches node
-        msgs = directed.join(
-            labels.map_batches(
-                lambda t: t.rename_columns(["peer", "comp"]), batch_format="pyarrow"
-            ),
-            join_type="inner",
-            num_partitions=max(labels.num_blocks(), 8),
-            on=("peer",),
-        ).select_columns(["node", "comp"])
-        msgs = msgs.map_batches(
-            lambda t: t.rename_columns(["sig", "comp"]), batch_format="pyarrow"
+        stacked = directed.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow")
         )
-        combined = msgs.union(labels)
-        new_labels = (
-            combined.groupby("sig").aggregate(Min("comp", alias_name="comp"))
+        msgs = stacked.groupby("node").map_groups(scatter, batch_format="pyarrow")
+        new_labels = msgs.groupby("sig").map_groups(
+            gather, batch_format="pyarrow"
         ).materialize()
-        # convergence witness: any label changed? (labels only decrease)
-        old = labels.map_batches(
-            lambda t: t.rename_columns(["sig", "comp_old"]), batch_format="pyarrow"
-        )
-        joined = new_labels.join(
-            old, join_type="inner", num_partitions=max(new_labels.num_blocks(), 8),
-            on=("sig",),
-        )
-
-        def count_changed(t: pa.Table) -> pa.Table:
-            neq = np.sum(
-                t.column("comp").to_numpy(zero_copy_only=False)
-                != t.column("comp_old").to_numpy(zero_copy_only=False)
-            )
-            return pa.table({"changed": pa.array([int(neq)], type=pa.int64())})
-
-        changed = joined.map_batches(count_changed, batch_format="pyarrow").sum("changed")
-        labels = new_labels
+        changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["sig", "comp"])
         if not changed:
             break
     return labels
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 def connected_components(edges_ds, cfg: HumidConfig) -> "ray.data.Dataset":

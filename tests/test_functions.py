@@ -1,0 +1,150 @@
+"""Unit parity tests for the word/signature construction helpers.
+
+Translated from the reference's tests/test_fastq.cc (UMI extraction,
+budget split, padding/truncation matrices) into the image+caption
+signature domain."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from humid_ray.config import HumidConfig, bits_from_source
+from humid_ray.functions.signature import compose_signatures, umi_hex_to_bits
+from humid_ray.functions.simhash import shingle_hashes, simhash_batch
+from humid_ray.functions.text import (
+    extract_last_field,
+    extract_umi,
+    make_string_size,
+    tokenize_batch,
+    valid_umi,
+)
+from humid_ray.util import hamming64, hash_bytes_segments, popcount64
+
+
+# --- scalar helpers (reference tests/test_fastq.cc:168-202) ---------------
+
+def test_extract_last_field():
+    assert extract_last_field("a_b_c", "_") == "c"
+    assert extract_last_field("abc", "_") == ""
+    assert extract_last_field("a:b:cafe", ":") == "cafe"
+    assert extract_last_field("trailing_", "_") == ""
+
+
+def test_valid_umi():
+    assert valid_umi("deadbeef")
+    assert valid_umi("0123ABC")
+    assert not valid_umi("")
+    assert not valid_umi("xyz123")
+    assert not valid_umi("cafe pow")
+
+
+def test_make_string_size():
+    assert make_string_size("abcdef", 3, "0") == "abc"
+    assert make_string_size("ab", 5, "0") == "ab000"
+    assert make_string_size("abc", 3, "0") == "abc"
+
+
+def test_extract_umi():
+    # underscore style wins (reference tests/test_fastq.cc:9-46)
+    assert extract_umi("img0001_cafe") == "cafe"
+    # colon fallback
+    assert extract_umi("img:0001:beef") == "beef"
+    # invalid token -> empty
+    assert extract_umi("img0001_zzz") == ""
+    # only the part before the first space counts
+    assert extract_umi("img_cafe extra_f00d") == "cafe"
+    assert extract_umi("plainid") == ""
+
+
+# --- budget split (reference ntFromFile, tests/test_fastq.cc:112-155) -----
+
+@pytest.mark.parametrize(
+    "n,total,expected",
+    [
+        (1, 24, [24]),
+        (2, 24, [12, 12]),
+        (3, 24, [8, 8, 8]),
+        (3, 25, [8, 8, 9]),
+        (2, 1, [0, 1]),
+        (4, 2, [0, 0, 0, 2]),
+        (2, 64, [32, 32]),
+    ],
+)
+def test_bits_from_source(n, total, expected):
+    assert bits_from_source(n, total) == expected
+
+
+def test_umi_hex_to_bits_cut_and_pad():
+    # cut: token longer than the budget
+    assert umi_hex_to_bits("ff00", 8) == 0xFF
+    # pad: token shorter than the budget (zero nibbles appended)
+    assert umi_hex_to_bits("f", 8) == 0xF0
+    # non-nibble-aligned budget keeps top bits
+    assert umi_hex_to_bits("f0", 6) == 0b111100
+    assert umi_hex_to_bits("anything"[:0] or "c", 0) == 0
+
+
+def test_compose_signature_layout():
+    cfg = HumidConfig(word_bits=64)
+    ph = np.array([0xAAAAAAAA00000000], dtype=np.uint64)
+    sh = np.array([0x5555555500000000], dtype=np.uint64)
+    sig = compose_signatures(cfg, ph, sh)
+    # top 32 = top 32 of phash, low 32 = top 32 of simhash
+    assert sig[0] == np.uint64((0xAAAAAAAA << 32) | 0x55555555)
+
+
+def test_compose_signature_umi_precedence():
+    cfg = HumidConfig(word_bits=64, umi_from_id=True)
+    ph = np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    sh = np.array([0], dtype=np.uint64)
+    umi = np.array([0xAB], dtype=np.uint64)
+    sig = compose_signatures(cfg, ph, sh, umi, umi_bits=8)
+    # 8 UMI bits first, then 28 phash bits, then 28 simhash bits
+    assert int(sig[0]) >> 56 == 0xAB
+    umi_used, per_source = cfg.source_bits(8)
+    assert umi_used == 8 and per_source == [28, 28]
+    # UMI larger than the whole budget is capped (reference preCompute)
+    umi_used, per_source = cfg.source_bits(100)
+    assert umi_used == 64 and per_source == [0, 0]
+
+
+# --- hashing kernels ------------------------------------------------------
+
+def test_popcount64():
+    a = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert popcount64(a).tolist() == [0, 1, 2, 64, 1]
+
+
+def test_hash_segments_stable_and_distinct():
+    toks = [b"hello", b"world", b"", b"hello"]
+    data = np.frombuffer(b"".join(toks), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(t) for t in toks])
+    h = hash_bytes_segments(data, offs)
+    assert h[0] == h[3] and h[0] != h[1] and h[2] != h[0]
+    # stable across calls
+    assert np.array_equal(h, hash_bytes_segments(data, offs))
+
+
+def test_tokenize_and_simhash():
+    texts = pa.array(
+        ["The quick brown fox", "the  QUICK brown fox", "", None, "one"]
+    )
+    th, offs = tokenize_batch(texts)
+    assert (offs[1:] - offs[:-1]).tolist() == [4, 4, 0, 0, 1]
+    sig, n_sh = simhash_batch(th, offs, k=2)
+    assert sig[0] == sig[1]  # case/whitespace normalization
+    assert n_sh.tolist() == [3, 3, 0, 0, 1]  # unigram fallback for short rows
+    # near-identical captions land close in Hamming space
+    t2, o2 = tokenize_batch(pa.array(["The quick brown fox", "The quick brown cat"]))
+    s2, _ = simhash_batch(t2, o2, k=2)
+    assert 0 < hamming64(s2[0:1], s2[1:2])[0] < 32
+
+
+def test_shingle_hashes_do_not_cross_rows():
+    t, o = tokenize_batch(pa.array(["a b", "c d"]))
+    t2, o2 = tokenize_batch(pa.array(["a b c d"]))
+    s1, _ = shingle_hashes(t, o, 2)
+    s2, _ = shingle_hashes(t2, o2, 2)
+    # "b c" shingle exists only in the single-row variant
+    assert len(s1) == 2 and len(s2) == 3
+    assert set(s1.tolist()) < set(s2.tolist()) or set(s1.tolist()) != set(s2.tolist())
