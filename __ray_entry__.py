@@ -1,44 +1,283 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-duplicate pipeline on a
+deterministic synthetic image+caption corpus at sf0.001 scale;
+``queries()`` exposes every implemented operator (SURVEY.md §2 plus
+the training-data-pipeline extensions) as sf_dir-parameterized
+callables; ``oracle_sql()`` gives DuckDB equivalents for the
+SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the library or in these
+callables.
+
+The image corpus (input_hint schema) does not exist under
+/root/testdata, so corpus-based queries synthesize it deterministically
+per scale factor (seeded; cached under /tmp/humid_corpus) — no
+external data. Document/embedding queries run on the provided
+testdata tables directly.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_BASE = "/tmp/humid_corpus"
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return float(m.group(1).rstrip(".")) if m else 0.01
+    except ValueError:
+        return 0.01
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from humid_ray.synth import make_corpus
+
+    n = max(500, min(int(1_000_000 * _sf_of(sf_dir)), 200_000))
+    return make_corpus(_CORPUS_BASE, n)
+
+
+def _pipeline_result(sf_dir: str, **cfg_over):
+    from humid_ray.config import HumidConfig
+    from humid_ray.pipelines.humid import HumidPipeline
+
+    corpus = _corpus_for(sf_dir)
+    wd = os.path.join("/tmp/humid_runs", os.path.basename(corpus))
+    cfg = HumidConfig(
+        workdir=wd, write_annotated=True, write_filtered=True,
+        write_stats=True, resume=True, **cfg_over,
+    )
+    return HumidPipeline(cfg).run(corpus), corpus
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the assignment table
+    (one row per unique signature with cluster id / representative)."""
+    res, _ = _pipeline_result("/root/testdata/sf0.001")
+    return res.dataset("04_assign")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _humid_assign(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir)
+    return res.dataset("04_assign")
+
+
+def _humid_edges(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir)
+    return res.dataset("03_edges")
+
+
+def _humid_uniq(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir)
+    return res.dataset("02_uniq")
+
+
+def _humid_filtered_output(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir)
+    import pyarrow as pa
+
+    ds = res.dataset("05_filtered")
+    return ds.map_batches(
+        lambda t: t.select(["image_id", "fmt", "caption", "phash"]),
+        batch_format="pyarrow",
+    )
+
+
+def _humid_stats(sf_dir: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir)
+    s = res.stats["summary"]
+    return pa.table({k: [v] for k, v in s.items()})
+
+
+def _humid_cluster_hist(sf_dir: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir)
+    df = res.stats["clusters"]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _filter_usable_docs(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.utf8_length(pc.fill_null(t.column("text"), "")), 0)
+        return t.filter(keep).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _make_string_size_docs(sf_dir: str):
+    """M4 analog: cut/right-pad text to 24 chars with 'N'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(pc.fill_null(t.column("text"), ""), 0, 24)
+        s = pc.utf8_rpad(s, 24, "N")
+        return pa.table({"doc_id": t.column("doc_id"), "fixed": s})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _extract_last_field_docs(sf_dir: str):
+    """M3 analog: substring after the LAST 'r' of source (greedy regex)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        last = pc.replace_substring_regex(t.column("source"), "^.*r", "")
+        return pa.table({"doc_id": t.column("doc_id"), "last_field": last})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_norms(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from humid_ray.pipelines.ann import _to_matrix
+
+        ids, m = _to_matrix(t)
+        from humid_ray.util import round_half_away
+        norm = round_half_away(np.sqrt((m * m).sum(axis=1)), 6)
+        return pa.table({"vec_id": pa.array(ids), "norm": pa.array(norm)})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from humid_ray.pipelines import ann, dedup_text, multimodal, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def corpus_decode_stats(sf_dir: str):
+        return multimodal.decode_stats(_corpus_for(sf_dir))
+
+    def corpus_thumbnails(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ds = multimodal.thumbnails(_corpus_for(sf_dir))
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "image_id": t.column("image_id"),
+                    "thumb_len": pc.binary_length(t.column("thumb")),
+                    "tw": t.column("tw"),
+                    "th": t.column("th"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return {
+        # flagship near-dup pipeline (corpus; brute-force-oracle-tested in pytest)
+        "humid_assign": _humid_assign,
+        "humid_edges": _humid_edges,
+        "humid_uniq": _humid_uniq,
+        "humid_filtered_output": _humid_filtered_output,
+        "humid_stats": _humid_stats,
+        "humid_cluster_hist": _humid_cluster_hist,
+        # documents: exact dedup + histograms (SQL-oracled)
+        "exact_dedup_docs": dedup_text.exact_dedup,
+        "dup_count_hist_docs": dedup_text.dup_count_hist,
+        "dedup_stats_docs": dedup_text.dedup_stats,
+        "filter_usable_docs": _filter_usable_docs,
+        "make_string_size_docs": _make_string_size_docs,
+        "extract_last_field_docs": _extract_last_field_docs,
+        # documents: near-dup suite
+        "simhash_docs": dedup_text.simhash_docs,
+        "minhash_neardup_docs": dedup_text.minhash_neardup_pairs,
+        "ngram_jaccard_docs": dedup_text.ngram_jaccard_pairs,
+        # text analysis (SQL-oracled where exactly expressible)
+        "lang_hist_docs": textstats.lang_hist,
+        "token_count_docs": textstats.token_counts,
+        "quality_docs": textstats.quality_scores,
+        "langid_docs": textstats.langid,
+        "fingerprint_docs": textstats.fingerprints,
+        # embeddings: similarity search + near-dup
+        "embedding_norms": _embedding_norms,
+        "knn_bruteforce": ann.knn_bruteforce,
+        "ann_lsh": ann.ann_lsh,
+        "embedding_neardup": ann.embedding_neardup,
+        # multimodal stages (corpus)
+        "multimodal_decode_stats": corpus_decode_stats,
+        "multimodal_thumbnails": corpus_thumbnails,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": (
+            "SELECT text, COUNT(*) AS cnt, MIN(doc_id) AS rep_id "
+            "FROM documents GROUP BY text"
+        ),
+        "dup_count_hist_docs": (
+            "SELECT cnt, COUNT(*) AS n FROM (SELECT text, COUNT(*) AS cnt "
+            "FROM documents GROUP BY text) GROUP BY cnt"
+        ),
+        "dedup_stats_docs": (
+            "SELECT COUNT(*) AS total, "
+            "COUNT(CASE WHEN length(coalesce(text,'')) > 0 THEN 1 END) AS usable, "
+            "COUNT(DISTINCT text) AS \"unique\" FROM documents"
+        ),
+        "filter_usable_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE length(coalesce(text,'')) > 0"
+        ),
+        "make_string_size_docs": (
+            "SELECT doc_id, rpad(substr(coalesce(text,''), 1, 24), 24, 'N') AS fixed "
+            "FROM documents"
+        ),
+        "extract_last_field_docs": (
+            "SELECT doc_id, regexp_replace(source, '^.*r', '') AS last_field "
+            "FROM documents"
+        ),
+        "lang_hist_docs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "token_count_docs": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "
+            "length(coalesce(text,'')) AS n_chars FROM documents"
+        ),
+        "quality_docs": (
+            "SELECT doc_id, length(coalesce(text,'')) AS n_chars, "
+            "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "
+            "round(CASE WHEN len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) > 0 "
+            " THEN CAST(length(regexp_replace(lower(coalesce(text,'')), '[^0-9a-z]', '', 'g')) AS DOUBLE) "
+            "      / len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) ELSE 0 END, 6) AS mean_token_len, "
+            "round(CASE WHEN length(coalesce(text,'')) > 0 "
+            " THEN CAST(length(regexp_replace(lower(coalesce(text,'')), '[^a-z]', '', 'g')) AS DOUBLE) "
+            "      / length(coalesce(text,'')) ELSE 0 END, 6) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm FROM embeddings"
+        ),
+    }

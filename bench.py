@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: one JSON line —
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship near-duplicate pipeline (read -> signatures ->
+exact dedup -> LSH+verify -> clustering -> outputs) over the
+deterministic synthetic image+caption corpus sized to $GRAFT_SF_DIR's
+scale factor; plus per-query timings for the document/embedding
+operator suite over the testdata tables.
+
+--scaling: run the headline pipeline in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm)
+input and report both throughputs + scaling efficiency
+(eff = (t_lo / t_hi) / (cpus_hi / cpus_lo); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_BASE = "/tmp/humid_corpus"
+
+
+def corpus_rows(sf_dir: str) -> int:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.01
+    return max(500, min(int(1_000_000 * sf), 200_000))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from humid_ray.config import HumidConfig
+    from humid_ray.pipelines import ann, dedup_text, multimodal, textstats
+    from humid_ray.pipelines.humid import HumidPipeline
+    from humid_ray.synth import make_corpus_parallel
+
+    n_rows = corpus_rows(SF_DIR)
+    corpus = make_corpus_parallel(CORPUS_BASE, n_rows)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.parquet as pq
+    from humid_ray.synth import corpus_files
+
+    for f in corpus_files(corpus):
+        pq.read_table(f)
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn, consume="count"):
+        t0 = time.perf_counter()
+        res = fn()
+        if consume == "count" and hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return res
+
+    # headline: full pipeline, cold workdir
+    wd = f"/tmp/humid_bench/wd_{NUM_CPUS}"
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = HumidConfig(workdir=wd, resume=False, write_filtered=True,
+                      write_annotated=False, write_stats=True)
+    t0 = time.perf_counter()
+    result = HumidPipeline(cfg).run(corpus)
+    headline = time.perf_counter() - t0
+    queries["humid_pipeline"] = round(headline, 3)
+
+    # operator suite over the provided testdata tables
+    timed("exact_dedup_docs", lambda: dedup_text.exact_dedup(SF_DIR))
+    timed("minhash_neardup_docs", lambda: dedup_text.minhash_neardup_pairs(SF_DIR))
+    timed("simhash_docs", lambda: dedup_text.simhash_docs(SF_DIR))
+    timed("token_count_docs", lambda: textstats.token_counts(SF_DIR))
+    timed("quality_docs", lambda: textstats.quality_scores(SF_DIR))
+    timed("knn_bruteforce", lambda: ann.knn_bruteforce(SF_DIR), consume=None)
+    timed("embedding_neardup", lambda: ann.embedding_neardup(SF_DIR))
+    timed("multimodal_decode_stats", lambda: multimodal.decode_stats(corpus))
+
+    out = {
+        "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "images_per_sec": round(n_rows / headline, 1),
+        "pipeline_metrics": {
+            k: v for k, v in result.metrics.items()
+            if k in ("rows_scanned", "unique_sigs", "candidate_pairs",
+                     "verified_dup_pairs", "clusters", "timings_sec")
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    lo, hi = 8, 32
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "images_per_sec_lo": results[lo]["images_per_sec"],
+                "images_per_sec_hi": results[hi]["images_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,270 @@
+"""Similarity search over the ``embeddings`` table.
+
+* brute-force cosine top-k: the exact baseline — query matrix is
+  broadcast ONCE via ``ray.put``; every batch does one numpy matmul
+  against it and emits its local top-k; a tiny driver-side merge
+  produces the global top-k. No shuffle at all.
+* LSH-bucketed ANN: random-hyperplane signatures bucket the corpus
+  (groupby shuffle); queries probe their own bucket (+ optional
+  1-bit-flip multiprobe) — the scale path when the corpus half of the
+  matmul no longer fits the wall-clock.
+* embedding near-dup: all pairs with cosine >= threshold via the same
+  hyperplane-bucket candidate generation + in-bucket exact verify
+  (the embedding analog of the HUMID LSH+verify neighbor stage).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+
+def read_embeddings(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = batch.column("embedding")
+    flat = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = np.asarray(flat.flatten(), dtype=np.float64)
+    dim = len(values) // max(len(ids), 1)
+    return ids, values.reshape(len(ids), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _TopKPartial:
+    """Per-batch: cosine vs the broadcast query matrix, local top-k."""
+
+    def __init__(self, query_ref, k: int):
+        self.q_ids, q = ray.get(query_ref)
+        self.q = _normalize(q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_n, out_s = [], [], []
+        # per query: local top-k by (sim desc, vec_id asc) for determinism
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            idx = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(len(idx), self.q_ids[qi], dtype=np.int64))
+            out_n.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
+    (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
+    Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qt = (
+        ds.sort("vec_id").limit(n_queries).take_all()
+    )
+    q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qt])
+    query_ref = ray.put((q_ids, q))
+    partial = ds.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    # global merge: tiny (n_blocks * nq * k rows) -> driver heap
+    best: dict[int, list] = {int(i): [] for i in q_ids}
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qid, nid, s in zip(
+            b.column("query_id").to_numpy(zero_copy_only=False),
+            b.column("neighbor_id").to_numpy(zero_copy_only=False),
+            b.column("cosine").to_numpy(zero_copy_only=False),
+        ):
+            heapq.heappush(best[int(qid)], (float(s), -int(nid)))
+            if len(best[int(qid)]) > k:
+                heapq.heappop(best[int(qid)])
+    rows = []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negn) in enumerate(ranked, 1):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": -negn,
+                    "rank": rank,
+                    "cosine": round(s, 6),
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+# --- LSH-bucketed ANN (scale path) ---------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    out = np.zeros(len(m), dtype=np.int64)
+    for j in range(planes.shape[0]):
+        out |= bits[:, j].astype(np.int64) << j
+    return out
+
+
+class _BucketTag:
+    def __init__(self, planes_ref, multiprobe: int = 1):
+        self.planes = ray.get(planes_ref)
+        self.multiprobe = multiprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        bucket = _bucket_of(_normalize(m), self.planes)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "bucket": pa.array(bucket),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+
+def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
+    """Approximate top-k: probe only the query's hyperplane bucket
+    (+ all 1-bit-flip buckets). Returns the same schema as
+    knn_bruteforce; recall is approximate by design."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
+    q = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first]))
+    dim = q.shape[1]
+    planes = _hyperplanes(dim, n_bits)
+    planes_ref = ray.put(planes)
+    tagged = ds.map_batches(
+        _BucketTag, fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    qb = _bucket_of(q, planes)
+    probe: set[int] = set()
+    for b in qb.tolist():
+        probe.add(b)
+        for j in range(n_bits):
+            probe.add(b ^ (1 << j))
+    import pyarrow.compute as pc
+
+    cand = tagged.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(sorted(probe)))),
+        batch_format="pyarrow",
+    ).take_all()
+    if not cand:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "neighbor_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    m = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cand]))
+    sims = m @ q.T
+    rows = []
+    for qi in range(len(q_ids)):
+        s = sims[:, qi]
+        idx = np.lexsort((ids, -s))[: min(k, len(ids))]
+        for rank, i in enumerate(idx, 1):
+            rows.append(
+                {"query_id": int(q_ids[qi]), "neighbor_id": int(ids[i]),
+                 "rank": rank, "cosine": round(float(s[i]), 6)}
+            )
+    return pa.Table.from_pylist(rows)
+
+
+# --- embedding near-duplicate pairs --------------------------------------
+
+def _pairs_in_bucket(threshold: float):
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], type=pa.int64()),
+             "vec_b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids, m = _to_matrix(group.select(["vec_id", "embedding"]))
+        uniq, first = np.unique(ids, return_index=True)
+        ids, m = ids[first], m[first]
+        if len(ids) < 2:
+            return empty
+        m = _normalize(m)
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= threshold)
+        lt = ids[ii] < ids[jj]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii[lt]].astype(np.int64)),
+                "vec_b": pa.array(ids[jj[lt]].astype(np.int64)),
+                "cosine": pa.array(np.round(sims[ii[lt], jj[lt]], 6)),
+            }
+        )
+
+    return kernel
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
+                      n_tables: int = 4):
+    """Near-duplicate embedding pairs (cosine >= threshold) via multiple
+    hyperplane-LSH tables + in-bucket exact verify; distinct pairs."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    class MultiTag:
+        def __init__(self, planes_ref):
+            self.planes = ray.get(planes_ref)  # list of (n_bits, dim)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            tabs = []
+            for ti, pl in enumerate(self.planes):
+                bucket = _bucket_of(mn, pl) | (ti << 60)
+                tabs.append(
+                    pa.table(
+                        {
+                            "bucket": pa.array(bucket),
+                            "vec_id": pa.array(ids),
+                            "embedding": batch.column("embedding"),
+                        }
+                    )
+                )
+            return pa.concat_tables(tabs)
+
+    # probe dim lazily from the first row
+    one = ds.limit(1).take(1)
+    dim = len(one[0]["embedding"])
+    planes = [_hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)]
+    planes_ref = ray.put(planes)
+    tagged = ds.map_batches(
+        MultiTag, fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    pairs = tagged.groupby("bucket").map_groups(
+        _pairs_in_bucket(threshold), batch_format="pyarrow"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))

@@ -224,6 +224,55 @@ def make_corpus(base_dir: str, n_rows: int, seed: int = 42,
     return out
 
 
+def make_corpus_parallel(base_dir: str, n_rows: int, seed: int = 42,
+                         max_distance: int = 1, phash_part_bits: int = 32,
+                         cycles_per_part: int = 300) -> str:
+    """Ray-parallel corpus writer — identical bytes-for-bytes row set as
+    ``make_corpus`` (generation is pure per group id; parts cover fixed
+    cycle ranges so any part can be produced independently).
+
+    One cycle = len(CYCLE) groups = CYCLE_ROWS rows; the final part is
+    truncated to land exactly on ``n_rows``.
+    """
+    import ray
+
+    out = corpus_path(base_dir, n_rows, seed)
+    done = os.path.join(out, "_DONE.json")
+    if os.path.exists(done):
+        return out
+    if not ray.is_initialized():
+        return make_corpus(base_dir, n_rows, seed, max_distance, phash_part_bits)
+    os.makedirs(out, exist_ok=True)
+    n_cycles = -(-n_rows // CYCLE_ROWS)
+
+    @ray.remote
+    def gen_part(part: int, cyc_lo: int, cyc_hi: int, limit: int) -> int:
+        rows, meta = [], []
+        for gid in range(cyc_lo * len(CYCLE), cyc_hi * len(CYCLE)):
+            r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+            rows.extend(r)
+            meta.extend(m)
+        rows, meta = rows[:limit], meta[:limit]
+        table = pa.Table.from_pylist(rows, schema=SCHEMA)
+        pq.write_table(table, os.path.join(out, f"part-{part:05d}.parquet"))
+        pq.write_table(pa.Table.from_pylist(meta), os.path.join(out, f"meta-{part:05d}.pq"))
+        return len(rows)
+
+    futs = []
+    part = 0
+    written_before_last = 0
+    for lo in range(0, n_cycles, cycles_per_part):
+        hi = min(lo + cycles_per_part, n_cycles)
+        limit = min((hi - lo) * CYCLE_ROWS, n_rows - lo * CYCLE_ROWS)
+        futs.append(gen_part.remote(part, lo, hi, limit))
+        part += 1
+        written_before_last += limit
+    counts = ray.get(futs)
+    with open(done, "w") as f:
+        json.dump({"n_rows": int(sum(counts)), "seed": seed, "parallel": True}, f)
+    return out
+
+
 def corpus_files(corpus_dir: str) -> list[str]:
     return sorted(
         os.path.join(corpus_dir, f)

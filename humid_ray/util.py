@@ -182,5 +182,12 @@ def uint64_to_int64(x: np.ndarray) -> np.ndarray:
     return _u64(x).view(np.int64)
 
 
+def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """Round half AWAY from zero (SQL semantics; numpy rounds half to
+    even, which diverges from DuckDB on exact ties like 105/128)."""
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def int64_to_uint64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.int64).view(UINT64)
