@@ -105,9 +105,13 @@ class HumidConfig:
     def fingerprint(self) -> str:
         """Stable hash of the semantic config (checkpoint invalidation)."""
         d = asdict(self)
-        # execution-only knobs don't invalidate checkpoints
+        # execution-only knobs don't invalidate checkpoints (salting and
+        # group caps provably preserve the edge set; write_* only toggle
+        # which output phases run)
         for k in ("sig_concurrency", "sig_batch_size", "sig_num_cpus",
                   "join_strategy", "broadcast_max_rows", "resume", "workdir",
-                  "cc_strategy", "cc_local_max_edges"):
+                  "cc_strategy", "cc_local_max_edges", "hot_band_threshold",
+                  "max_group_bruteforce", "write_filtered", "write_annotated",
+                  "write_stats"):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

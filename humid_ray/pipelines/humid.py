@@ -128,6 +128,19 @@ class HumidPipeline:
         edges_path = os.path.join(wd, "03_edges")
         if cfg.resume and cp.phase_is_done(edges_path, fp):
             edges_ds, edges_mf = cp.read_phase(edges_path), cp.load_manifest(edges_path)
+        elif cfg.distance == "minhash-jaccard":
+            from humid_ray.stages.lsh import find_edges_minhash
+
+            usable_sigs = sig_ds.map_batches(
+                usable_only, batch_format="pyarrow", zero_copy_batch=True
+            )
+            edges_ds, edges_mf, _ = cp.run_phase(
+                "edges", edges_path, fp,
+                lambda: find_edges_minhash(usable_sigs, uniq_ds, cfg),
+                resume=False,
+                metrics={"candidate_pairs": None, "hot_buckets": 0},
+                schema_hint=EDGE_SCHEMA,
+            )
         else:
             bc = band_bucket_counts(uniq_ds, cfg)
 

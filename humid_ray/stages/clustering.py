@@ -47,8 +47,20 @@ ASSIGN_SCHEMA = pa.schema(
 )
 
 
+N_REPLAY_BUCKETS = 256
+
+
 def _replay(mode: str):
-    """map_groups kernel over one component's node+edge rows."""
+    """map_groups kernel over one BUCKET of components' node+edge rows.
+
+    Components are hashed into a bounded number of buckets so one task
+    replays many (tiny) components — per-group scheduling overhead is
+    amortized. The semantics core already handles multiple disjoint
+    components in one call (its walk skips assigned nodes), and
+    ascending-sig walk order interleaved across components is
+    state-equivalent to per-component order (SURVEY §2.7); global
+    cluster numbering is by seed sig afterwards either way.
+    """
 
     def kernel(group: pa.Table) -> pa.Table:
         kind = group.column("kind").to_numpy(zero_copy_only=False)
@@ -85,6 +97,12 @@ def _replay(mode: str):
         )
 
     return kernel
+
+
+def _bucket_of(comp: np.ndarray) -> np.ndarray:
+    from humid_ray.util import splitmix64
+
+    return (splitmix64(comp.view(UINT64)) % UINT64(N_REPLAY_BUCKETS)).view(np.int64)
 
 
 class _Singles:
@@ -132,7 +150,7 @@ class _NodeRows:
             comp_out = comp_out.view(np.int64)
         return pa.table(
             {
-                "comp": pa.array(comp_out, type=pa.int64()),
+                "bucket": pa.array(_bucket_of(comp_out), type=pa.int64()),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
                 "sig": u64col(sig[found]),
                 "count": pa.array(
@@ -161,7 +179,7 @@ class _EdgeRows:
         n = len(a)
         return pa.table(
             {
-                "comp": u64col(comp),
+                "bucket": pa.array(_bucket_of(np.asarray(comp, dtype=UINT64).view(np.int64)), type=pa.int64()),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
                 "sig": u64col(a),
                 "count": pa.array(np.zeros(n, dtype=np.int64)),
@@ -186,7 +204,7 @@ def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig):
     singles = uniq_ds.map_batches(_Singles, **kw)
     nodes = uniq_ds.map_batches(_NodeRows, **kw)
     edges = edges_ds.map_batches(_EdgeRows, **kw)
-    grouped = nodes.union(edges).groupby("comp").map_groups(
+    grouped = nodes.union(edges).groupby("bucket").map_groups(
         _replay(cfg.clustering), batch_format="pyarrow"
     )
     return grouped.union(singles)

@@ -282,3 +282,135 @@ def find_edges(uniq_ds, cfg: HumidConfig, hot_keys: set[tuple[int, int]] | None)
     return bands.groupby(["band_id", "band_key", "salt_id", "salt_key"]).map_groups(
         make_verifier(cfg), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-Jaccard edge path (HUMID's -e Levenshtein-neighbor analog,
+# reference src/humid.cc:140-158): variable-length payloads have no
+# fixed-bit pigeonhole, so candidates come from MinHash banding over
+# the caption shingle sets and verification is estimated Jaccard >=
+# cfg.jaccard_threshold. Documented config switch — NOT bit-identical
+# to edit distance, the semantically-equivalent similarity for this
+# domain (SURVEY §2.7 G2).
+
+
+def _minhash_of(batch: pa.Table) -> np.ndarray:
+    mh = batch.column("minhash")
+    flat = mh.combine_chunks() if isinstance(mh, pa.ChunkedArray) else mh
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vals = np.asarray(flat.flatten(), dtype=np.int64)
+    n = batch.num_rows
+    return vals.reshape(n, -1)
+
+
+def expand_minhash_bands(cfg: HumidConfig):
+    from humid_ray.functions.minhash import minhash_band_keys
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        mh = _minhash_of(batch)
+        keys = minhash_band_keys(mh.view(UINT64), cfg.minhash_bands)
+        n = len(sig)
+        nb = cfg.minhash_bands
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(nb, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
+                ),
+                "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+                "sig": pa.array(np.repeat(sig.view(np.int64), nb), type=pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(mh, nb, axis=0).reshape(-1), type=pa.int64()),
+                    mh.shape[1],
+                ),
+            }
+        )
+
+    return kernel
+
+
+def make_minhash_verifier(cfg: HumidConfig):
+    from humid_ray.functions.minhash import minhash_band_keys
+
+    threshold = cfg.jaccard_threshold
+    nb = cfg.minhash_bands
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sig_a": pa.array([], type=pa.int64()), "sig_b": pa.array([], type=pa.int64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        band = int(group.column("band_id")[0].as_py())
+        sig = group.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        mh = _minhash_of(group)
+        order = np.argsort(sig, kind="stable")
+        sig, mh = sig[order], mh[order]
+        keep = np.r_[True, sig[1:] != sig[:-1]]
+        sig, mh = sig[keep], mh[keep]
+        if len(sig) < 2:
+            return empty
+        est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
+        ii, jj = np.nonzero(est >= threshold)
+        lt = ii < jj
+        ii, jj = ii[lt], jj[lt]
+        if not len(ii):
+            return empty
+        # first-equal-band dedupe (recomputable from the minhashes)
+        ka = minhash_band_keys(mh[ii].view(UINT64), nb)
+        kb = minhash_band_keys(mh[jj].view(UINT64), nb)
+        eq = ka == kb
+        first = np.full(len(ii), nb, dtype=np.int64)
+        for b in range(nb - 1, -1, -1):
+            first = np.where(eq[:, b], b, first)
+        keepb = first == band
+        a, b = sig[ii[keepb]], sig[jj[keepb]]
+        order = np.lexsort((b, a))
+        return pa.table(
+            {
+                "sig_a": pa.array(a[order].view(np.int64), type=pa.int64()),
+                "sig_b": pa.array(b[order].view(np.int64), type=pa.int64()),
+            }
+        )
+
+    return kernel
+
+
+def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig):
+    """Edges between unique sigs whose representative-row minhashes
+    estimate Jaccard >= threshold. The representative row is the sig's
+    first occurrence (min image_id), matching the word the reference
+    indexes (a leaf stores one word; trie.add is idempotent on content).
+    """
+    import ray
+
+    from humid_ray.stages.joins import SigLookup
+
+    # (first_id -> sig) semi-join: broadcast the first_id set
+    ids = set()
+    for b in uniq_ds.select_columns(["first_id"]).iter_batches(
+        batch_size=262144, batch_format="pyarrow"
+    ):
+        ids.update(b.column("first_id").to_pylist())
+    ids_ref = ray.put(ids)
+
+    class FirstRows:
+        def __init__(self):
+            self.ids: set[str] = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pa.array(
+                [i in self.ids for i in batch.column("image_id").to_pylist()]
+            )
+            return batch.filter(keep).select(["sig", "minhash"])
+
+    firsts = sig_ds.map_batches(
+        FirstRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    bands = firsts.map_batches(
+        expand_minhash_bands(cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bands.groupby(["band_id", "band_key"]).map_groups(
+        make_minhash_verifier(cfg), batch_format="pyarrow"
+    )

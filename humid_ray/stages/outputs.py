@@ -88,13 +88,12 @@ class AnnotatedWriter(_OutputBase):
 
 
 def _hist_to_pandas(ds, key: str):
-    return (
-        ds.groupby(key)
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values(key)
-        .reset_index(drop=True)
-    )
+    import pandas as pd
+
+    df = ds.groupby(key).aggregate(Count(alias_name="n")).to_pandas()
+    if key not in df.columns:
+        return pd.DataFrame({key: pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+    return df.sort_values(key).reset_index(drop=True)
 
 
 def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
@@ -109,8 +108,13 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
                    (reference src/humid.cc:351-356)
     """
     counts_hist = _hist_to_pandas(uniq_ds, "count").rename(columns={"count": "value"})
+    # usable = sum(count * multiplicity); unique = number of leaves —
+    # both derivable from the histogram, no extra pass
+    usable = int((counts_hist["value"] * counts_hist["n"]).sum()) if len(counts_hist) else 0
+    unique = int(counts_hist["n"].sum()) if len(counts_hist) else 0
 
-    # degree per sig (sigs without edges have degree 0)
+    # degree histogram: degree per sig from the edge endpoints; sigs
+    # with no edges contribute the degree-0 bucket (= unique - |deg>0|)
     def endpoints(batch: pa.Table) -> pa.Table:
         a = batch.column("sig_a")
         b = batch.column("sig_b")
@@ -118,32 +122,19 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
         b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
         return pa.table({"sig": pa.concat_arrays([a, b])})
 
-    deg_ds = (
+    deg_hist = _hist_to_pandas(
         edges_ds.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("sig")
-        .aggregate(Count(alias_name="degree"))
-    )
-    deg_lk = SigLookup.from_dataset(deg_ds, "sig", ["degree"])
-    deg_ref = ray.put(deg_lk)
-
-    class DegreeTagger:
-        def __init__(self):
-            self.lk: SigLookup = ray.get(deg_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
-            if len(self.lk.keys):
-                found, idx = self.lk.lookup(sig)
-                deg = np.where(found, self.lk.get("degree", idx), 0)
-            else:
-                deg = np.zeros(len(sig), dtype=np.int64)
-            return pa.table({"degree": pa.array(deg.astype(np.int64))})
-
-    neigh_hist = _hist_to_pandas(
-        uniq_ds.map_batches(DegreeTagger, batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4)),
+        .aggregate(Count(alias_name="degree")),
         "degree",
     ).rename(columns={"degree": "value"})
+    n_deg0 = unique - int(deg_hist["n"].sum() if len(deg_hist) else 0)
+    import pandas as pd
+
+    neigh_hist = pd.concat(
+        [pd.DataFrame({"value": [0], "n": [n_deg0]}), deg_hist], ignore_index=True
+    )
+    neigh_hist = neigh_hist[neigh_hist["n"] > 0].sort_values("value").reset_index(drop=True)
 
     reps = assign_ds.map_batches(
         lambda t: t.filter(t.column("is_rep")).select(["cluster_size"]),
@@ -151,8 +142,6 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
     )
     cluster_hist = _hist_to_pandas(reps, "cluster_size").rename(columns={"cluster_size": "value"})
 
-    usable = int(uniq_ds.sum("count") or 0)
-    unique = uniq_ds.count()
     n_clusters = int(cluster_hist["n"].sum()) if len(cluster_hist) else 0
     summary = {
         "total": int(total_rows),
