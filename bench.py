@@ -60,7 +60,10 @@ def run_bench() -> dict:
     from humid_ray.synth import make_corpus_parallel
 
     n_rows = corpus_rows(SF_DIR)
-    corpus = make_corpus_parallel(CORPUS_BASE, n_rows)
+    # 256x256 images: realistic per-image decode cost (the 32x32 test
+    # corpus makes decode trivially cheap and the bench all overhead)
+    corpus = make_corpus_parallel(CORPUS_BASE, n_rows, img_hw=256,
+                                  cycles_per_part=40)
 
     # warm the page cache so we measure compute + shuffle, not cold disk
     import pyarrow.parquet as pq
@@ -79,15 +82,27 @@ def run_bench() -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
         return res
 
-    # headline: full pipeline, cold workdir
+    # headline: full pipeline in RECOMPUTE mode — decode every image,
+    # recompute pHash from pixels (the honest image-dedup workload:
+    # stateful decode actors dominate, as they would at 100 TB)
     wd = f"/tmp/humid_bench/wd_{NUM_CPUS}"
     shutil.rmtree(wd, ignore_errors=True)
     cfg = HumidConfig(workdir=wd, resume=False, write_filtered=True,
-                      write_annotated=False, write_stats=True)
+                      write_annotated=False, write_stats=True,
+                      signature_source="recompute", sig_batch_size=256)
     t0 = time.perf_counter()
     result = HumidPipeline(cfg).run(corpus)
     headline = time.perf_counter() - t0
-    queries["humid_pipeline"] = round(headline, 3)
+    queries["humid_pipeline_recompute"] = round(headline, 3)
+
+    # stored-phash fast path (trusts the phash column; sniffs payload)
+    wd2 = f"/tmp/humid_bench/wd_stored_{NUM_CPUS}"
+    shutil.rmtree(wd2, ignore_errors=True)
+    cfg2 = HumidConfig(workdir=wd2, resume=False, write_filtered=False,
+                       write_annotated=False, write_stats=True)
+    t0 = time.perf_counter()
+    HumidPipeline(cfg2).run(corpus)
+    queries["humid_pipeline_stored"] = round(time.perf_counter() - t0, 3)
 
     # operator suite over the provided testdata tables
     timed("exact_dedup_docs", lambda: dedup_text.exact_dedup(SF_DIR))

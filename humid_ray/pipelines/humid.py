@@ -195,11 +195,13 @@ class HumidPipeline:
         # phase 5: outputs
         t0 = time.perf_counter()
         assign_ref = assignment_lookup_ref(assign_ds)
+        from humid_ray.stages.signatures import default_sig_concurrency
+
         out_kwargs = dict(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.sig_batch_size,
-            concurrency=(1, 8),
+            concurrency=cfg.sig_concurrency or default_sig_concurrency(),
             fn_constructor_kwargs={
                 "cfg": cfg,
                 "umi_bits": umi_bits,
@@ -220,7 +222,11 @@ class HumidPipeline:
                 )
         stats = None
         if cfg.write_stats:
-            stats = compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows)
+            stats = compute_stats(
+                sig_ds, uniq_ds, edges_ds, assign_ds, total_rows,
+                edges_rows=edges_mf["rows"],
+                local_edges_max=cfg.cc_local_max_edges,
+            )
             write_stats_files(stats, os.path.join(wd, "05_stats"))
             metrics.update(stats["summary"])
         timings["outputs"] = time.perf_counter() - t0

@@ -53,7 +53,19 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filters. Row-sequential by necessity."""
+    """Reverse PNG scanline filters. Row-sequential in general; the
+    filter-0-everywhere case (what our encoder emits) is one slice."""
+    ftypes = scan[:, 0]
+    if not ftypes.any():  # every scanline filter type is 0 (None)
+        return np.ascontiguousarray(scan[:, 1:])
+    if np.isin(ftypes, (0, 2)).all():  # None/Up only: one cumsum
+        rows = scan[:, 1:].astype(np.int64)
+        # rows with filter 0 reset the running Up-sum
+        out = rows.copy()
+        for y in range(1, h):
+            if ftypes[y] == 2:
+                out[y] = (rows[y] + out[y - 1]) & 0xFF
+        return out.astype(np.uint8)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = scan[y, 0]
@@ -160,7 +172,7 @@ def encode_fjpg(img: np.ndarray) -> bytes:
     comp = []
     for ch in chans:
         blk, _ = _blocks(ch.astype(np.float64) - 128.0)
-        coef = np.einsum("ij,abjk,lk->abil", _D8, blk, _D8)
+        coef = _D8 @ blk @ _D8.T  # matmul broadcasts over the block grid
         q = np.round(coef / _Q).astype(np.int16)
         comp.append(zlib.compress(q.tobytes(), 6))
     sizes = struct.pack(f">{nchan}I", *[len(c) for c in comp])
@@ -179,7 +191,7 @@ def decode_fjpg(data: bytes) -> np.ndarray:
         q = np.frombuffer(zlib.decompress(data[pos : pos + s]), dtype=np.int16)
         pos += s
         q = q.reshape(hh // 8, ww // 8, 8, 8).astype(np.float64) * _Q
-        blk = np.einsum("ji,abjk,kl->abil", _D8, q, _D8)
+        blk = _D8.T @ q @ _D8  # inverse DCT, broadcast over the block grid
         img = blk.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w]
         chans.append(np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8))
     return chans[0] if nchan == 1 else np.stack(chans, axis=-1)

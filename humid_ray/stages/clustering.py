@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data
 
 from humid_ray.config import HumidConfig
 from humid_ray.stages.clustering_core import build_csr, cluster_component
@@ -70,33 +71,39 @@ def _replay(mode: str):
         nsig = sig[node_mask]
         counts = group.column("count").to_numpy(zero_copy_only=False)[node_mask]
         first_id = np.asarray(group.column("first_id").to_pylist(), dtype=object)[node_mask]
-        order = np.argsort(nsig, kind="stable")
-        nsig, counts, first_id = nsig[order], counts[order], first_id[order]
         ea = sig[edge_mask]
         eb = group.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64)[edge_mask]
-        ia = np.searchsorted(nsig, ea)
-        ib = np.searchsorted(nsig, eb)
-        indptr, indices = build_csr(len(nsig), ia, ib)
-        res = cluster_component(counts, indptr, indices, mode)
-        local = res.cluster_of
-        seed = np.asarray(res.seed_node, dtype=np.int64)
-        maxn = np.asarray(res.max_node, dtype=np.int64)
-        sizes = np.asarray(res.sizes, dtype=np.int64)
-        return pa.table(
-            {
-                "sig": u64col(nsig),
-                "count": pa.array(counts.astype(np.int64), type=pa.int64()),
-                "first_id": pa.array(first_id.tolist(), type=pa.string()),
-                "cluster_seed": u64col(nsig[seed][local]),
-                "rep_sig": u64col(nsig[maxn][local]),
-                "rep_image_id": pa.array(first_id[maxn][local].tolist(), type=pa.string()),
-                "is_rep": pa.array(maxn[local] == np.arange(len(nsig))),
-                "cluster_size": pa.array(sizes[local], type=pa.int64()),
-            },
-            schema=ASSIGN_SCHEMA,
-        )
+        return replay_arrays(nsig, counts, first_id, ea, eb, mode)
 
     return kernel
+
+
+def replay_arrays(nsig, counts, first_id, ea, eb, mode: str) -> pa.Table:
+    """Run the clustering semantics over node/edge arrays -> assign
+    table (ASSIGN_SCHEMA). Handles any number of disjoint components."""
+    order = np.argsort(nsig, kind="stable")
+    nsig, counts, first_id = nsig[order], counts[order], first_id[order]
+    ia = np.searchsorted(nsig, ea)
+    ib = np.searchsorted(nsig, eb)
+    indptr, indices = build_csr(len(nsig), ia, ib)
+    res = cluster_component(counts, indptr, indices, mode)
+    local = res.cluster_of
+    seed = np.asarray(res.seed_node, dtype=np.int64)
+    maxn = np.asarray(res.max_node, dtype=np.int64)
+    sizes = np.asarray(res.sizes, dtype=np.int64)
+    return pa.table(
+        {
+            "sig": u64col(nsig),
+            "count": pa.array(counts.astype(np.int64), type=pa.int64()),
+            "first_id": pa.array(first_id.tolist(), type=pa.string()),
+            "cluster_seed": u64col(nsig[seed][local]),
+            "rep_sig": u64col(nsig[maxn][local]),
+            "rep_image_id": pa.array(first_id[maxn][local].tolist(), type=pa.string()),
+            "is_rep": pa.array(maxn[local] == np.arange(len(nsig))),
+            "cluster_size": pa.array(sizes[local], type=pa.int64()),
+        },
+        schema=ASSIGN_SCHEMA,
+    )
 
 
 def _bucket_of(comp: np.ndarray) -> np.ndarray:
@@ -197,13 +204,45 @@ def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig):
     comp label map is broadcast once via ``ray.put`` and read in each
     actor's ``__init__`` — never re-shipped per batch.
     """
-    lookup_ref = ray.put(SigLookup.from_dataset(comp_ds, "sig", ["comp"]))
+    lk = SigLookup.from_dataset(comp_ds, "sig", ["comp"])
+    lookup_ref = ray.put(lk)
 
-    kw = dict(batch_format="pyarrow", zero_copy_batch=True,
-              fn_constructor_kwargs={"lookup_ref": lookup_ref}, concurrency=(1, 8))
-    singles = uniq_ds.map_batches(_Singles, **kw)
-    nodes = uniq_ds.map_batches(_NodeRows, **kw)
-    edges = edges_ds.map_batches(_EdgeRows, **kw)
+    # stateless tasks, not actor pools: the broadcast lookup is read
+    # from the object store per task (zero-copy plasma arrays), and
+    # skipping pool spin-up wins for these cheap tag kernels
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    singles = uniq_ds.map_batches(lambda t: _Singles(lookup_ref)(t), **kw)
+
+    if len(lk.keys) <= cfg.broadcast_max_rows:
+        # small-graph fast path: the cluster graph (nodes that have at
+        # least one edge) is tiny relative to the corpus — replay it in
+        # one place instead of paying a union + groupby shuffle. This
+        # is the same size regime where the union-find CC already ran
+        # locally; the distributed replay below is the scale path.
+        node_tables = []
+        for b in uniq_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            sig = b.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+            found, _ = lk.lookup(sig)
+            node_tables.append(b.filter(pa.array(found.astype(bool))))
+        nodes_t = pa.concat_tables(node_tables) if node_tables else None
+        ea_list, eb_list = [], []
+        for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            ea_list.append(b.column("sig_a").to_numpy(zero_copy_only=False).view(UINT64))
+            eb_list.append(b.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64))
+        ea = np.concatenate(ea_list) if ea_list else np.empty(0, dtype=UINT64)
+        eb = np.concatenate(eb_list) if eb_list else np.empty(0, dtype=UINT64)
+        if nodes_t is None or nodes_t.num_rows == 0:
+            return singles
+        assign_t = replay_arrays(
+            nodes_t.column("sig").to_numpy(zero_copy_only=False).view(UINT64),
+            nodes_t.column("count").to_numpy(zero_copy_only=False),
+            np.asarray(nodes_t.column("first_id").to_pylist(), dtype=object),
+            ea, eb, cfg.clustering,
+        )
+        return singles.union(ray.data.from_arrow(assign_t))
+
+    nodes = uniq_ds.map_batches(lambda t: _NodeRows(lookup_ref)(t), **kw)
+    edges = edges_ds.map_batches(lambda t: _EdgeRows(lookup_ref)(t), **kw)
     grouped = nodes.union(edges).groupby("bucket").map_groups(
         _replay(cfg.clustering), batch_format="pyarrow"
     )

@@ -73,6 +73,10 @@ def connected_components_local(edges_ds) -> "ray.data.Dataset":
             uf.union(x, y)
     # keys are int64 bit-views of the sigs; sign order is irrelevant
     # (labels just need to be deterministic), bit pattern is preserved.
+    if not uf.parent:
+        empty = pa.table({"sig": pa.array([], type=pa.int64()),
+                          "comp": pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(empty)
     sigs = np.fromiter(uf.parent.keys(), dtype=np.int64, count=len(uf.parent))
     roots = np.fromiter((uf.find(int(s)) for s in sigs), dtype=np.int64, count=len(sigs))
     # roots themselves are members too

@@ -96,7 +96,34 @@ def _hist_to_pandas(ds, key: str):
     return df.sort_values(key).reset_index(drop=True)
 
 
-def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
+def _hist_small_domain(ds, key: str):
+    """Histogram via per-block partial counts + a tiny driver merge —
+    NO shuffle. Correct whenever the histogram DOMAIN is small
+    (multiplicities, degrees, cluster sizes — all naturally bounded),
+    no matter how many rows feed it: the heavy pass stays distributed,
+    only (value, count) partials reach the driver."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(key).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for v, n in zip(b.column("value").to_numpy(zero_copy_only=False),
+                        b.column("n").to_numpy(zero_copy_only=False)):
+            acc[int(v)] = acc.get(int(v), 0) + int(n)
+    items = sorted(acc.items())
+    return pd.DataFrame({"value": [v for v, _ in items], "n": [n for _, n in items]})
+
+
+def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int,
+                  edges_rows: int | None = None,
+                  local_edges_max: int = 5_000_000):
     """All reference statistics as small pandas frames / scalars.
 
     counts.dat  <- histogram of exact-duplicate multiplicities
@@ -107,7 +134,9 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
     stats.dat   <- total / usable / unique / clusters
                    (reference src/humid.cc:351-356)
     """
-    counts_hist = _hist_to_pandas(uniq_ds, "count").rename(columns={"count": "value"})
+    import pandas as pd
+
+    counts_hist = _hist_small_domain(uniq_ds, "count")
     # usable = sum(count * multiplicity); unique = number of leaves —
     # both derivable from the histogram, no extra pass
     usable = int((counts_hist["value"] * counts_hist["n"]).sum()) if len(counts_hist) else 0
@@ -115,22 +144,39 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
 
     # degree histogram: degree per sig from the edge endpoints; sigs
     # with no edges contribute the degree-0 bucket (= unique - |deg>0|)
-    def endpoints(batch: pa.Table) -> pa.Table:
-        a = batch.column("sig_a")
-        b = batch.column("sig_b")
-        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
-        return pa.table({"sig": pa.concat_arrays([a, b])})
+    if edges_rows is not None and edges_rows <= local_edges_max:
+        # edges fit one pass: count degrees directly (edge list is the
+        # SMALL side; same regime as the local union-find)
+        acc: dict[int, int] = {}
+        for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            both = np.concatenate([
+                b.column("sig_a").to_numpy(zero_copy_only=False),
+                b.column("sig_b").to_numpy(zero_copy_only=False),
+            ])
+            u, c = np.unique(both, return_counts=True)
+            for s, n in zip(u.tolist(), c.tolist()):
+                acc[s] = acc.get(s, 0) + n
+        deg_vals, deg_cnt = np.unique(
+            np.fromiter(acc.values(), dtype=np.int64, count=len(acc)),
+            return_counts=True,
+        ) if acc else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        deg_hist = pd.DataFrame({"value": deg_vals, "n": deg_cnt})
+    else:
 
-    deg_hist = _hist_to_pandas(
-        edges_ds.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("sig")
-        .aggregate(Count(alias_name="degree")),
-        "degree",
-    ).rename(columns={"degree": "value"})
+        def endpoints(batch: pa.Table) -> pa.Table:
+            a = batch.column("sig_a")
+            b = batch.column("sig_b")
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+            return pa.table({"sig": pa.concat_arrays([a, b])})
+
+        deg_hist = _hist_small_domain(
+            edges_ds.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("sig")
+            .aggregate(Count(alias_name="degree")),
+            "degree",
+        )
     n_deg0 = unique - int(deg_hist["n"].sum() if len(deg_hist) else 0)
-    import pandas as pd
-
     neigh_hist = pd.concat(
         [pd.DataFrame({"value": [0], "n": [n_deg0]}), deg_hist], ignore_index=True
     )
@@ -140,7 +186,7 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int):
         lambda t: t.filter(t.column("is_rep")).select(["cluster_size"]),
         batch_format="pyarrow",
     )
-    cluster_hist = _hist_to_pandas(reps, "cluster_size").rename(columns={"cluster_size": "value"})
+    cluster_hist = _hist_small_domain(reps, "cluster_size")
 
     n_clusters = int(cluster_hist["n"].sum()) if len(cluster_hist) else 0
     summary = {

@@ -26,6 +26,16 @@ from humid_ray.png import FJPG_MAGIC, PNG_SIG, decode_image
 from humid_ray.util import UINT64, int64_to_uint64, uint64_to_int64, u64col
 
 
+def default_sig_concurrency() -> tuple[int, int]:
+    """Decode/signature pools own most of the node: leave ~2 CPUs for
+    the read/write stages so the pipeline doesn't serialize; start at
+    half the cap so the pool ramps fast on decode-heavy corpora."""
+    import ray
+
+    cap = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return (max(2, cap // 2), cap)
+
+
 def probe_umi_bits(first_image_id: str | None, cfg: HumidConfig) -> int:
     """UMI bit budget probed from the first row's id (HUMID peeks the
     first read's header, reference: peekUMI src/humid.cc:24-33)."""
@@ -147,9 +157,7 @@ def extract_signatures(ds, cfg: HumidConfig, umi_bits: int = 0):
     ds = ds.select_columns([c for c in dict.fromkeys(needed)])
     concurrency = cfg.sig_concurrency
     if concurrency is None:
-        import ray
-
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+        concurrency = default_sig_concurrency()
     return ds.map_batches(
         SignatureExtractor,
         fn_constructor_kwargs={"cfg": cfg, "umi_bits": umi_bits},

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from humid_ray.functions.phash import phash_image
 from humid_ray.png import encode_fjpg, encode_png
 
-H = W = 32
+H = W = 32  # default; overridable per corpus via img_hw
 
 # group kind cycle; one full cycle = 14 groups / 49 rows
 CYCLE = (
@@ -45,10 +45,10 @@ VOCAB = [f"w{i:03d}" for i in range(256)]
 HOT_TOP32 = 0x9E3779B9  # shared top-32 phash bits -> one hot LSH band
 
 
-def _image(rng: np.random.Generator) -> np.ndarray:
+def _image(rng: np.random.Generator, hw: int = H) -> np.ndarray:
     kind = rng.integers(0, 3)
-    x = np.arange(W)[None, :]
-    y = np.arange(H)[:, None]
+    x = np.arange(hw)[None, :]
+    y = np.arange(hw)[:, None]
     if kind == 0:  # gradient
         a, b = rng.uniform(-4, 4, 2)
         img = a * x + b * y + rng.uniform(0, 255)
@@ -56,8 +56,8 @@ def _image(rng: np.random.Generator) -> np.ndarray:
         fx, fy = rng.uniform(0.1, 1.0, 2)
         img = 127 + 120 * np.sin(fx * x + fy * y + rng.uniform(0, 6))
     else:  # blocks
-        img = np.kron(rng.uniform(0, 255, (4, 4)), np.ones((8, 8)))
-    img = img + rng.normal(0, 3, (H, W))
+        img = np.kron(rng.uniform(0, 255, (4, 4)), np.ones((hw // 4, hw // 4)))
+    img = img + rng.normal(0, 3, (hw, hw))
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -75,7 +75,8 @@ def _encode(rng: np.random.Generator, img: np.ndarray) -> tuple[bytes, str]:
     return encode_fjpg(img), "jpeg"
 
 
-def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
+def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int,
+              img_hw: int = H):
     """Rows + meta for one group; pure function of (gid, seed, config)."""
     kind = CYCLE[gid % len(CYCLE)]
     rng = np.random.default_rng([seed, gid])
@@ -87,8 +88,8 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
             {
                 "image_id": f"img{rid:010d}",
                 "bytes": data,
-                "w": W,
-                "h": H,
+                "w": img_hw,
+                "h": img_hw,
                 "fmt": fmt,
                 "caption": caption,
                 "phash": np.uint64(ph).astype(np.int64).item(),
@@ -98,7 +99,7 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
 
     if kind == "filtered":
         style = gid % 3
-        img = _image(rng)
+        img = _image(rng, img_hw)
         data, fmt = _encode(rng, img)
         if style == 0:
             emit(0, data, fmt, "", phash_image(img))          # empty caption
@@ -109,10 +110,19 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
                  fmt, _caption(rng), 0)                        # undecodable
         return rows, meta
 
-    img = _image(rng)
+    img = _image(rng, img_hw)
     data, fmt = _encode(rng, img)
     caption = _caption(rng)
     ph = phash_image(img)
+
+    def variant(strength: float) -> tuple[bytes, str]:
+        """Pixel-perturbed re-encode: organic near-duplicate payloads
+        so ``signature_source="recompute"`` (honest decode path) also
+        sees near-dups, not only the surgical stored-phash flips the
+        stored-mode ground truth uses."""
+        v = img.astype(np.float64) + rng.normal(0, strength, img.shape)
+        v = np.clip(v, 0, 255).astype(np.uint8)
+        return _encode(np.random.default_rng([seed, gid, int(strength * 10)]), v)
 
     def flip(base: int, *bits: int) -> int:
         # flip bits within the phash budget part (top bits of the
@@ -132,22 +142,25 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int):
             emit(i, data, fmt, caption, ph)
     elif kind == "nbr":
         emit(0, data, fmt, caption, ph)
-        emit(1, data, fmt, caption, flip(ph, gid % phash_part_bits))
+        d1, f1 = variant(2.0)
+        emit(1, d1, f1, caption, flip(ph, gid % phash_part_bits))
     elif kind == "far":
         emit(0, data, fmt, caption, ph)
         bits = [(gid + j) % phash_part_bits for j in range(max_distance + 1)]
         # ensure distinct bit positions
         bits = list(range(max_distance + 1)) if len(set(bits)) != len(bits) else bits
-        emit(1, data, fmt, caption, flip(ph, *bits))
+        d1, f1 = variant(40.0)
+        emit(1, d1, f1, caption, flip(ph, *bits))
     elif kind == "chain":
         sub = 0
         cur = ph
         positions = rng.permutation(phash_part_bits)[: len(CHAIN_MULTS) - 1]
         for step, mult in enumerate(CHAIN_MULTS):
+            step_data, step_fmt = (data, fmt) if step == 0 else variant(2.0 * step)
             if step > 0:
                 cur = flip(cur, int(positions[step - 1]))
             for _ in range(mult):
-                emit(sub, data, fmt, caption, cur)
+                emit(sub, step_data, step_fmt, caption, cur)
                 sub += 1
     elif kind == "hot":
         ph_hot = (HOT_TOP32 << 32) | (ph & 0xFFFFFFFF)
@@ -169,12 +182,12 @@ SCHEMA = pa.schema(
 
 
 def gen_rows(n_rows: int, seed: int = 42, max_distance: int = 1,
-             phash_part_bits: int = 32, start_gid: int = 0):
+             phash_part_bits: int = 32, start_gid: int = 0, img_hw: int = H):
     """Generate >= n_rows rows (whole groups), truncated to n_rows."""
     rows, meta = [], []
     gid = start_gid
     while len(rows) < n_rows:
-        r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+        r, m = gen_group(gid, seed, max_distance, phash_part_bits, img_hw)
         rows.extend(r)
         meta.extend(m)
         gid += 1
@@ -184,15 +197,19 @@ def gen_rows(n_rows: int, seed: int = 42, max_distance: int = 1,
     return table, mtab
 
 
-def corpus_path(base_dir: str, n_rows: int, seed: int = 42) -> str:
-    return os.path.join(base_dir, f"corpus_n{n_rows}_s{seed}")
+GEN_VERSION = 3  # bump when generated bytes change (invalidates caches)
+
+
+def corpus_path(base_dir: str, n_rows: int, seed: int = 42, img_hw: int = H) -> str:
+    suffix = "" if img_hw == H else f"_hw{img_hw}"
+    return os.path.join(base_dir, f"corpus_v{GEN_VERSION}_n{n_rows}_s{seed}{suffix}")
 
 
 def make_corpus(base_dir: str, n_rows: int, seed: int = 42,
                 max_distance: int = 1, phash_part_bits: int = 32,
-                rows_per_file: int = 50_000) -> str:
+                rows_per_file: int = 50_000, img_hw: int = H) -> str:
     """Write (and cache) the corpus parquet dir; returns the dir path."""
-    out = corpus_path(base_dir, n_rows, seed)
+    out = corpus_path(base_dir, n_rows, seed, img_hw)
     done = os.path.join(out, "_DONE.json")
     if os.path.exists(done):
         return out
@@ -206,7 +223,7 @@ def make_corpus(base_dir: str, n_rows: int, seed: int = 42,
     while written < n_rows:
         want = min(rows_per_file, n_rows - written)
         while len(buf_rows) < want:
-            r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+            r, m = gen_group(gid, seed, max_distance, phash_part_bits, img_hw)
             buf_rows.extend(r)
             buf_meta.extend(m)
             gid += 1
@@ -226,7 +243,7 @@ def make_corpus(base_dir: str, n_rows: int, seed: int = 42,
 
 def make_corpus_parallel(base_dir: str, n_rows: int, seed: int = 42,
                          max_distance: int = 1, phash_part_bits: int = 32,
-                         cycles_per_part: int = 300) -> str:
+                         cycles_per_part: int = 300, img_hw: int = H) -> str:
     """Ray-parallel corpus writer — identical bytes-for-bytes row set as
     ``make_corpus`` (generation is pure per group id; parts cover fixed
     cycle ranges so any part can be produced independently).
@@ -236,12 +253,13 @@ def make_corpus_parallel(base_dir: str, n_rows: int, seed: int = 42,
     """
     import ray
 
-    out = corpus_path(base_dir, n_rows, seed)
+    out = corpus_path(base_dir, n_rows, seed, img_hw)
     done = os.path.join(out, "_DONE.json")
     if os.path.exists(done):
         return out
     if not ray.is_initialized():
-        return make_corpus(base_dir, n_rows, seed, max_distance, phash_part_bits)
+        return make_corpus(base_dir, n_rows, seed, max_distance,
+                           phash_part_bits, img_hw=img_hw)
     os.makedirs(out, exist_ok=True)
     n_cycles = -(-n_rows // CYCLE_ROWS)
 
@@ -249,7 +267,7 @@ def make_corpus_parallel(base_dir: str, n_rows: int, seed: int = 42,
     def gen_part(part: int, cyc_lo: int, cyc_hi: int, limit: int) -> int:
         rows, meta = [], []
         for gid in range(cyc_lo * len(CYCLE), cyc_hi * len(CYCLE)):
-            r, m = gen_group(gid, seed, max_distance, phash_part_bits)
+            r, m = gen_group(gid, seed, max_distance, phash_part_bits, img_hw)
             rows.extend(r)
             meta.extend(m)
         rows, meta = rows[:limit], meta[:limit]

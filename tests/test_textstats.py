@@ -1,0 +1,80 @@
+"""Text-analysis + text-dedup operator checks on sf0.001 documents."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_counts_match_python(ray_session):
+    import re
+
+    from humid_ray.pipelines.textstats import token_counts
+
+    res = token_counts(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, row in docs.head(50).iterrows():
+        toks = re.findall(r"[0-9a-z]+", (row.text or "").lower())
+        assert res.loc[row.doc_id].n_tokens == len(toks)
+        assert res.loc[row.doc_id].n_chars == len(row.text or "")
+
+
+def test_langid_deterministic_and_covering(ray_session):
+    from humid_ray.pipelines.textstats import langid
+
+    a = langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a.lang_pred == b.lang_pred).all()
+    assert set(a.lang_pred) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprints_stable_and_distinct(ray_session):
+    from humid_ray.pipelines.textstats import fingerprints
+
+    fp = fingerprints(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    merged = fp.merge(docs[["doc_id", "text"]], on="doc_id")
+    # identical text -> identical fingerprint; distinct text -> (almost
+    # surely) distinct fingerprint
+    by_text = merged.groupby("text").fingerprint.nunique()
+    assert (by_text == 1).all()
+    n_text = merged.text.nunique()
+    assert merged.fingerprint.nunique() >= n_text - 1
+
+
+def test_minhash_neardup_verified_by_exact_jaccard(ray_session):
+    import re
+
+    from humid_ray.pipelines.dedup_text import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(SF, threshold=0.8).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+
+    def shingles(text, k=3):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        if len(toks) < k:
+            return set(toks)
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    # estimated-jaccard-accepted pairs should be genuinely similar
+    for _, row in pairs.iterrows():
+        sa = shingles(docs.loc[row.doc_a].text)
+        sb = shingles(docs.loc[row.doc_b].text)
+        j = len(sa & sb) / max(len(sa | sb), 1)
+        assert j >= 0.5, (row.doc_a, row.doc_b, j)
+
+
+def test_exact_dedup_docs_matches_pandas(ray_session):
+    from humid_ray.pipelines.dedup_text import exact_dedup
+
+    res = exact_dedup(SF).to_pandas().sort_values("text").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    exp = (
+        docs.groupby("text", as_index=False)
+        .agg(cnt=("doc_id", "size"), rep_id=("doc_id", "min"))
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    assert len(res) == len(exp)
+    assert (res.cnt.to_numpy() == exp.cnt.to_numpy()).all()
+    assert (res.rep_id.to_numpy() == exp.rep_id.to_numpy()).all()
