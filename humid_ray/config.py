@@ -66,6 +66,8 @@ class HumidConfig:
     cc_local_max_edges: int = 5_000_000
 
     # outputs
+    dense_ids: bool = False          # 1..K walk-order cluster ids (driver-side
+                                     # rank of seeds; only for bounded K)
     write_filtered: bool = True      # HUMID -q
     write_annotated: bool = False    # HUMID -a
     write_stats: bool = True         # HUMID -s
@@ -86,9 +88,10 @@ class HumidConfig:
             raise ValueError(f"unknown distance {self.distance}")
         if self.clustering not in ("directional", "maximum"):
             raise ValueError(f"unknown clustering {self.clustering}")
-        for s in self.sources:
-            if s not in SOURCES:
-                raise ValueError(f"unknown source {s}")
+        if not self.sources:
+            raise ValueError("need at least one signature source")
+        # names outside the built-ins resolve through the signature
+        # source registry at pipeline time (user-extension surface)
 
     @property
     def bands(self) -> int:

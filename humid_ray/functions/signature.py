@@ -43,19 +43,24 @@ def umi_hex_to_bits(umi: str, nbits: int) -> int:
 
 def compose_signatures(
     cfg: HumidConfig,
-    phash: np.ndarray,
-    simhash: np.ndarray,
+    phash: np.ndarray | None = None,
+    simhash: np.ndarray | None = None,
     umi_vals: np.ndarray | None = None,
     umi_bits: int = 0,
+    extra_sources: dict[str, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Pack per-source top bits into the composite uint64 signature.
 
     ``umi_vals`` (already bit-packed ints) occupy the most significant
-    position, then each source in ``cfg.sources`` order.
+    position, then each source in ``cfg.sources`` order. Custom
+    (registry) source hashes are passed via ``extra_sources``.
     """
     umi_used, per_source = cfg.source_bits(umi_bits)
-    by_name = {"phash": np.asarray(phash, dtype=UINT64),
-               "simhash": np.asarray(simhash, dtype=UINT64)}
+    by_name: dict[str, np.ndarray] = dict(extra_sources or {})
+    if phash is not None:
+        by_name["phash"] = np.asarray(phash, dtype=UINT64)
+    if simhash is not None:
+        by_name["simhash"] = np.asarray(simhash, dtype=UINT64)
     fields: list[tuple[np.ndarray, int]] = []
     if umi_used > 0:
         if umi_vals is None:
@@ -63,5 +68,21 @@ def compose_signatures(
         fields.append((np.asarray(umi_vals, dtype=UINT64), umi_used))
     for name, nb in zip(cfg.sources, per_source):
         if nb > 0:
-            fields.append((top_bits(by_name[name], nb), nb))
+            fields.append((top_bits(np.asarray(by_name[name], dtype=UINT64), nb), nb))
     return pack_fields(fields)
+
+
+def sig_repr(sig: int, cfg: HumidConfig | None = None) -> str:
+    """Debug rendering of a composite word (reference printWord,
+    src/fastq.cc:163-168): hex plus per-source bit fields."""
+    s = f"{int(sig):016x}"
+    if cfg is None:
+        return s
+    _, per_source = cfg.source_bits(0)
+    bits = f"{int(sig):064b}"
+    pos = 0
+    parts = []
+    for name, nb in zip(cfg.sources, per_source):
+        parts.append(f"{name}={bits[pos:pos + nb]}")
+        pos += nb
+    return s + " (" + " ".join(parts) + ")"

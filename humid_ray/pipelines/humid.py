@@ -37,7 +37,11 @@ from humid_ray.stages.outputs import (
     compute_stats,
     write_stats_files,
 )
-from humid_ray.stages.signatures import extract_signatures, probe_umi_bits
+from humid_ray.stages.signatures import (
+    extract_signatures,
+    probe_umi_bits,
+    resolve_custom_sources,
+)
 from humid_ray.state import checkpoints as cp
 
 SIG_SCHEMA = pa.schema(
@@ -194,7 +198,20 @@ class HumidPipeline:
 
         # phase 5: outputs
         t0 = time.perf_counter()
-        assign_ref = assignment_lookup_ref(assign_ds)
+        join_strategy = cfg.join_strategy
+        if join_strategy == "auto":
+            join_strategy = (
+                "broadcast" if assign_mf["rows"] <= cfg.broadcast_max_rows else "hash"
+            )
+        metrics["output_join_strategy"] = join_strategy
+        dense_map = None
+        dense_ref = None
+        if cfg.dense_ids:
+            from humid_ray.stages.clustering import dense_cluster_ids
+
+            dense_map = dense_cluster_ids(assign_ds)
+            dense_ref = ray.put(dense_map)
+        assign_ref = assignment_lookup_ref(assign_ds) if join_strategy == "broadcast" else None
         from humid_ray.stages.signatures import default_sig_concurrency
 
         out_kwargs = dict(
@@ -206,20 +223,30 @@ class HumidPipeline:
                 "cfg": cfg,
                 "umi_bits": umi_bits,
                 "assign_ref": assign_ref,
+                "dense_ref": dense_ref,
+                "custom_sources": resolve_custom_sources(cfg),
             },
         )
         if cfg.write_filtered:
             fpath = os.path.join(wd, "05_filtered")
             if not (cfg.resume and cp.phase_is_done(fpath, fp)):
-                cp.write_phase(
-                    rows.map_batches(FilteredWriter, **out_kwargs), fpath, fp
-                )
+                if join_strategy == "hash":
+                    from humid_ray.stages.outputs import filtered_output_hash_join
+
+                    out_ds = filtered_output_hash_join(rows, sig_ds, assign_ds)
+                else:
+                    out_ds = rows.map_batches(FilteredWriter, **out_kwargs)
+                cp.write_phase(out_ds, fpath, fp)
         if cfg.write_annotated:
             apath = os.path.join(wd, "05_annotated")
             if not (cfg.resume and cp.phase_is_done(apath, fp)):
-                cp.write_phase(
-                    rows.map_batches(AnnotatedWriter, **out_kwargs), apath, fp
-                )
+                if join_strategy == "hash":
+                    from humid_ray.stages.outputs import annotated_output_hash_join
+
+                    out_ds = annotated_output_hash_join(rows, sig_ds, assign_ds, dense_map)
+                else:
+                    out_ds = rows.map_batches(AnnotatedWriter, **out_kwargs)
+                cp.write_phase(out_ds, apath, fp)
         stats = None
         if cfg.write_stats:
             stats = compute_stats(

@@ -41,8 +41,9 @@ def assignment_lookup_ref(assign_ds):
 
 
 class _OutputBase:
-    def __init__(self, cfg: HumidConfig, umi_bits: int, assign_ref, dense_ref=None):
-        self.extract = SignatureExtractor(cfg, umi_bits)
+    def __init__(self, cfg: HumidConfig, umi_bits: int, assign_ref, dense_ref=None,
+                 custom_sources: dict | None = None):
+        self.extract = SignatureExtractor(cfg, umi_bits, custom_sources or {})
         self.lk: SigLookup = ray.get(assign_ref)
         self.dense: dict[int, int] | None = ray.get(dense_ref) if dense_ref is not None else None
 
@@ -85,6 +86,94 @@ class AnnotatedWriter(_OutputBase):
         sig, filtered, found, cluster_id, rep_id = self._resolve(batch)
         batch = batch.append_column("sig", u64col(sig))
         return batch.append_column("cluster_id", u64col(cluster_id))
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    is an aggregator actor, so too many of them deadlock a small node
+    (observed: 64 partitions on a 4-CPU session never schedules)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(64, cpus // 2))
+
+
+def filtered_output_hash_join(rows_ds, sig_ds, assign_ds, num_partitions: int | None = None):
+    """Scale path for the dedup-filtered output (broadcast too big):
+
+      (image_id, sig) ⋈ assignments on sig  ->  representative row ids
+      corpus ⋈ rep ids on image_id          ->  surviving payload rows
+
+    Signature-shaped rows shuffle twice; the payload moves through
+    exactly ONE hash join (unavoidable without recompute+broadcast).
+    """
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    pairs = sig_ds.map_batches(
+        lambda t: t.filter(pc.invert(t.column("filtered"))).select(["image_id", "sig"]),
+        batch_format="pyarrow",
+    )
+    dec = pairs.join(
+        assign_ds.select_columns(["sig", "rep_image_id"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sig",),
+    )
+    reps = dec.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("image_id"), t.column("rep_image_id"))
+        ).select(["image_id"]),
+        batch_format="pyarrow",
+    )
+    return rows_ds.join(
+        reps, join_type="inner", num_partitions=num_partitions, on=("image_id",)
+    )
+
+
+def annotated_output_hash_join(rows_ds, sig_ds, assign_ds, dense_map=None,
+                               num_partitions: int | None = None):
+    """Scale path for the annotated output: corpus ⋈ per-row cluster
+    ids on image_id; rows whose signature was filtered get cluster 0."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    usable = sig_ds.map_batches(
+        lambda t: t.filter(pc.invert(t.column("filtered"))).select(["image_id", "sig"]),
+        batch_format="pyarrow",
+    )
+    dec = usable.join(
+        assign_ds.select_columns(["sig", "cluster_seed"]),
+        join_type="inner", num_partitions=num_partitions, on=("sig",),
+    )
+
+    def to_cluster_id(t: pa.Table) -> pa.Table:
+        seed = t.column("cluster_seed").to_numpy(zero_copy_only=False).view(UINT64)
+        if dense_map is not None:
+            cid = np.array([dense_map.get(int(s), 0) for s in seed], dtype=np.uint64)
+        else:
+            cid = seed
+        return pa.table(
+            {"image_id": t.column("image_id"),
+             "sig": t.column("sig"),
+             "cluster_id": u64col(cid)}
+        )
+
+    dec = dec.map_batches(to_cluster_id, batch_format="pyarrow")
+    joined = rows_ds.join(
+        dec, join_type="left_outer", num_partitions=num_partitions, on=("image_id",)
+    )
+
+    def fill_filtered(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id")
+        sig = t.column("sig")
+        return (
+            t.drop_columns(["cluster_id", "sig"])
+            .append_column("sig", pc.fill_null(sig, 0))
+            .append_column("cluster_id", pc.fill_null(cid, 0))
+        )
+
+    return joined.map_batches(fill_filtered, batch_format="pyarrow")
 
 
 def _hist_to_pandas(ds, key: str):

@@ -36,6 +36,18 @@ def default_sig_concurrency() -> tuple[int, int]:
     return (max(2, cap // 2), cap)
 
 
+def resolve_custom_sources(cfg: HumidConfig) -> dict:
+    """Look up non-built-in signature sources in the registry (must run
+    on the driver, where the user registered them)."""
+    from humid_ray.functions.registry import get_signature_source
+
+    return {
+        name: get_signature_source(name)
+        for name in cfg.sources
+        if name not in ("phash", "simhash")
+    }
+
+
 def probe_umi_bits(first_image_id: str | None, cfg: HumidConfig) -> int:
     """UMI bit budget probed from the first row's id (HUMID peeks the
     first read's header, reference: peekUMI src/humid.cc:24-33)."""
@@ -53,10 +65,17 @@ class SignatureExtractor:
     never enter the index (reference src/humid.cc:94-98).
     """
 
-    def __init__(self, cfg: HumidConfig, umi_bits: int = 0):
+    def __init__(self, cfg: HumidConfig, umi_bits: int = 0,
+                 custom_sources: dict | None = None):
         self.cfg = cfg
         self.umi_bits = umi_bits
         self.emit_minhash = cfg.distance == "minhash-jaccard"
+        # the registry is per-process, so custom sources must be
+        # RESOLVED on the driver and shipped in as callables; when
+        # constructed driver-side directly, resolve here as a fallback
+        if custom_sources is None:
+            custom_sources = resolve_custom_sources(cfg)
+        self.custom_sources = custom_sources
 
     # -- helpers -----------------------------------------------------------
 
@@ -93,8 +112,23 @@ class SignatureExtractor:
         cfg = self.cfg
         n = batch.num_rows
         umi_used, per_source = cfg.source_bits(self.umi_bits)
-        need_phash = per_source[list(cfg.sources).index("phash")] > 0 if "phash" in cfg.sources else False
-        need_simhash = per_source[list(cfg.sources).index("simhash")] > 0 if "simhash" in cfg.sources else False
+
+        def bits_for(name: str) -> int:
+            return per_source[list(cfg.sources).index(name)] if name in cfg.sources else 0
+
+        need_phash = bits_for("phash") > 0
+        need_simhash = bits_for("simhash") > 0
+
+        # custom registry sources (user-extension surface)
+        extra: dict[str, np.ndarray] = {}
+        custom_filtered = np.zeros(n, dtype=bool)
+        for name, fn in self.custom_sources.items():
+            if bits_for(name) == 0:
+                extra[name] = np.zeros(n, dtype=UINT64)
+                continue
+            hashes, ok = fn(batch)
+            extra[name] = np.asarray(hashes, dtype=UINT64)
+            custom_filtered |= ~np.asarray(ok, dtype=bool)
 
         filtered = np.zeros(n, dtype=bool)
 
@@ -133,7 +167,9 @@ class SignatureExtractor:
                 else:
                     filtered[i] = True
 
-        sig = compose_signatures(cfg, phash, simhash, umi_vals, self.umi_bits)
+        filtered |= custom_filtered
+        sig = compose_signatures(cfg, phash, simhash, umi_vals, self.umi_bits,
+                                 extra_sources=extra)
         cols = {
             "image_id": batch.column("image_id"),
             "sig": u64col(sig),
@@ -149,18 +185,22 @@ class SignatureExtractor:
 
 def extract_signatures(ds, cfg: HumidConfig, umi_bits: int = 0):
     """rows Dataset -> signatures Dataset (actor pool)."""
-    needed = ["image_id", "caption"]
-    if cfg.signature_source == "recompute":
-        needed.append("bytes")
+    if any(s not in ("phash", "simhash") for s in cfg.sources):
+        pass  # custom sources may need arbitrary columns: no pruning
     else:
-        needed += ["bytes", "phash"]
-    ds = ds.select_columns([c for c in dict.fromkeys(needed)])
+        needed = ["image_id", "caption"]
+        if cfg.signature_source == "recompute":
+            needed.append("bytes")
+        else:
+            needed += ["bytes", "phash"]
+        ds = ds.select_columns([c for c in dict.fromkeys(needed)])
     concurrency = cfg.sig_concurrency
     if concurrency is None:
         concurrency = default_sig_concurrency()
     return ds.map_batches(
         SignatureExtractor,
-        fn_constructor_kwargs={"cfg": cfg, "umi_bits": umi_bits},
+        fn_constructor_kwargs={"cfg": cfg, "umi_bits": umi_bits,
+                               "custom_sources": resolve_custom_sources(cfg)},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.sig_batch_size,
