@@ -63,7 +63,7 @@ def run_bench() -> dict:
     # 256x256 images: realistic per-image decode cost (the 32x32 test
     # corpus makes decode trivially cheap and the bench all overhead)
     corpus = make_corpus_parallel(CORPUS_BASE, n_rows, img_hw=256,
-                                  cycles_per_part=40)
+                                  cycles_per_part=10)
 
     # warm the page cache so we measure compute + shuffle, not cold disk
     import pyarrow.parquet as pq
@@ -94,6 +94,16 @@ def run_bench() -> dict:
     result = HumidPipeline(cfg).run(corpus)
     headline = time.perf_counter() - t0
     queries["humid_pipeline_recompute"] = round(headline, 3)
+
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        out = {
+            "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",
+            "value": round(headline, 3), "unit": "sec", "queries": queries,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "corpus_rows": n_rows,
+            "images_per_sec": round(n_rows / headline, 1),
+        }
+        ray.shutdown()
+        return out
 
     # stored-phash fast path (trusts the phash column; sniffs payload)
     wd2 = f"/tmp/humid_bench/wd_stored_{NUM_CPUS}"
@@ -134,16 +144,28 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    lo, hi = 8, 32
-    results = {}
+    """Same job, same input, fresh processes at N and 4N CPUs.
+
+    Two trials per level, best taken — single-node wall times vary
+    ±20-30% with page-cache / disk-writeback state, and the minimum is
+    the cleanest estimate of each level's capability.
+    """
+    lo, hi = 4, 16
+    results: dict[int, dict] = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(

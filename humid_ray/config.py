@@ -80,6 +80,9 @@ class HumidConfig:
     join_strategy: str = "auto"      # "auto" | "broadcast" | "hash"
     broadcast_max_rows: int = 5_000_000
     resume: bool = True              # skip phases whose checkpoints exist
+    # wide binary payload rows get split into absurdly small blocks at
+    # the default 128MiB target; raise it for image corpora
+    target_max_block_size: int | None = 512 * 1024 * 1024
 
     def __post_init__(self):
         if not (0 < self.word_bits <= 64):
@@ -115,6 +118,6 @@ class HumidConfig:
                   "join_strategy", "broadcast_max_rows", "resume", "workdir",
                   "cc_strategy", "cc_local_max_edges", "hot_band_threshold",
                   "max_group_bruteforce", "write_filtered", "write_annotated",
-                  "write_stats"):
+                  "write_stats", "target_max_block_size"):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from humid_ray.functions.minhash import minhash_band_keys, minhash_batch
 from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles

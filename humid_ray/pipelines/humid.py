@@ -86,6 +86,10 @@ class HumidPipeline:
         cfg = self.cfg
         wd = workdir or cfg.workdir
         os.makedirs(wd, exist_ok=True)
+        if cfg.target_max_block_size:
+            from ray.data import DataContext
+
+            DataContext.get_current().target_max_block_size = cfg.target_max_block_size
         fp = cfg.fingerprint()
         timings: dict[str, float] = {}
         metrics: dict = {"config_fingerprint": fp}
@@ -212,6 +216,18 @@ class HumidPipeline:
             dense_map = dense_cluster_ids(assign_ds)
             dense_ref = ray.put(dense_map)
         assign_ref = assignment_lookup_ref(assign_ds) if join_strategy == "broadcast" else None
+        sig_map_ref = None
+        if join_strategy == "broadcast" and total_rows <= cfg.broadcast_max_rows:
+            sig_map = {}
+            for b in sig_ds.select_columns(["image_id", "sig", "filtered"]).iter_batches(
+                batch_size=262144, batch_format="pyarrow"
+            ):
+                ids = b.column("image_id").to_pylist()
+                sgs = b.column("sig").to_numpy(zero_copy_only=False)
+                fls = b.column("filtered").to_numpy(zero_copy_only=False)
+                for ident, s, f in zip(ids, sgs.tolist(), fls.tolist()):
+                    sig_map[ident] = (s & 0xFFFFFFFFFFFFFFFF, bool(f))
+            sig_map_ref = ray.put(sig_map)
         from humid_ray.stages.signatures import default_sig_concurrency
 
         out_kwargs = dict(
@@ -219,43 +235,53 @@ class HumidPipeline:
             zero_copy_batch=True,
             batch_size=cfg.sig_batch_size,
             concurrency=cfg.sig_concurrency or default_sig_concurrency(),
+            num_cpus=cfg.sig_num_cpus,
             fn_constructor_kwargs={
                 "cfg": cfg,
                 "umi_bits": umi_bits,
                 "assign_ref": assign_ref,
                 "dense_ref": dense_ref,
                 "custom_sources": resolve_custom_sources(cfg),
+                "sig_map_ref": sig_map_ref,
             },
         )
-        if cfg.write_filtered:
-            fpath = os.path.join(wd, "05_filtered")
-            if not (cfg.resume and cp.phase_is_done(fpath, fp)):
-                if join_strategy == "hash":
-                    from humid_ray.stages.outputs import filtered_output_hash_join
+        # stats run CONCURRENTLY with the payload-heavy output writes
+        # (separate streaming executions share the cluster; stats only
+        # touch the small signature-shaped checkpoints)
+        import concurrent.futures
 
-                    out_ds = filtered_output_hash_join(rows, sig_ds, assign_ds)
-                else:
-                    out_ds = rows.map_batches(FilteredWriter, **out_kwargs)
-                cp.write_phase(out_ds, fpath, fp)
-        if cfg.write_annotated:
-            apath = os.path.join(wd, "05_annotated")
-            if not (cfg.resume and cp.phase_is_done(apath, fp)):
-                if join_strategy == "hash":
-                    from humid_ray.stages.outputs import annotated_output_hash_join
-
-                    out_ds = annotated_output_hash_join(rows, sig_ds, assign_ds, dense_map)
-                else:
-                    out_ds = rows.map_batches(AnnotatedWriter, **out_kwargs)
-                cp.write_phase(out_ds, apath, fp)
         stats = None
-        if cfg.write_stats:
-            stats = compute_stats(
-                sig_ds, uniq_ds, edges_ds, assign_ds, total_rows,
-                edges_rows=edges_mf["rows"],
-                local_edges_max=cfg.cc_local_max_edges,
-            )
-            write_stats_files(stats, os.path.join(wd, "05_stats"))
-            metrics.update(stats["summary"])
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            stats_fut = None
+            if cfg.write_stats:
+                stats_fut = pool.submit(
+                    compute_stats, sig_ds, uniq_ds, edges_ds, assign_ds,
+                    total_rows, edges_mf["rows"], cfg.cc_local_max_edges,
+                )
+            if cfg.write_filtered:
+                fpath = os.path.join(wd, "05_filtered")
+                if not (cfg.resume and cp.phase_is_done(fpath, fp)):
+                    if join_strategy == "hash":
+                        from humid_ray.stages.outputs import filtered_output_hash_join
+
+                        out_ds = filtered_output_hash_join(rows, sig_ds, assign_ds)
+                    else:
+                        out_ds = rows.map_batches(FilteredWriter, **out_kwargs)
+                    cp.write_phase(out_ds, fpath, fp)
+            if cfg.write_annotated:
+                apath = os.path.join(wd, "05_annotated")
+                if not (cfg.resume and cp.phase_is_done(apath, fp)):
+                    if join_strategy == "hash":
+                        from humid_ray.stages.outputs import annotated_output_hash_join
+
+                        out_ds = annotated_output_hash_join(rows, sig_ds, assign_ds, dense_map)
+                    else:
+                        out_ds = rows.map_batches(AnnotatedWriter, **out_kwargs)
+                    cp.write_phase(out_ds, apath, fp)
+            if stats_fut is not None:
+                stats = stats_fut.result()
+                write_stats_files(stats, os.path.join(wd, "05_stats"))
+                metrics.update(stats["summary"])
         timings["outputs"] = time.perf_counter() - t0
 
         metrics["timings_sec"] = {k: round(v, 3) for k, v in timings.items()}

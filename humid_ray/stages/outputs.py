@@ -42,15 +42,36 @@ def assignment_lookup_ref(assign_ds):
 
 class _OutputBase:
     def __init__(self, cfg: HumidConfig, umi_bits: int, assign_ref, dense_ref=None,
-                 custom_sources: dict | None = None):
+                 custom_sources: dict | None = None, sig_map_ref=None):
         self.extract = SignatureExtractor(cfg, umi_bits, custom_sources or {})
         self.lk: SigLookup = ray.get(assign_ref)
         self.dense: dict[int, int] | None = ray.get(dense_ref) if dense_ref is not None else None
+        # phase-1 checkpoint reuse: image_id -> (sig, filtered). When it
+        # fits the broadcast budget the second pass skips re-decoding
+        # entirely (the reference re-reads AND re-computes,
+        # src/humid.cc:220-234 — our checkpoint makes that redundant);
+        # None -> recompute like the reference (or use the hash-join path).
+        self.sig_map: dict | None = ray.get(sig_map_ref) if sig_map_ref is not None else None
+
+    def _row_signatures(self, batch: pa.Table):
+        if self.sig_map is not None:
+            ids = batch.column("image_id").to_pylist()
+            sig = np.zeros(len(ids), dtype=UINT64)
+            filtered = np.ones(len(ids), dtype=bool)
+            for i, ident in enumerate(ids):
+                hit = self.sig_map.get(ident)
+                if hit is not None:
+                    sig[i] = UINT64(hit[0])
+                    filtered[i] = hit[1]
+            return sig, filtered
+        sigt = self.extract(batch)
+        return (
+            sigt.column("sig").to_numpy(zero_copy_only=False).view(UINT64),
+            sigt.column("filtered").to_numpy(zero_copy_only=False),
+        )
 
     def _resolve(self, batch: pa.Table):
-        sigt = self.extract(batch)
-        sig = sigt.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
-        filtered = sigt.column("filtered").to_numpy(zero_copy_only=False)
+        sig, filtered = self._row_signatures(batch)
         found, idx = self.lk.lookup(sig)
         found &= ~filtered
         if len(self.lk.keys):

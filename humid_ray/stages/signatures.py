@@ -23,17 +23,20 @@ from humid_ray.functions.signature import compose_signatures, umi_hex_to_bits
 from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles
 from humid_ray.functions.text import extract_umi, tokenize_batch
 from humid_ray.png import FJPG_MAGIC, PNG_SIG, decode_image
-from humid_ray.util import UINT64, int64_to_uint64, uint64_to_int64, u64col
+from humid_ray.util import UINT64, int64_to_uint64, u64col
 
 
 def default_sig_concurrency() -> tuple[int, int]:
-    """Decode/signature pools own most of the node: leave ~2 CPUs for
-    the read/write stages so the pipeline doesn't serialize; start at
-    half the cap so the pool ramps fast on decode-heavy corpora."""
+    """Fixed-size decode pool covering ~7/8 of the node; the remaining
+    1/8 (>=1 CPU) is the read/write slice — proportional at every node
+    size. (A fixed "cpus - 2" reserve starves reads on big nodes and
+    halves tiny ones; fractional-CPU actors can wedge the streaming
+    scheduler on 4-CPU sessions — observed.)"""
     import ray
 
-    cap = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    return (max(2, cap // 2), cap)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cap = max(2, cpus - max(1, cpus // 8))
+    return (cap, cap)
 
 
 def resolve_custom_sources(cfg: HumidConfig) -> dict:
