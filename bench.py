@@ -89,7 +89,8 @@ def run_bench() -> dict:
     shutil.rmtree(wd, ignore_errors=True)
     cfg = HumidConfig(workdir=wd, resume=False, write_filtered=True,
                       write_annotated=False, write_stats=True,
-                      signature_source="recompute", sig_batch_size=256)
+                      signature_source="recompute", sig_batch_size=256,
+                      filtered_output="manifest")
     t0 = time.perf_counter()
     result = HumidPipeline(cfg).run(corpus)
     headline = time.perf_counter() - t0

@@ -68,6 +68,11 @@ class HumidConfig:
     # outputs
     dense_ids: bool = False          # 1..K walk-order cluster ids (driver-side
                                      # rank of seeds; only for bounded K)
+    # "payload": copy surviving rows byte-identically (HUMID writes the
+    # deduped FastQ); "manifest": write only the keep-list
+    # (image_id, sig, cluster_id, cluster_size) — at 10^12-image scale
+    # nobody copies the corpus, they ship the manifest
+    filtered_output: str = "payload"
     write_filtered: bool = True      # HUMID -q
     write_annotated: bool = False    # HUMID -a
     write_stats: bool = True         # HUMID -s

@@ -261,7 +261,18 @@ class HumidPipeline:
             if cfg.write_filtered:
                 fpath = os.path.join(wd, "05_filtered")
                 if not (cfg.resume and cp.phase_is_done(fpath, fp)):
-                    if join_strategy == "hash":
+                    if cfg.filtered_output == "manifest":
+                        if join_strategy == "hash":
+                            from humid_ray.stages.outputs import (
+                                filtered_manifest_hash_join,
+                            )
+
+                            out_ds = filtered_manifest_hash_join(sig_ds, assign_ds)
+                        else:
+                            from humid_ray.stages.outputs import filtered_manifest
+
+                            out_ds = filtered_manifest(sig_ds, assign_ref, dense_ref)
+                    elif join_strategy == "hash":
                         from humid_ray.stages.outputs import filtered_output_hash_join
 
                         out_ds = filtered_output_hash_join(rows, sig_ds, assign_ds)

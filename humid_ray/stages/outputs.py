@@ -35,8 +35,10 @@ from humid_ray.util import UINT64, u64col
 
 
 def assignment_lookup_ref(assign_ds):
-    """Broadcast (sig -> cluster_seed, rep_image_id) once."""
-    lk = SigLookup.from_dataset(assign_ds, "sig", ["cluster_seed", "rep_image_id"])
+    """Broadcast (sig -> cluster_seed, rep_image_id, cluster_size) once."""
+    lk = SigLookup.from_dataset(
+        assign_ds, "sig", ["cluster_seed", "rep_image_id", "cluster_size"]
+    )
     return ray.put(lk)
 
 
@@ -87,6 +89,71 @@ class _OutputBase:
             cluster_id = np.where(found, seed, UINT64(0))
         rep_id = self.lk.get("rep_image_id", idx) if len(self.lk.keys) else np.array([None] * len(sig), dtype=object)
         return sig, filtered, found, cluster_id, rep_id
+
+
+def filtered_manifest(sig_ds, assign_ref, dense_ref=None):
+    """Keep-list variant of the filtered output: one row per cluster
+    (image_id, sig, cluster_id, cluster_size), derived entirely from
+    the signature checkpoint — the corpus payload is never re-read.
+    This is the web-scale shape of HUMID's writeFiltered: the manifest
+    selects the surviving rows; copying 100 TB of payload is a
+    separate, optional materialization."""
+
+    class Kernel:
+        def __init__(self):
+            self.lk: SigLookup = ray.get(assign_ref)
+            self.dense = ray.get(dense_ref) if dense_ref is not None else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+            filtered = batch.column("filtered").to_numpy(zero_copy_only=False)
+            ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+            found, idx = self.lk.lookup(sig)
+            found &= ~filtered
+            rep_id = self.lk.get("rep_image_id", idx)
+            seed = self.lk.get("cluster_seed", idx).view(UINT64)
+            size = self.lk.get("cluster_size", idx)
+            keep = found & (ids == rep_id)
+            if self.dense is not None:
+                cid = np.array([self.dense.get(int(s), 0) for s in seed[keep]],
+                               dtype=np.uint64)
+            else:
+                cid = seed[keep]
+            mask = pa.array(keep.astype(bool))
+            return pa.table(
+                {
+                    "image_id": batch.column("image_id").filter(mask),
+                    "sig": batch.column("sig").filter(mask),
+                    "cluster_id": u64col(cid),
+                    "cluster_size": pa.array(size[keep].astype(np.int64)),
+                }
+            )
+
+    return sig_ds.map_batches(Kernel, batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=(1, 4))
+
+
+def filtered_manifest_hash_join(sig_ds, assign_ds, num_partitions: int | None = None):
+    """Manifest keep-list via hash join (assignments too big to
+    broadcast): signature-shaped rows only, no payload anywhere."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    pairs = sig_ds.map_batches(
+        lambda t: t.filter(pc.invert(t.column("filtered"))).select(["image_id", "sig"]),
+        batch_format="pyarrow",
+    )
+    dec = pairs.join(
+        assign_ds.select_columns(["sig", "rep_image_id", "cluster_seed", "cluster_size"]),
+        join_type="inner", num_partitions=num_partitions, on=("sig",),
+    )
+    return dec.map_batches(
+        lambda t: t.filter(pc.equal(t.column("image_id"), t.column("rep_image_id")))
+        .select(["image_id", "sig", "cluster_seed", "cluster_size"])
+        .rename_columns(["image_id", "sig", "cluster_id", "cluster_size"]),
+        batch_format="pyarrow",
+    )
 
 
 class FilteredWriter(_OutputBase):
