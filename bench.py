@@ -36,7 +36,7 @@ def corpus_rows(sf_dir: str) -> int:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else 0.01
-    return max(500, min(int(1_000_000 * sf), 200_000))
+    return max(500, min(int(2_000_000 * sf), 200_000))
 
 
 def run_bench() -> dict:

@@ -188,14 +188,42 @@ class HumidPipeline:
         metrics["hot_buckets"] = edges_mf["metrics"].get("hot_buckets")
         metrics["verified_dup_pairs"] = edges_mf["rows"]
 
-        # phase 4: clustering
+        # phase 4: clustering. Small-graph coordinator: when the edge
+        # list fits the driver (same regime as local union-find), pull
+        # it ONCE and share the arrays between CC, the replay fast path
+        # and the degree statistics — three dataset executions become one.
         t0 = time.perf_counter()
         assign_path = os.path.join(wd, "04_assign")
+        edge_arrays = None
+        deg_hist = None
+        small_graph = (
+            cfg.cc_strategy != "distributed"
+            and edges_mf["rows"] <= cfg.cc_local_max_edges
+        )
+        if small_graph:
+            from humid_ray.stages.components import (
+                components_from_arrays,
+                pull_edge_arrays,
+            )
+            from humid_ray.stages.outputs import degree_hist_from_arrays
+
+            edge_arrays = pull_edge_arrays(edges_ds)
+            deg_hist = degree_hist_from_arrays(*edge_arrays)
+            comp_sigs, comp_labels = components_from_arrays(*edge_arrays)
+            comp_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "sig": pa.array(comp_sigs, type=pa.int64()),
+                        "comp": pa.array(comp_labels, type=pa.int64()),
+                    }
+                )
+            )
+        else:
+            comp_ds = connected_components(edges_ds, cfg)
         assign_ds, assign_mf, _ = cp.run_phase(
             "assign", assign_path, fp,
-            lambda: assign_clusters(
-                uniq_ds, edges_ds, connected_components(edges_ds, cfg), cfg
-            ),
+            lambda: assign_clusters(uniq_ds, edges_ds, comp_ds, cfg,
+                                    edge_arrays=edge_arrays),
             cfg.resume, schema_hint=ASSIGN_SCHEMA,
         )
         timings["assign"] = time.perf_counter() - t0
@@ -257,6 +285,7 @@ class HumidPipeline:
                 stats_fut = pool.submit(
                     compute_stats, sig_ds, uniq_ds, edges_ds, assign_ds,
                     total_rows, edges_mf["rows"], cfg.cc_local_max_edges,
+                    deg_hist,
                 )
             if cfg.write_filtered:
                 fpath = os.path.join(wd, "05_filtered")

@@ -196,7 +196,8 @@ class _EdgeRows:
         )
 
 
-def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig):
+def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig,
+                    edge_arrays: tuple | None = None):
     """(uniq, edges, comp labels) -> assignment Dataset (ASSIGN_SCHEMA).
 
     comp_ds holds labels only for sigs that appear in >=1 edge; all
@@ -225,12 +226,16 @@ def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig):
             found, _ = lk.lookup(sig)
             node_tables.append(b.filter(pa.array(found.astype(bool))))
         nodes_t = pa.concat_tables(node_tables) if node_tables else None
-        ea_list, eb_list = [], []
-        for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
-            ea_list.append(b.column("sig_a").to_numpy(zero_copy_only=False).view(UINT64))
-            eb_list.append(b.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64))
-        ea = np.concatenate(ea_list) if ea_list else np.empty(0, dtype=UINT64)
-        eb = np.concatenate(eb_list) if eb_list else np.empty(0, dtype=UINT64)
+        if edge_arrays is not None:
+            ea = np.asarray(edge_arrays[0]).view(UINT64)
+            eb = np.asarray(edge_arrays[1]).view(UINT64)
+        else:
+            ea_list, eb_list = [], []
+            for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+                ea_list.append(b.column("sig_a").to_numpy(zero_copy_only=False).view(UINT64))
+                eb_list.append(b.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64))
+            ea = np.concatenate(ea_list) if ea_list else np.empty(0, dtype=UINT64)
+            eb = np.concatenate(eb_list) if eb_list else np.empty(0, dtype=UINT64)
         if nodes_t is None or nodes_t.num_rows == 0:
             return singles
         assign_t = replay_arrays(

@@ -57,6 +57,35 @@ class _UnionFind:
         self.parent[rb] = ra
 
 
+def pull_edge_arrays(edges_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Stream the (small) edge list to the driver ONCE as int64 arrays;
+    shared by local CC, the replay fast path, and the degree stats."""
+    ea, eb = [], []
+    for batch in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        ea.append(batch.column("sig_a").to_numpy(zero_copy_only=False))
+        eb.append(batch.column("sig_b").to_numpy(zero_copy_only=False))
+    if not ea:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ea), np.concatenate(eb)
+
+
+def components_from_arrays(ea: np.ndarray, eb: np.ndarray):
+    """Union-find over edge arrays -> (sigs, comps) int64 arrays."""
+    uf = _UnionFind()
+    for x, y in zip(ea.tolist(), eb.tolist()):
+        uf.union(x, y)
+    if not uf.parent:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    sigs = np.fromiter(uf.parent.keys(), dtype=np.int64, count=len(uf.parent))
+    roots = np.fromiter((uf.find(int(s)) for s in sigs), dtype=np.int64, count=len(sigs))
+    all_sigs = np.concatenate([sigs, np.unique(roots)])
+    all_comp = np.concatenate([roots, np.unique(roots)])
+    order = np.argsort(all_sigs, kind="stable")
+    all_sigs, all_comp = all_sigs[order], all_comp[order]
+    keep = np.r_[True, all_sigs[1:] != all_sigs[:-1]]
+    return all_sigs[keep], all_comp[keep]
+
+
 def connected_components_local(edges_ds) -> "ray.data.Dataset":
     """Edges Dataset -> (sig, comp) Dataset via driver-side union-find.
 

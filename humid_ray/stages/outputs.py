@@ -298,9 +298,23 @@ def _hist_small_domain(ds, key: str):
     return pd.DataFrame({"value": [v for v, _ in items], "n": [n for _, n in items]})
 
 
+def degree_hist_from_arrays(ea: np.ndarray, eb: np.ndarray):
+    """Degree histogram (value, n) straight from driver-held edge arrays."""
+    import pandas as pd
+
+    if len(ea) == 0:
+        return pd.DataFrame({"value": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    both = np.concatenate([ea, eb])
+    _, deg = np.unique(both, return_counts=True)
+    vals, cnts = np.unique(deg, return_counts=True)
+    return pd.DataFrame({"value": vals.astype(np.int64), "n": cnts.astype(np.int64)})
+
+
 def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int,
                   edges_rows: int | None = None,
-                  local_edges_max: int = 5_000_000):
+                  local_edges_max: int = 5_000_000,
+                  deg_hist=None):
     """All reference statistics as small pandas frames / scalars.
 
     counts.dat  <- histogram of exact-duplicate multiplicities
@@ -321,7 +335,9 @@ def compute_stats(sig_ds, uniq_ds, edges_ds, assign_ds, total_rows: int,
 
     # degree histogram: degree per sig from the edge endpoints; sigs
     # with no edges contribute the degree-0 bucket (= unique - |deg>0|)
-    if edges_rows is not None and edges_rows <= local_edges_max:
+    if deg_hist is not None:
+        pass  # precomputed by the small-graph coordinator (one edge pull)
+    elif edges_rows is not None and edges_rows <= local_edges_max:
         # edges fit one pass: count degrees directly (edge list is the
         # SMALL side; same regime as the local union-find)
         acc: dict[int, int] = {}
