@@ -48,6 +48,11 @@ class HumidConfig:
     sources: tuple[str, ...] = SOURCES
     umi_from_id: bool = False        # parse a hex UMI token off image_id
     signature_source: str = "stored"  # "stored" (trust phash col) | "recompute"
+    # stored mode: sniff payload magic bytes as an extra validity gate.
+    # Off by default — the fast path then scans ONLY
+    # (image_id, caption, phash) and never moves the payload column
+    # (the 100 TB column); rows with a NULL stored phash are filtered.
+    validate_payload: bool = False
     shingle_k: int = 2               # caption shingle size (tokens)
 
     # neighbor search

@@ -58,7 +58,11 @@ def phash_image(img: np.ndarray) -> int:
     med = np.median(coef[1:])
     bits = coef > med
     bits[0] = False
-    return int(np.packbits(bits.astype(np.uint8), bitorder="little").view(np.uint64)[0])
+    # Pack MSB-first: coefficient 0 (coarsest structure) lands on bit
+    # 63, so truncating to the top-N bits (signature.py top_bits) keeps
+    # the LOW-frequency half of the DCT block — the half that carries
+    # near-duplicate structure.
+    return int.from_bytes(np.packbits(bits.astype(np.uint8)).tobytes(), "big")
 
 
 def phash_batch(images: list[np.ndarray | None]) -> np.ndarray:

@@ -63,6 +63,49 @@ class PipelineResult:
         return ray.data.read_parquet(os.path.join(self.workdir, phase))
 
 
+def corpus_identity(corpus) -> str:
+    """Short digest of the INPUT corpus identity, folded into the phase
+    fingerprint: resume=True against the same workdir but a different
+    corpus must invalidate every checkpoint (same-config/stale-data
+    reuse would silently produce results for the wrong data).
+
+    Path inputs hash the file inventory (name, size, mtime); Dataset
+    inputs hash input_files() when available, else schema + row count
+    (both metadata-only for parquet sources)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if isinstance(corpus, str):
+        if os.path.isdir(corpus):
+            for root, _, files in sorted(os.walk(corpus)):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    h.update(f"{os.path.relpath(p, corpus)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        elif os.path.exists(corpus):
+            st = os.stat(corpus)
+            h.update(f"{corpus}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        else:
+            h.update(corpus.encode())
+    else:
+        files = []
+        try:
+            files = corpus.input_files()
+        except Exception:  # noqa: BLE001 - non-file-backed Dataset
+            pass
+        if files:
+            for p in sorted(files):
+                try:
+                    st = os.stat(p)
+                    h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+                except OSError:
+                    h.update(p.encode())
+        else:
+            h.update(str(corpus.schema()).encode())
+            h.update(str(corpus.count()).encode())
+    return h.hexdigest()[:12]
+
+
 def read_corpus(path: str) -> "ray.data.Dataset":
     """Corpus reader — Lance when available, else parquet (dev fallback
     documented in FIXTURES.md). ``path`` may be a dir or file list."""
@@ -90,11 +133,12 @@ class HumidPipeline:
             from ray.data import DataContext
 
             DataContext.get_current().target_max_block_size = cfg.target_max_block_size
-        fp = cfg.fingerprint()
+        rows = read_corpus(corpus) if isinstance(corpus, str) else corpus
+        # fingerprint = semantic config + corpus identity: a checkpoint
+        # is only reusable for the SAME input data
+        fp = f"{cfg.fingerprint()}-{corpus_identity(corpus)}"
         timings: dict[str, float] = {}
         metrics: dict = {"config_fingerprint": fp}
-
-        rows = read_corpus(corpus) if isinstance(corpus, str) else corpus
 
         # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33)
         first = rows.limit(1).take(1)

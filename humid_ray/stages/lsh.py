@@ -107,6 +107,18 @@ def expand_bands(cfg: HumidConfig, hot_keys: set[tuple[int, int]] | None = None)
     word_bits = cfg.word_bits
 
     def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # all-filtered / empty corpus (or an empty.parquet resume
+            # placeholder): yield an empty band table, don't crash
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_key": pa.array([], type=pa.int64()),
+                    "salt_id": pa.array([], type=pa.int32()),
+                    "salt_key": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.int64()),
+                }
+            )
         sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
         count = batch.column("count").to_numpy(zero_copy_only=False)
         keys = band_keys(sig, layout)

@@ -221,7 +221,9 @@ def filtered_output_hash_join(rows_ds, sig_ds, assign_ds, num_partitions: int | 
 def annotated_output_hash_join(rows_ds, sig_ds, assign_ds, dense_map=None,
                                num_partitions: int | None = None):
     """Scale path for the annotated output: corpus ⋈ per-row cluster
-    ids on image_id; rows whose signature was filtered get cluster 0."""
+    ids on image_id. Filtered rows keep their REAL computed sig with
+    cluster_id 0 — identical output to the broadcast AnnotatedWriter,
+    so the join-strategy choice never changes results."""
     import pyarrow.compute as pc
 
     if num_partitions is None:
@@ -248,11 +250,21 @@ def annotated_output_hash_join(rows_ds, sig_ds, assign_ds, dense_map=None,
         )
 
     dec = dec.map_batches(to_cluster_id, batch_format="pyarrow")
+    # filtered rows contribute (image_id, real sig, cluster 0) so the
+    # left join below annotates EVERY corpus row with its computed sig
+    def dropped_rows(t: pa.Table) -> pa.Table:
+        ft = t.filter(t.column("filtered")).select(["image_id", "sig"])
+        return ft.append_column(
+            "cluster_id", pa.array(np.zeros(ft.num_rows, dtype=np.int64))
+        )
+
+    dropped = sig_ds.map_batches(dropped_rows, batch_format="pyarrow")
     joined = rows_ds.join(
-        dec, join_type="left_outer", num_partitions=num_partitions, on=("image_id",)
+        dec.union(dropped), join_type="left_outer",
+        num_partitions=num_partitions, on=("image_id",),
     )
 
-    def fill_filtered(t: pa.Table) -> pa.Table:
+    def fill_missing(t: pa.Table) -> pa.Table:
         cid = t.column("cluster_id")
         sig = t.column("sig")
         return (
@@ -261,7 +273,7 @@ def annotated_output_hash_join(rows_ds, sig_ds, assign_ds, dense_map=None,
             .append_column("cluster_id", pc.fill_null(cid, 0))
         )
 
-    return joined.map_batches(fill_filtered, batch_format="pyarrow")
+    return joined.map_batches(fill_missing, batch_format="pyarrow")
 
 
 def _hist_to_pandas(ds, key: str):

@@ -140,10 +140,17 @@ class SignatureExtractor:
             if cfg.signature_source == "recompute":
                 phash, ok = self._recompute_phash(batch.column("bytes"))
             else:
-                ok = self._payload_ok(batch.column("bytes"))
                 stored = batch.column("phash")
-                phash = int64_to_uint64(stored.to_numpy(zero_copy_only=False))
-                phash = np.where(pc.is_null(stored).to_numpy(zero_copy_only=False), UINT64(0), phash)
+                is_null = pc.is_null(stored).to_numpy(zero_copy_only=False).astype(bool)
+                # fill nulls BEFORE to_numpy: an int64 column with any
+                # null otherwise converts via float64, silently mangling
+                # phash values above 2^53 (batch-composition-dependent!)
+                phash = int64_to_uint64(
+                    np.asarray(pc.fill_null(stored, 0).to_numpy(zero_copy_only=False))
+                )
+                ok = ~is_null  # null stored phash -> row is filtered
+                if cfg.validate_payload:
+                    ok &= self._payload_ok(batch.column("bytes"))
             filtered |= ~ok
         else:
             phash = np.zeros(n, dtype=UINT64)
@@ -195,7 +202,11 @@ def extract_signatures(ds, cfg: HumidConfig, umi_bits: int = 0):
         if cfg.signature_source == "recompute":
             needed.append("bytes")
         else:
-            needed += ["bytes", "phash"]
+            # stored fast path: the pruned scan never touches the
+            # payload column unless payload sniffing is opted in
+            needed.append("phash")
+            if cfg.validate_payload:
+                needed.append("bytes")
         ds = ds.select_columns([c for c in dict.fromkeys(needed)])
     concurrency = cfg.sig_concurrency
     if concurrency is None:

@@ -82,7 +82,7 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int,
     rng = np.random.default_rng([seed, gid])
     rows, meta = [], []
 
-    def emit(sub: int, data: bytes, fmt: str, caption: str, ph: int):
+    def emit(sub: int, data: bytes, fmt: str, caption: str, ph: int | None):
         rid = gid * 64 + sub  # globally unique, order = generation order
         rows.append(
             {
@@ -92,7 +92,8 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int,
                 "h": img_hw,
                 "fmt": fmt,
                 "caption": caption,
-                "phash": np.uint64(ph).astype(np.int64).item(),
+                "phash": None if ph is None
+                else np.uint64(ph).astype(np.int64).item(),
             }
         )
         meta.append({"image_id": f"img{rid:010d}", "family": kind, "gid": gid})
@@ -101,13 +102,17 @@ def gen_group(gid: int, seed: int, max_distance: int, phash_part_bits: int,
         style = gid % 3
         img = _image(rng, img_hw)
         data, fmt = _encode(rng, img)
+        # undecodable/empty payloads carry a NULL stored phash — the
+        # stored-mode fast path filters on phash IS NULL without ever
+        # reading ``bytes`` (an ingester that can't decode a row can't
+        # have computed its phash either)
         if style == 0:
             emit(0, data, fmt, "", phash_image(img))          # empty caption
         elif style == 1:
-            emit(0, b"", fmt, _caption(rng), 0)                # empty payload
+            emit(0, b"", fmt, _caption(rng), None)             # empty payload
         else:
             emit(0, b"JUNK" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
-                 fmt, _caption(rng), 0)                        # undecodable
+                 fmt, _caption(rng), None)                     # undecodable
         return rows, meta
 
     img = _image(rng, img_hw)
@@ -197,7 +202,7 @@ def gen_rows(n_rows: int, seed: int = 42, max_distance: int = 1,
     return table, mtab
 
 
-GEN_VERSION = 3  # bump when generated bytes change (invalidates caches)
+GEN_VERSION = 4  # bump when generated bytes change (invalidates caches)
 
 
 def corpus_path(base_dir: str, n_rows: int, seed: int = 42, img_hw: int = H) -> str:

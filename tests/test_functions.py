@@ -148,3 +148,78 @@ def test_shingle_hashes_do_not_cross_rows():
     # "b c" shingle exists only in the single-row variant
     assert len(s1) == 2 and len(s2) == 3
     assert set(s1.tolist()) < set(s2.tolist()) or set(s1.tolist()) != set(s2.tolist())
+
+
+def test_phash_msb_first_packing():
+    """DCT coefficient i must land on bit 63-i (MSB-first): the coarse
+    low-frequency coefficients survive top-bits truncation. Pinned
+    against an in-test repack of the same threshold bits."""
+    from humid_ray.functions.phash import _D, _K, _N, _pool, _to_gray, phash_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    ph = phash_image(img)
+    g = _pool(_to_gray(np.asarray(img, dtype=np.float64)), _N)
+    coef = (_D @ g @ _D.T)[:_K, :_K].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    bits[0] = False
+    for i in range(64):
+        assert ((ph >> (63 - i)) & 1) == int(bits[i])
+    # DC bit forced 0 -> top bit always clear
+    assert ph < 2**63
+
+
+def test_stored_phash_null_safe_and_exact():
+    """A null phash in the batch must NOT degrade the int64 column to
+    float64 (values > 2^53 silently change); null rows are filtered."""
+    import pyarrow as pa
+
+    from humid_ray.config import HumidConfig
+    from humid_ray.stages.signatures import SignatureExtractor
+
+    big = (1 << 62) | 0x5DEECE66D  # not representable in float64
+    batch = pa.table(
+        {
+            "image_id": ["a", "b", "c"],
+            "caption": ["w1 w2 w3", "w1 w2 w3", "w4 w5 w6"],
+            "phash": pa.array([big, None, big ^ 1], type=pa.int64()),
+        }
+    )
+    cfg = HumidConfig(sources=("phash",), word_bits=64)
+    out = SignatureExtractor(cfg, 0, {})(batch)
+    sig = out.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+    filtered = out.column("filtered").to_numpy(zero_copy_only=False)
+    assert sig[0] == big and sig[2] == big ^ 1  # exact bits, no float trip
+    assert list(filtered) == [False, True, False]
+
+
+def test_validate_payload_gate():
+    """validate_payload=True additionally sniffs payload magic bytes;
+    False trusts the stored phash (and never needs the bytes column)."""
+    import pyarrow as pa
+
+    from humid_ray.config import HumidConfig
+    from humid_ray.png import encode_png
+    from humid_ray.stages.signatures import SignatureExtractor
+
+    ok_png = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    batch = pa.table(
+        {
+            "image_id": ["a", "b"],
+            "caption": ["w1 w2 w3", "w1 w2 w3"],
+            "bytes": pa.array([ok_png, b"JUNKJUNKJUNK"], type=pa.binary()),
+            "phash": pa.array([123, 456], type=pa.int64()),
+        }
+    )
+    lax = SignatureExtractor(HumidConfig(sources=("phash",), word_bits=64), 0, {})(batch)
+    strict = SignatureExtractor(
+        HumidConfig(sources=("phash",), word_bits=64, validate_payload=True), 0, {}
+    )(batch)
+    assert list(lax.column("filtered").to_pylist()) == [False, False]
+    assert list(strict.column("filtered").to_pylist()) == [False, True]
+    # fast path works WITHOUT the bytes column at all
+    no_bytes = SignatureExtractor(HumidConfig(sources=("phash",), word_bits=64), 0, {})(
+        batch.drop_columns(["bytes"])
+    )
+    assert no_bytes.num_rows == 2

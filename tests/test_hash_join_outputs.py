@@ -31,4 +31,8 @@ def test_hash_join_outputs_match_broadcast(ray_session, corpus_dir, workdir):
     ab = pq.read_table(os.path.join(workdir + "_b", "05_annotated")).to_pandas()
     ah = pq.read_table(os.path.join(workdir + "_h", "05_annotated")).to_pandas()
     assert len(ab) == len(ah)
-    assert set(zip(ab.image_id, ab.cluster_id)) == set(zip(ah.image_id, ah.cluster_id))
+    # full parity including the sig column: filtered rows must carry
+    # their REAL computed sig (cluster 0) in BOTH join strategies
+    assert set(zip(ab.image_id, ab.sig, ab.cluster_id)) == set(
+        zip(ah.image_id, ah.sig, ah.cluster_id)
+    )

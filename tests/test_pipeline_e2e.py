@@ -134,8 +134,22 @@ def test_config_change_invalidates_checkpoints(ray_session, corpus_dir, workdir)
     # different clustering mode -> new fingerprint -> assign recomputed
     _, res = _run(corpus_dir, workdir, resume=True, clustering="maximum")
     mf = json.load(open(os.path.join(workdir, "04_assign", "_MANIFEST.json")))
-    assert mf["fingerprint"] == HumidConfig(clustering="maximum").fingerprint()
+    assert mf["fingerprint"].startswith(HumidConfig(clustering="maximum").fingerprint())
     assert a1 > 0 and res.metrics["clusters"] > 0
+
+
+def test_corpus_change_invalidates_checkpoints(ray_session, corpus_dir, workdir):
+    """Same config + same workdir + DIFFERENT corpus must not reuse
+    stale checkpoints (the fingerprint folds in the corpus identity)."""
+    from humid_ray.synth import make_corpus
+
+    _run(corpus_dir, workdir, resume=True)
+    n1 = pq.read_table(os.path.join(workdir, "01_signatures")).num_rows
+    other = make_corpus("/tmp/humid_pytest", 300)
+    _, res = _run(other, workdir, resume=True)
+    n2 = pq.read_table(os.path.join(workdir, "01_signatures")).num_rows
+    assert n1 == 600 and n2 == 300
+    assert res.metrics["rows_scanned"] == 300
 
 
 def test_salting_preserves_edges(ray_session, corpus_dir, workdir):
