@@ -74,27 +74,11 @@ class _TopKPartial:
         )
 
 
-def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
-    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
-    (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
-    Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
-    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    qt = (
-        ds.sort("vec_id").limit(n_queries).take_all()
-    )
-    q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)
-    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qt])
-    query_ref = ray.put((q_ids, q))
-    partial = ds.map_batches(
-        _TopKPartial,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
-    # global merge: tiny (n_blocks * nq * k rows) -> driver heap
+def _merge_topk(partial_ds, q_ids: np.ndarray, k: int) -> pa.Table:
+    """Global top-k from per-block partial top-k rows. The driver only
+    ever sees n_blocks * n_queries * k rows — tiny at any corpus size."""
     best: dict[int, list] = {int(i): [] for i in q_ids}
-    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    for b in partial_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for qid, nid, s in zip(
             b.column("query_id").to_numpy(zero_copy_only=False),
             b.column("neighbor_id").to_numpy(zero_copy_only=False),
@@ -115,7 +99,33 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
                     "cosine": round(s, 6),
                 }
             )
+    if not rows:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "neighbor_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
     return pa.Table.from_pylist(rows)
+
+
+def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
+    (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
+    Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qt = (
+        ds.sort("vec_id").limit(n_queries).take_all()
+    )
+    q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qt])
+    query_ref = ray.put((q_ids, q))
+    partial = ds.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partial, q_ids, k)
 
 
 # --- LSH-bucketed ANN (scale path) ---------------------------------------
@@ -173,28 +183,24 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
             probe.add(b ^ (1 << j))
     import pyarrow.compute as pc
 
+    probe_arr = pa.array(sorted(probe), type=pa.int64())
+    # candidates stay DISTRIBUTED: filter to probe buckets, then the
+    # same per-block partial-top-k + tiny driver merge as bruteforce
+    # (no take_all of candidate rows — probe buckets can be large)
     cand = tagged.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(sorted(probe)))),
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=probe_arr))
+        .select(["vec_id", "embedding"]),
         batch_format="pyarrow",
-    ).take_all()
-    if not cand:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "neighbor_id": pa.array([], type=pa.int64()),
-                         "rank": pa.array([], type=pa.int64()),
-                         "cosine": pa.array([], type=pa.float64())})
-    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-    m = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cand]))
-    sims = m @ q.T
-    rows = []
-    for qi in range(len(q_ids)):
-        s = sims[:, qi]
-        idx = np.lexsort((ids, -s))[: min(k, len(ids))]
-        for rank, i in enumerate(idx, 1):
-            rows.append(
-                {"query_id": int(q_ids[qi]), "neighbor_id": int(ids[i]),
-                 "rank": rank, "cosine": round(float(s[i]), 6)}
-            )
-    return pa.Table.from_pylist(rows)
+    )
+    query_ref = ray.put((q_ids, q))
+    partial = cand.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partial, q_ids, k)
 
 
 # --- embedding near-duplicate pairs --------------------------------------

@@ -131,6 +131,8 @@ class MinHashDocs:
 
 def _verify_minhash_group(threshold: float):
     def kernel(group: pa.Table) -> pa.Table:
+        from humid_ray.stages.lsh import _minhash_of
+
         empty = pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
@@ -148,10 +150,8 @@ def _verify_minhash_group(threshold: float):
         doc = doc[keep_first]
         if len(doc) < 2:
             return empty
-        mh = np.stack(
-            [np.asarray(group.column("minhash")[int(i)].as_py(), dtype=np.int64)
-             for i in order]
-        )
+        # vectorized FixedSizeList flatten (no per-row .as_py loop)
+        mh = _minhash_of(group)[order]
         sim = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
         ii, jj = np.nonzero(sim >= threshold)
         lt = ii < jj
@@ -214,20 +214,37 @@ class NgramJaccard:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """MinHash candidates re-verified with EXACT n-gram Jaccard."""
+    """MinHash candidates re-verified with EXACT n-gram Jaccard.
+
+    Scale shape: only the texts of documents that appear in a
+    CANDIDATE PAIR are pulled and broadcast (candidates ≪ corpus — the
+    whole point of LSH); the corpus itself streams through a
+    vectorized ``pc.is_in`` semi-join, never the driver."""
+    import pyarrow.compute as pc
+
     import ray
 
-    cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
-    docs = read_documents(sf_dir, columns=["doc_id", "text"]).take_all()
-    text_ref = ray.put({int(r["doc_id"]): r["text"] or "" for r in docs})
+    cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2)).materialize()
+    ids: set[int] = set()
+    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.update(b.column("doc_a").to_pylist())
+        ids.update(b.column("doc_b").to_pylist())
+    id_arr = pa.array(sorted(ids), type=pa.int64())
+    cand_docs = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_arr)),
+        batch_format="pyarrow",
+    )
+    texts: dict[int, str] = {}
+    for b in cand_docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for d, s in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            texts[int(d)] = s or ""
+    text_ref = ray.put(texts)
     verified = cand.map_batches(
         NgramJaccard,
         fn_constructor_kwargs={"text_ref": text_ref, "k": k},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    import pyarrow.compute as pc
-
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("ngram_jaccard"), threshold)),
         batch_format="pyarrow",

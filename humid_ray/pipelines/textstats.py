@@ -13,7 +13,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from humid_ray.functions.text import tokenize_batch
-from humid_ray.util import UINT64, combine_hashes, round_half_away, u64col
+from humid_ray.util import UINT64, round_half_away, u64col
 
 
 def read_documents(sf_dir: str, columns=None):
@@ -108,6 +108,14 @@ _PROFILES = {
 
 
 class LangId:
+    """Vectorized bigram-profile scorer: one Arrow ``count_substring``
+    per (lang, bigram) — no per-row Python. Every profile bigram has
+    two DISTINCT characters, so non-overlapping occurrence counts equal
+    position counts (an overlap would need bg[0] == bg[1]); and all
+    profile bigrams are alphabetic, so the per-position isalpha gate of
+    a naive scorer is a no-op. Ties go to the first language in
+    profile order; score 0 -> 'und'."""
+
     def __init__(self):
         self.profiles = {
             lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
@@ -115,23 +123,17 @@ class LangId:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.fill_null(batch.column("text"), "")).to_pylist()
-        out = []
-        for t in texts:
-            if not t:
-                out.append("und")
-                continue
-            bigrams = {}
-            for i in range(len(t) - 1):
-                bg = t[i : i + 2]
-                if bg.isalpha():
-                    bigrams[bg] = bigrams.get(bg, 0) + 1
-            best, best_score = "und", 0
-            for lang, prof in self.profiles.items():
-                score = sum(w * bigrams.get(bg, 0) for bg, w in prof.items())
-                if score > best_score:
-                    best, best_score = lang, score
-            out.append(best)
+        lower = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        langs = list(self.profiles)
+        scores = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for bg, w in self.profiles[lang].items():
+                cnt = pc.count_substring(lower, bg).to_numpy(zero_copy_only=False)
+                scores[:, li] += w * cnt.astype(np.int64)
+        best = np.argmax(scores, axis=1)  # first max wins (profile order)
+        maxsc = scores[np.arange(len(best)), best] if len(best) else np.empty(0, dtype=np.int64)
+        lang_arr = np.array(langs, dtype=object)
+        out = np.where(maxsc > 0, lang_arr[best], "und")
         return pa.table(
             {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(out)}
         )
@@ -144,20 +146,20 @@ def langid(sf_dir: str):
 
 
 def fingerprints(sf_dir: str):
-    """(doc_id, fingerprint) — order-sensitive rolling hash over the
-    token-hash sequence (winnowing-style document fingerprint)."""
+    """(doc_id, fingerprint) — order-sensitive polynomial rolling hash
+    over the token-hash sequence (winnowing-style document
+    fingerprint), one vectorized reduceat kernel per batch — no
+    per-document Python loop. Empty docs fingerprint to a fixed
+    sentinel (splitmix64(0)); zero-token docs stay distinguishable
+    from content by that sentinel."""
+    from humid_ray.util import hash_u64_segments, splitmix64
 
     def kernel(batch: pa.Table) -> pa.Table:
         th, offs = tokenize_batch(batch.column("text"))
-        n = len(offs) - 1
-        fp = np.zeros(n, dtype=UINT64)
-        for i in range(n):
-            seg = th[offs[i] : offs[i + 1]]
-            if len(seg):
-                acc = seg[:1]
-                for j in range(1, len(seg)):
-                    acc = combine_hashes(acc, seg[j : j + 1])
-                fp[i] = acc[0]
+        fp = hash_u64_segments(th, offs)
+        # preserve the previous convention: docs with no tokens get 0
+        lens = np.asarray(offs[1:]) - np.asarray(offs[:-1])
+        fp = np.where(lens > 0, fp, UINT64(0))
         return pa.table(
             {"doc_id": batch.column("doc_id"), "fingerprint": u64col(fp)}
         )

@@ -389,37 +389,54 @@ def make_minhash_verifier(cfg: HumidConfig):
     return kernel
 
 
-def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig):
+def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
+                       broadcast_max_rows: int = 5_000_000):
     """Edges between unique sigs whose representative-row minhashes
     estimate Jaccard >= threshold. The representative row is the sig's
     first occurrence (min image_id), matching the word the reference
     indexes (a leaf stores one word; trie.add is idempotent on content).
+
+    The (first_id -> representative row) semi-join is vectorized and
+    streaming at both scales: below ``broadcast_max_rows`` the sorted
+    first_id array is broadcast once (``ray.put``) and each batch
+    filters with ``pc.is_in`` (Arrow kernel, no Python row loop);
+    above it, a distributed hash semi-join (``Dataset.join``) keeps
+    the id set off the driver entirely.
     """
+    import pyarrow.compute as pc
+
     import ray
 
-    from humid_ray.stages.joins import SigLookup
+    n_uniq = uniq_ds.count()
+    if n_uniq <= broadcast_max_rows:
+        chunks = []
+        for b in uniq_ds.select_columns(["first_id"]).iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        ):
+            chunks.append(b.column("first_id"))
+        id_array = pa.concat_tables(
+            [pa.table({"first_id": c}) for c in chunks]
+        ).column("first_id").combine_chunks()
+        ids_ref = ray.put(id_array)
 
-    # (first_id -> sig) semi-join: broadcast the first_id set
-    ids = set()
-    for b in uniq_ds.select_columns(["first_id"]).iter_batches(
-        batch_size=262144, batch_format="pyarrow"
-    ):
-        ids.update(b.column("first_id").to_pylist())
-    ids_ref = ray.put(ids)
+        class FirstRows:
+            def __init__(self):
+                self.ids: pa.Array = ray.get(ids_ref)
 
-    class FirstRows:
-        def __init__(self):
-            self.ids: set[str] = ray.get(ids_ref)
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keep = pc.is_in(batch.column("image_id"), value_set=self.ids)
+                return batch.filter(keep).select(["sig", "minhash"])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = pa.array(
-                [i in self.ids for i in batch.column("image_id").to_pylist()]
-            )
-            return batch.filter(keep).select(["sig", "minhash"])
-
-    firsts = sig_ds.map_batches(
-        FirstRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+        firsts = sig_ds.map_batches(
+            FirstRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        )
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        firsts = sig_ds.select_columns(["image_id", "sig", "minhash"]).join(
+            uniq_ds.select_columns(["first_id"]).rename_columns(["image_id"]),
+            join_type="inner", on=("image_id",),
+            num_partitions=max(2, min(64, cpus // 2)),
+        ).select_columns(["sig", "minhash"])
     bands = firsts.map_batches(
         expand_minhash_bands(cfg), batch_format="pyarrow", zero_copy_batch=True
     )

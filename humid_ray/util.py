@@ -102,6 +102,45 @@ def hash_bytes_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return splitmix64(h)
 
 
+def hash_u64_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit hash of each uint64 segment, vectorized.
+
+    Same polynomial-rolling-hash construction as
+    ``hash_bytes_segments`` but over uint64 token hashes instead of
+    bytes: h = sum(v_j * B^(len-1-j)) mod 2^64, splitmix64-finalized.
+    Empty segments hash to splitmix64(0).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=UINT64)
+    total = int(offsets[-1] - offsets[0])
+    if total == 0:
+        return splitmix64(np.zeros(n, dtype=UINT64))
+    base = int(offsets[0])
+    vals = _u64(values[base : base + total])
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=UINT64)
+    pows[0] = UINT64(1)
+    if maxlen > 1:
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(np.full(maxlen - 1, HASH_BASE, dtype=UINT64), out=pows[1:])
+    idx = np.arange(total, dtype=np.int64)
+    end_rep = np.repeat(offsets[1:] - base, lens)
+    rpos = end_rep - 1 - idx
+    with np.errstate(over="ignore"):
+        contrib = vals * pows[rpos]
+    seg_starts = (offsets[:-1] - base).astype(np.intp)
+    h = np.zeros(n, dtype=UINT64)
+    nonempty = lens > 0
+    if nonempty.any():
+        with np.errstate(over="ignore"):
+            sums = np.add.reduceat(contrib, seg_starts[nonempty])
+        h[nonempty] = sums
+    return splitmix64(h)
+
+
 def combine_hashes(*hs: np.ndarray) -> np.ndarray:
     """Order-sensitive combine of equal-length uint64 hash arrays."""
     acc = _u64(hs[0]).copy()

@@ -63,3 +63,37 @@ def test_local_equals_distributed(ray_session, pairs):
         seen |= comp
         truth.add(frozenset(comp))
     assert local == truth
+
+
+def test_distributed_cc_vectorized_at_scale(ray_session):
+    """200k-edge random graph: distributed labels == union-find truth,
+    and the bucket-vectorized rounds stay within a sane wall-time
+    multiple of the driver-side union-find (the old per-node map_groups
+    version was orders of magnitude off)."""
+    import time
+
+    from humid_ray.stages.components import components_from_arrays
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 100_000, 200_000
+    ea = rng.integers(1, n_nodes, n_edges, dtype=np.int64)
+    eb = rng.integers(1, n_nodes, n_edges, dtype=np.int64)
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+    ds = _edges_dataset(list(zip(ea.tolist(), eb.tolist())))
+
+    t0 = time.perf_counter()
+    truth_sigs, truth_comp = components_from_arrays(ea, eb)
+    t_local = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dist = connected_components_distributed(ds).to_pandas()
+    t_dist = time.perf_counter() - t0
+
+    got = dict(zip(dist.sig, dist.comp))
+    want = dict(zip(truth_sigs.tolist(), truth_comp.tolist()))
+    assert got == want
+    # loose bound: vectorized rounds, not per-node groups (the per-node
+    # version took ~13 min here; the bucketed one ~40-60 s on 4-8 CPUs);
+    # generous to absorb CI noise
+    assert t_dist < max(120.0, 100 * t_local), (t_dist, t_local)

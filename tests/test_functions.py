@@ -223,3 +223,27 @@ def test_validate_payload_gate():
         batch.drop_columns(["bytes"])
     )
     assert no_bytes.num_rows == 2
+
+
+def test_hash_u64_segments_matches_scalar_reference():
+    """Vectorized polynomial segment hash == scalar mod-2^64 loop, and
+    is order-sensitive."""
+    from humid_ray.util import HASH_BASE, hash_u64_segments, splitmix64
+
+    vals = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.uint64)
+    offs = np.array([0, 3, 3, 8], dtype=np.int64)  # [3,1,4], [], [1,5,9,2,6]
+    got = hash_u64_segments(vals, offs)
+
+    def scalar(seg):
+        h = 0
+        for v in seg:
+            h = (h * int(HASH_BASE) + int(v)) % (1 << 64)
+        return int(splitmix64(np.array([h], dtype=np.uint64))[0])
+
+    assert int(got[0]) == scalar([3, 1, 4])
+    assert int(got[1]) == scalar([])
+    assert int(got[2]) == scalar([1, 5, 9, 2, 6])
+    # order sensitivity
+    swapped = hash_u64_segments(np.array([1, 3, 4], dtype=np.uint64),
+                                np.array([0, 3], dtype=np.int64))
+    assert int(swapped[0]) != int(got[0])

@@ -78,3 +78,26 @@ def test_exact_dedup_docs_matches_pandas(ray_session):
     assert len(res) == len(exp)
     assert (res.cnt.to_numpy() == exp.cnt.to_numpy()).all()
     assert (res.rep_id.to_numpy() == exp.rep_id.to_numpy()).all()
+
+
+def test_langid_vectorized_matches_naive(ray_session):
+    """Vectorized count_substring scorer == per-row bigram-dict scorer."""
+    from humid_ray.pipelines.textstats import _PROFILES, langid
+
+    pred = langid(SF).to_pandas().set_index("doc_id").lang_pred
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    profiles = {lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
+                for lang, bgs in _PROFILES.items()}
+    for _, row in docs.head(200).iterrows():
+        t = (row.text or "").lower()
+        bigrams = {}
+        for i in range(len(t) - 1):
+            bg = t[i:i + 2]
+            if bg.isalpha():
+                bigrams[bg] = bigrams.get(bg, 0) + 1
+        best, best_score = "und", 0
+        for lang, prof in profiles.items():
+            score = sum(w * bigrams.get(bg, 0) for bg, w in prof.items())
+            if score > best_score:
+                best, best_score = lang, score
+        assert pred.loc[row.doc_id] == best, row.doc_id
