@@ -64,6 +64,17 @@ class HumidConfig:
     minhash_perms: int = 128         # for distance="minhash-jaccard"
     minhash_bands: int = 16
     jaccard_threshold: float = 0.8
+    # "exact": candidates from banding, verified by EXACT shingle-set
+    # Jaccard (the shingle sets ride along with the band rows) — an
+    # estimated-only pass admits pairs whose minhashes collide by
+    # chance; this mirrors how the reference's -e verifies real edit
+    # distance in the trie walk (src/humid.cc:140-158), not a sketch.
+    # "estimate": legacy estimated-Jaccard-only verification.
+    minhash_verify: str = "exact"
+    # exact mode prefilters pairs with estimated Jaccard >=
+    # threshold - slack before exact verification (3-sigma of the
+    # k=128 estimator at J=0.5 is ~0.13); widen for tiny perm counts.
+    jaccard_est_slack: float = 0.15
 
     # clustering
     clustering: str = "directional"  # "directional" | "maximum" (HUMID -x)
@@ -101,6 +112,8 @@ class HumidConfig:
             raise ValueError(f"unknown distance {self.distance}")
         if self.clustering not in ("directional", "maximum"):
             raise ValueError(f"unknown clustering {self.clustering}")
+        if self.minhash_verify not in ("exact", "estimate"):
+            raise ValueError(f"unknown minhash_verify {self.minhash_verify}")
         if not self.sources:
             raise ValueError("need at least one signature source")
         # names outside the built-ins resolve through the signature

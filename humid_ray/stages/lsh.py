@@ -319,27 +319,55 @@ def _minhash_of(batch: pa.Table) -> np.ndarray:
 def expand_minhash_bands(cfg: HumidConfig):
     from humid_ray.functions.minhash import minhash_band_keys
 
+    carry_shingles = cfg.minhash_verify == "exact"
+
     def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nb = cfg.minhash_bands
+        if n == 0:
+            cols = {
+                "band_id": pa.array([], type=pa.int32()),
+                "band_key": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.int64()),
+                "minhash": pa.array([], type=pa.list_(pa.int64(), cfg.minhash_perms)),
+            }
+            if carry_shingles:
+                cols["shingles"] = pa.array([], type=pa.large_list(pa.int64()))
+            return pa.table(cols)
         sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
         mh = _minhash_of(batch)
         keys = minhash_band_keys(mh.view(UINT64), cfg.minhash_bands)
-        n = len(sig)
-        nb = cfg.minhash_bands
-        return pa.table(
-            {
-                "band_id": pa.array(
-                    np.repeat(np.arange(nb, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
-                ),
-                "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "sig": pa.array(np.repeat(sig.view(np.int64), nb), type=pa.int64()),
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(mh, nb, axis=0).reshape(-1), type=pa.int64()),
-                    mh.shape[1],
-                ),
-            }
-        )
+        cols = {
+            "band_id": pa.array(
+                np.repeat(np.arange(nb, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
+            ),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+            "sig": pa.array(np.repeat(sig.view(np.int64), nb), type=pa.int64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(mh, nb, axis=0).reshape(-1), type=pa.int64()),
+                mh.shape[1],
+            ),
+        }
+        if carry_shingles:
+            # rows-outer / bands-inner ordering, same as every column above
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nb))
+            sh = batch.column("shingles")
+            if isinstance(sh, pa.ChunkedArray):
+                sh = sh.combine_chunks()
+            cols["shingles"] = sh.take(idx)
+        return pa.table(cols)
 
     return kernel
+
+
+def _list_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 values, absolute int64 offsets) of a (Large)List
+    column — offsets index ``values`` directly even for sliced arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(col.values, dtype=np.int64).view(UINT64)
+    return vals, offs
 
 
 def make_minhash_verifier(cfg: HumidConfig):
@@ -347,6 +375,11 @@ def make_minhash_verifier(cfg: HumidConfig):
 
     threshold = cfg.jaccard_threshold
     nb = cfg.minhash_bands
+    exact = cfg.minhash_verify == "exact"
+    # estimated prefilter: loose enough that true matches at the
+    # threshold survive estimator noise, tight enough to bound the
+    # per-bucket exact-verification work
+    prefilter = max(0.0, threshold - cfg.jaccard_est_slack) if exact else threshold
 
     def kernel(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -358,15 +391,26 @@ def make_minhash_verifier(cfg: HumidConfig):
         sig = group.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
         mh = _minhash_of(group)
         order = np.argsort(sig, kind="stable")
-        sig, mh = sig[order], mh[order]
-        keep = np.r_[True, sig[1:] != sig[:-1]]
-        sig, mh = sig[keep], mh[keep]
+        keep = np.r_[True, sig[order][1:] != sig[order][:-1]]
+        idx = order[keep]
+        sig, mh = sig[idx], mh[idx]
         if len(sig) < 2:
             return empty
         est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
-        ii, jj = np.nonzero(est >= threshold)
+        ii, jj = np.nonzero(est >= prefilter)
         lt = ii < jj
         ii, jj = ii[lt], jj[lt]
+        if exact and len(ii):
+            vals, offs = _list_segments(group.column("shingles"))
+            starts, ends = offs[idx], offs[idx + 1]
+            ok = np.zeros(len(ii), dtype=bool)
+            for p, (i, j) in enumerate(zip(ii.tolist(), jj.tolist())):
+                a = vals[starts[i]:ends[i]]
+                b = vals[starts[j]:ends[j]]
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                union = a.size + b.size - inter
+                ok[p] = union > 0 and inter / union >= threshold
+            ii, jj = ii[ok], jj[ok]
         if not len(ii):
             return empty
         # first-equal-band dedupe (recomputable from the minhashes)
@@ -407,6 +451,9 @@ def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
 
     import ray
 
+    carry = ["sig", "minhash"]
+    if cfg.minhash_verify == "exact":
+        carry.append("shingles")
     n_uniq = uniq_ds.count()
     if n_uniq <= broadcast_max_rows:
         chunks = []
@@ -425,18 +472,18 @@ def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 keep = pc.is_in(batch.column("image_id"), value_set=self.ids)
-                return batch.filter(keep).select(["sig", "minhash"])
+                return batch.filter(keep).select(carry)
 
         firsts = sig_ds.map_batches(
             FirstRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
         )
     else:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        firsts = sig_ds.select_columns(["image_id", "sig", "minhash"]).join(
+        firsts = sig_ds.select_columns(["image_id", *carry]).join(
             uniq_ds.select_columns(["first_id"]).rename_columns(["image_id"]),
             join_type="inner", on=("image_id",),
             num_partitions=max(2, min(64, cpus // 2)),
-        ).select_columns(["sig", "minhash"])
+        ).select_columns(carry)
     bands = firsts.map_batches(
         expand_minhash_bands(cfg), batch_format="pyarrow", zero_copy_batch=True
     )

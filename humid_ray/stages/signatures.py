@@ -23,7 +23,7 @@ from humid_ray.functions.signature import compose_signatures, umi_hex_to_bits
 from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles
 from humid_ray.functions.text import extract_umi, tokenize_batch
 from humid_ray.png import FJPG_MAGIC, PNG_SIG, decode_image
-from humid_ray.util import UINT64, int64_to_uint64, u64col
+from humid_ray.util import UINT64, int64_to_uint64, segment_unique, u64col
 
 
 def default_sig_concurrency() -> tuple[int, int]:
@@ -73,6 +73,8 @@ class SignatureExtractor:
         self.cfg = cfg
         self.umi_bits = umi_bits
         self.emit_minhash = cfg.distance == "minhash-jaccard"
+        # exact verification needs the true shingle sets downstream
+        self.emit_shingles = self.emit_minhash and cfg.minhash_verify == "exact"
         # the registry is per-process, so custom sources must be
         # RESOLVED on the driver and shipped in as callables; when
         # constructed driver-side directly, resolve here as a fallback
@@ -189,6 +191,11 @@ class SignatureExtractor:
             mh = minhash_batch(sh, sh_offsets, cfg.minhash_perms)
             cols["minhash"] = pa.FixedSizeListArray.from_arrays(
                 u64col(mh.reshape(-1)), cfg.minhash_perms
+            )
+        if self.emit_shingles:
+            uvals, uoffs = segment_unique(sh, sh_offsets)
+            cols["shingles"] = pa.LargeListArray.from_arrays(
+                pa.array(uoffs, type=pa.int64()), u64col(uvals)
             )
         return pa.table(cols)
 

@@ -169,6 +169,27 @@ def segment_reduce(values: np.ndarray, offsets: np.ndarray, ufunc, empty):
     return out
 
 
+def segment_unique(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique, fully vectorized.
+
+    ``values`` flat array segmented by ``offsets`` (len n+1). Returns
+    (flat unique values sorted within each segment, new offsets).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if len(values) == 0:
+        return values[:0], np.zeros(n + 1, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((values, row_ids))
+    sv, sr = values[order], row_ids[order]
+    keep = np.r_[True, (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])]
+    sv, sr = sv[keep], sr[keep]
+    new_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sr, minlength=n), out=new_offsets[1:])
+    return sv, new_offsets
+
+
 def top_bits(h: np.ndarray, nbits: int, total: int = 64) -> np.ndarray:
     """Keep the ``nbits`` most-significant bits of ``h`` (as an integer
     value in [0, 2^nbits)); nbits == 0 -> zeros."""

@@ -19,34 +19,132 @@ def test_minhash_mode_pipeline(ray_session, corpus_dir, workdir):
     res = HumidPipeline(cfg).run(corpus_dir)
     assert res.metrics["clusters"] > 0
 
-    # oracle: brute-force estimated jaccard over the per-sig
-    # representative minhashes (first occurrence per sig)
+    # oracle: brute-force EXACT shingle-set jaccard over the per-sig
+    # representative rows (first occurrence per sig) — the default
+    # minhash_verify="exact" pins edges to true Jaccard, not the sketch
     sig = pq.read_table(os.path.join(workdir, "01_signatures")).to_pandas()
     us = sig[~sig.filtered].copy()
-    us["mh"] = us.minhash.apply(tuple)
+    us["sh"] = us.shingles.apply(lambda v: frozenset(np.asarray(v, dtype=np.int64).tolist()))
     firsts = (
         us.sort_values("image_id").groupby("sig", as_index=False).first()
     )
-    mh = np.array([list(t) for t in firsts.mh], dtype=np.int64)
     sigs = firsts.sig.to_numpy().view(U)
-    est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
-    ii, jj = np.nonzero(est >= cfg.jaccard_threshold)
-    lt = sigs[ii] < sigs[jj]
-    truth = set(zip(sigs[ii[lt]].tolist(), sigs[jj[lt]].tolist()))
+    sets = list(firsts.sh)
+    truth = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            union = len(sets[i] | sets[j])
+            if union and len(sets[i] & sets[j]) / union >= cfg.jaccard_threshold:
+                a, b = sorted((int(sigs[i]), int(sigs[j])))
+                truth.add((a, b))
 
     edges = pq.read_table(os.path.join(workdir, "03_edges")).to_pandas()
     found = set(
         zip(edges.sig_a.to_numpy().view(U).tolist(),
             edges.sig_b.to_numpy().view(U).tolist())
     )
-    # LSH banding with 16 bands of 8 perms has >0.99 collision prob at
-    # jaccard >= 0.8 but is probabilistic; planted dups here are
-    # jaccard == 1.0 (identical captions) so recall must be exact, and
-    # anything found must satisfy the threshold (no false positives)
-    exact = {(a, b) for a, b in truth}
-    assert found <= exact or found == exact
-    missed = exact - found
-    assert len(missed) / max(len(exact), 1) <= 0.01
+    # exact verification guarantees zero false positives vs true
+    # Jaccard; banding + estimator prefilter are probabilistic but
+    # planted dups are identical captions (J == 1.0) so recall must
+    # round to 1 on this corpus
+    assert found <= truth
+    missed = truth - found
+    assert len(missed) / max(len(truth), 1) <= 0.01
+
+
+def _shingle_tools(perms: int, k: int = 2):
+    from humid_ray.functions.minhash import minhash_batch
+    from humid_ray.functions.simhash import shingle_hashes
+    from humid_ray.functions.text import tokenize_batch
+    import pyarrow as pa
+
+    def analyze(captions):
+        th, offs = tokenize_batch(pa.array(captions, type=pa.string()))
+        sh, soffs = shingle_hashes(th, offs, k)
+        mh = minhash_batch(sh, soffs, perms)
+        sets = [frozenset(sh[soffs[i]:soffs[i + 1]].tolist())
+                for i in range(len(captions))]
+        return mh, sets
+
+    return analyze
+
+
+def test_exact_verify_rejects_estimator_false_positive(ray_session, tmp_path):
+    """A pair whose MINHASH ESTIMATE clears the threshold but whose TRUE
+    shingle Jaccard does not: estimate-only verification admits the
+    edge; exact verification (the default) rejects it. Reference
+    behavior being matched: HUMID -e verifies real distances in the
+    trie walk (src/humid.cc:140-158), never a sketch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.synth import SCHEMA
+
+    perms, threshold = 8, 0.8
+    analyze = _shingle_tools(perms)
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    words = ["kilo", "lima", "mike", "november", "oscar", "papa", "quebec",
+             "romeo", "sierra", "tango", "uniform", "victor", "whiskey"]
+    # search deterministic variants for an estimator false positive:
+    # with 8 perms, est >= 0.8 needs >= 7 matching perms — likely by
+    # chance somewhere among many true-Jaccard ~0.5-0.7 pairs
+    cands = [base]
+    toks = base.split()
+    for i, w1 in enumerate(words):
+        for w2 in words:
+            cands.append(" ".join(toks[:-2] + [w1, w2]))
+        for pos in range(3, 8):
+            cands.append(" ".join(toks[:pos] + [w1] + toks[pos + 1:]))
+    mh, sets = analyze(cands)
+    est = (mh[0] == mh[1:]).mean(axis=1)
+    fp_idx = None
+    for i in np.argsort(-est):
+        union = len(sets[0] | sets[i + 1])
+        jac = len(sets[0] & sets[i + 1]) / union
+        if est[i] >= threshold and jac < threshold - 0.05:
+            fp_idx = i + 1
+            break
+    assert fp_idx is not None, "no estimator false positive in candidate pool"
+
+    # corpus: the FP pair + an identical-caption true dup + filler
+    captions = [base, cands[fp_idx], "zulu yankee xray " * 3, "zulu yankee xray " * 3,
+                "one two three four five", "six seven eight nine ten"]
+    rows = [
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": c, "phash": (i + 1) * 0x1111_2222_3333}
+        for i, c in enumerate(captions)
+    ]
+    # rows 2/3: identical caption (true Jaccard 1.0) but different
+    # phash, so their composite sigs differ -> a genuine near-dup edge
+    corpus = tmp_path / "fpcorpus"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+
+    def edge_ids(verify):
+        wd = tmp_path / f"run_{verify}"
+        cfg = HumidConfig(
+            workdir=str(wd), distance="minhash-jaccard",
+            jaccard_threshold=threshold, minhash_perms=perms,
+            minhash_bands=2, minhash_verify=verify, resume=False,
+            write_annotated=False, write_stats=False,
+        )
+        HumidPipeline(cfg).run(str(corpus))
+        sig = pq.read_table(str(wd / "01_signatures")).to_pandas()
+        by_sig = sig.set_index(sig.sig.to_numpy().view(U))["image_id"].to_dict()
+        edges = pq.read_table(str(wd / "03_edges")).to_pandas()
+        return {
+            tuple(sorted((by_sig[int(a)], by_sig[int(b)])))
+            for a, b in zip(edges.sig_a.to_numpy().view(U).tolist(),
+                            edges.sig_b.to_numpy().view(U).tolist())
+        }
+
+    est_edges = edge_ids("estimate")
+    exact_edges = edge_ids("exact")
+    fp_pair = ("img000", "img001")
+    true_pair = ("img002", "img003")
+    assert fp_pair in est_edges, "estimate mode should admit the sketch collision"
+    assert fp_pair not in exact_edges, "exact verify must reject it"
+    assert true_pair in est_edges and true_pair in exact_edges
 
 
 def test_cli_smoke(ray_session, corpus_dir, tmp_path):
