@@ -174,10 +174,22 @@ def _embedding_norms(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from humid_ray.pipelines import ann, dedup_text, multimodal, textstats
+    from humid_ray.pipelines import ann, dedup_text, multimodal, substring, textstats
 
     def corpus_decode_stats(sf_dir: str):
         return multimodal.decode_stats(_corpus_for(sf_dir))
+
+    def corpus_decode_dims(sf_dir: str):
+        """Decoded dimensions of every decodable row — SQL-oracled
+        against the corpus's stored (w, h) metadata columns (a row is
+        decodable iff its stored phash is non-null, by construction)."""
+        import pyarrow as pa
+
+        ds = multimodal.decode_stats(_corpus_for(sf_dir))
+        return ds.map_batches(
+            lambda t: t.filter(t.column("ok")).select(["image_id", "width", "height"]),
+            batch_format="pyarrow",
+        )
 
     def corpus_thumbnails(sf_dir: str):
         import pyarrow as pa
@@ -214,7 +226,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: near-dup suite
         "simhash_docs": dedup_text.simhash_docs,
         "minhash_neardup_docs": dedup_text.minhash_neardup_pairs,
-        "ngram_jaccard_docs": dedup_text.ngram_jaccard_pairs,
+        # exact all-pairs shingle Jaccard via prefix filtering (SQL-oracled)
+        "ngram_jaccard_docs": dedup_text.ngram_jaccard_exact,
+        # MinHash-LSH candidates re-verified with exact n-gram Jaccard
+        "ngram_jaccard_lsh": dedup_text.ngram_jaccard_pairs,
+        # substring-level dedup (winnowed-fingerprint suffix-array
+        # analog; LCS-oracle-pinned in tests/test_substring.py)
+        "substring_dedup_docs": substring.substring_dedup_pairs,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -228,12 +246,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": ann.embedding_neardup,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
+        "multimodal_decode_dims": corpus_decode_dims,
         "multimodal_thumbnails": corpus_thumbnails,
     }
 
 
+def _langid_score_sql(lang: str) -> str:
+    """Weighted bigram-count score; every profile bigram has two
+    distinct characters, so replace()-based non-overlapping counts
+    equal the scorer's position counts exactly."""
+    from humid_ray.pipelines.textstats import _PROFILES
+
+    bgs = _PROFILES[lang]
+    return " + ".join(
+        f"{len(bgs) - i}*((length(t) - length(replace(t, '{bg}', ''))) / 2)"
+        for i, bg in enumerate(bgs)
+    )
+
+
+def _decode_dims_oracle() -> str:
+    """The corpus's stored (w, h) metadata is ground truth for the
+    decode path; a row is decodable iff its stored phash is non-null
+    (synth generator invariant). The corpus is generated here if the
+    driver runs oracles before queries (idempotent, cached)."""
+    corpus = _corpus_for("sf0.01")  # correctness gate runs at sf0.01
+    return (
+        f"SELECT image_id, w AS width, h AS height "
+        f"FROM read_parquet('{corpus}/*.parquet') WHERE phash IS NOT NULL"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_jaccard_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+            "ELSE t END) AS s FROM toks) "
+            "SELECT doc_a, doc_b, round(jac, 6) AS ngram_jaccard FROM ("
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0) AS jac "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jac >= 0.8"
+        ),
+        "knn_bruteforce": (
+            "WITH e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 8), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_inner_product(q.qv, e.v) / "
+            "(greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-12) * "
+            "greatest(sqrt(list_inner_product(e.v, e.v)), 1e-12)) AS cos "
+            "FROM q CROSS JOIN e) "
+            "SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) "
+            "AS BIGINT) AS \"rank\", round(cos, 6) AS cosine "
+            "FROM s QUALIFY \"rank\" <= 5"
+        ),
+        "langid_docs": (
+            f"WITH s AS (SELECT doc_id, {_langid_score_sql('en')} AS s_en, "
+            f"{_langid_score_sql('de')} AS s_de, {_langid_score_sql('fr')} AS s_fr, "
+            f"{_langid_score_sql('es')} AS s_es "
+            "FROM (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents)) "
+            "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        ),
+        "multimodal_decode_dims": _decode_dims_oracle(),
         "exact_dedup_docs": (
             "SELECT text, COUNT(*) AS cnt, MIN(doc_id) AS rep_id "
             "FROM documents GROUP BY text"

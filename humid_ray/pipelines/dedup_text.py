@@ -185,11 +185,12 @@ class NgramJaccard:
     """Exact n-gram (token shingle) Jaccard for given doc pairs; the
     verification stage behind minhash_neardup_pairs (broadcast texts)."""
 
-    def __init__(self, text_ref, k: int = 3):
+    def __init__(self, text_ref, k: int = 3, round6: bool = False):
         import ray
 
         self.texts: dict[int, str] = ray.get(text_ref)
         self.k = k
+        self.round6 = round6
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -209,22 +210,28 @@ class NgramJaccard:
             sb = set(sh[sh_offs[n + i] : sh_offs[n + i + 1]].tolist())
             denom = len(sa | sb)
             jac[i] = (len(sa & sb) / denom) if denom else 0.0
+        if self.round6:
+            from humid_ray.util import round_half_away
+
+            jac = round_half_away(jac, 6)
         out = batch.select(["doc_a", "doc_b"])
         return out.append_column("ngram_jaccard", pa.array(jac))
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """MinHash candidates re-verified with EXACT n-gram Jaccard.
+def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
+                        round6: bool = False):
+    """Re-verify candidate (doc_a, doc_b) pairs with EXACT n-gram
+    Jaccard and filter to >= threshold.
 
     Scale shape: only the texts of documents that appear in a
     CANDIDATE PAIR are pulled and broadcast (candidates ≪ corpus — the
-    whole point of LSH); the corpus itself streams through a
-    vectorized ``pc.is_in`` semi-join, never the driver."""
+    whole point of candidate generation); the corpus itself streams
+    through a vectorized ``pc.is_in`` semi-join, never the driver."""
     import pyarrow.compute as pc
 
     import ray
 
-    cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2)).materialize()
+    cand = cand.materialize()
     ids: set[int] = set()
     for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids.update(b.column("doc_a").to_pylist())
@@ -241,7 +248,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
     text_ref = ray.put(texts)
     verified = cand.map_batches(
         NgramJaccard,
-        fn_constructor_kwargs={"text_ref": text_ref, "k": k},
+        fn_constructor_kwargs={"text_ref": text_ref, "k": k, "round6": round6},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -249,3 +256,86 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
         lambda t: t.filter(pc.greater_equal(t.column("ngram_jaccard"), threshold)),
         batch_format="pyarrow",
     )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """MinHash-LSH candidates re-verified with EXACT n-gram Jaccard."""
+    cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
+    return _verify_pairs_exact(cand.select_columns(["doc_a", "doc_b"]),
+                               sf_dir, threshold, k)
+
+
+# --- exact all-pairs n-gram Jaccard (prefix filtering) --------------------
+
+class ShinglePrefixIndex:
+    """documents -> (fp, doc_id) inverted-index rows over each doc's
+    PREFIX shingles only.
+
+    Prefix filtering (Bayardo/Ma/Srikant, WWW 2007 "Scaling Up All
+    Pairs Similarity Search"): order each doc's unique shingles by a
+    global total order (hash value); two docs with Jaccard >= t must
+    share a shingle within their first floor((1-t)*|d|)+1 shingles —
+    so indexing only prefixes keeps EXACT recall while pruning the
+    bucket shuffle to a small fraction of the shingle mass."""
+
+    def __init__(self, k: int, threshold: float):
+        self.k, self.threshold = k, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from humid_ray.util import segment_unique
+
+        th, offs = tokenize_batch(batch.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        uvals, uoffs = segment_unique(sh, sh_offs)
+        sizes = uoffs[1:] - uoffs[:-1]
+        p = np.minimum(
+            np.floor((1.0 - self.threshold) * sizes).astype(np.int64) + 1, sizes
+        )
+        total = int(p.sum())
+        row_ids = np.repeat(np.arange(len(sizes), dtype=np.int64), p)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[0, p[:-1]]), p
+        )
+        sel = uoffs[:-1][row_ids] + within
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "fp": u64col(uvals[sel]),
+                "doc_id": pa.array(doc[row_ids].astype(np.int64)),
+            }
+        )
+
+
+def _prefix_pairer(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"doc_a": pa.array([], type=pa.int64()),
+         "doc_b": pa.array([], type=pa.int64())}
+    )
+    if group.num_rows < 2:
+        return empty
+    doc = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+    if len(doc) < 2:
+        return empty
+    ii, jj = np.triu_indices(len(doc), k=1)
+    return pa.table(
+        {"doc_a": pa.array(doc[ii].astype(np.int64)),
+         "doc_b": pa.array(doc[jj].astype(np.int64))}
+    )
+
+
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """ALL document pairs with exact k-token-shingle Jaccard >=
+    threshold (doc_a < doc_b, jaccard rounded to 6). Deterministic and
+    SQL-oracled: candidates come from a prefix-filtered shingle
+    inverted index (exact recall — see ShinglePrefixIndex), then exact
+    set-Jaccard verification; no sketches anywhere."""
+    from ray.data.aggregate import Count as _Count
+
+    idx = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ShinglePrefixIndex, fn_constructor_kwargs={"k": k, "threshold": threshold},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    pairs = idx.groupby("fp").map_groups(_prefix_pairer, batch_format="pyarrow")
+    cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Count(alias_name="_n"))
+    cand = cand.select_columns(["doc_a", "doc_b"])
+    return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True)
