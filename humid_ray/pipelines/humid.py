@@ -20,6 +20,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -290,16 +291,28 @@ class HumidPipeline:
         assign_ref = assignment_lookup_ref(assign_ds) if join_strategy == "broadcast" else None
         sig_map_ref = None
         if join_strategy == "broadcast" and total_rows <= cfg.broadcast_max_rows:
-            sig_map = {}
+            # phase-1 checkpoint reuse as a sorted-array lookup keyed on
+            # hashed image_id — fully vectorized build and probe (no
+            # per-row dict loop). A 64-bit key collision (odds ~1e-6 at
+            # the 5M-row broadcast cap) falls back to recompute.
+            from humid_ray.stages.joins import SigLookup, hash_string_column
+
+            chunks = []
             for b in sig_ds.select_columns(["image_id", "sig", "filtered"]).iter_batches(
                 batch_size=262144, batch_format="pyarrow"
             ):
-                ids = b.column("image_id").to_pylist()
-                sgs = b.column("sig").to_numpy(zero_copy_only=False)
-                fls = b.column("filtered").to_numpy(zero_copy_only=False)
-                for ident, s, f in zip(ids, sgs.tolist(), fls.tolist()):
-                    sig_map[ident] = (s & 0xFFFFFFFFFFFFFFFF, bool(f))
-            sig_map_ref = ray.put(sig_map)
+                chunks.append(b)
+            t = pa.concat_tables(chunks)
+            h = hash_string_column(t.column("image_id"))
+            if len(np.unique(h)) == t.num_rows:
+                lk = SigLookup(
+                    h,
+                    {
+                        "sig": t.column("sig").to_numpy(zero_copy_only=False),
+                        "filtered": t.column("filtered").to_numpy(zero_copy_only=False),
+                    },
+                )
+                sig_map_ref = ray.put(lk)
         from humid_ray.stages.signatures import default_sig_concurrency
 
         out_kwargs = dict(

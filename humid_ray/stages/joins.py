@@ -18,6 +18,17 @@ import ray
 from humid_ray.util import UINT64
 
 
+def hash_string_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string column (splitmix64
+    over a polynomial byte hash) — lets string-keyed lookups ride the
+    sorted-uint64 SigLookup machinery without per-row Python."""
+    from humid_ray.functions.winnow import string_bytes
+    from humid_ray.util import hash_bytes_segments
+
+    data, offsets = string_bytes(col)
+    return hash_bytes_segments(data, offsets)
+
+
 class SigLookup:
     """Sorted-array uint64 key -> row index lookup (broadcastable)."""
 

@@ -48,23 +48,26 @@ class _OutputBase:
         self.extract = SignatureExtractor(cfg, umi_bits, custom_sources or {})
         self.lk: SigLookup = ray.get(assign_ref)
         self.dense: dict[int, int] | None = ray.get(dense_ref) if dense_ref is not None else None
-        # phase-1 checkpoint reuse: image_id -> (sig, filtered). When it
-        # fits the broadcast budget the second pass skips re-decoding
-        # entirely (the reference re-reads AND re-computes,
-        # src/humid.cc:220-234 — our checkpoint makes that redundant);
-        # None -> recompute like the reference (or use the hash-join path).
-        self.sig_map: dict | None = ray.get(sig_map_ref) if sig_map_ref is not None else None
+        # phase-1 checkpoint reuse: hashed-image_id -> (sig, filtered)
+        # sorted-array lookup (vectorized probe). When it fits the
+        # broadcast budget the second pass skips re-decoding entirely
+        # (the reference re-reads AND re-computes, src/humid.cc:220-234
+        # — our checkpoint makes that redundant); None -> recompute
+        # like the reference (or use the hash-join path).
+        self.sig_map: SigLookup | None = ray.get(sig_map_ref) if sig_map_ref is not None else None
 
     def _row_signatures(self, batch: pa.Table):
         if self.sig_map is not None:
-            ids = batch.column("image_id").to_pylist()
-            sig = np.zeros(len(ids), dtype=UINT64)
-            filtered = np.ones(len(ids), dtype=bool)
-            for i, ident in enumerate(ids):
-                hit = self.sig_map.get(ident)
-                if hit is not None:
-                    sig[i] = UINT64(hit[0])
-                    filtered[i] = hit[1]
+            from humid_ray.stages.joins import hash_string_column
+
+            h = hash_string_column(batch.column("image_id"))
+            found, idx = self.sig_map.lookup(h)
+            if len(self.sig_map.keys):
+                sig = np.where(found, self.sig_map.get("sig", idx).view(UINT64), UINT64(0))
+                filtered = np.where(found, self.sig_map.get("filtered", idx), True)
+            else:
+                sig = np.zeros(len(h), dtype=UINT64)
+                filtered = np.ones(len(h), dtype=bool)
             return sig, filtered
         sigt = self.extract(batch)
         return (
