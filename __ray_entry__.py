@@ -43,17 +43,57 @@ def _corpus_for(sf_dir: str) -> str:
     return make_corpus(_CORPUS_BASE, n)
 
 
-def _pipeline_result(sf_dir: str, **cfg_over):
+def _pipeline_result(sf_dir: str, wd_suffix: str = "", **cfg_over):
     from humid_ray.config import HumidConfig
     from humid_ray.pipelines.humid import HumidPipeline
 
     corpus = _corpus_for(sf_dir)
-    wd = os.path.join("/tmp/humid_runs", os.path.basename(corpus))
-    cfg = HumidConfig(
-        workdir=wd, write_annotated=True, write_filtered=True,
-        write_stats=True, resume=True, **cfg_over,
-    )
+    wd = os.path.join("/tmp/humid_runs", os.path.basename(corpus) + wd_suffix)
+    kwargs = dict(write_annotated=True, write_filtered=True,
+                  write_stats=True, resume=True)
+    kwargs.update(cfg_over)
+    cfg = HumidConfig(workdir=wd, **kwargs)
     return HumidPipeline(cfg).run(corpus), corpus
+
+
+# phash-only signature + maximum clustering: the one flagship
+# configuration whose EVERY phase is ANSI-SQL-expressible (sig ==
+# stored phash bit-for-bit; Hamming = bit_count(xor); connected
+# components = recursive transitive closure) — gives the core
+# uniq/edges/assign machinery a hard DuckDB oracle. The full
+# multi-source config stays pinned by the pytest brute-force oracles.
+_PHASH_CFG = dict(sources=("phash",), clustering="maximum",
+                  wd_suffix="_phash_max", write_annotated=False)
+
+# order-preserving uint64 view of an int64 bit pattern (flip sign bit)
+_SB = "-9223372036854775808"
+
+
+def _humid_uniq_sql(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir, **_PHASH_CFG)
+    return res.dataset("02_uniq")
+
+
+def _humid_edges_sql(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir, **_PHASH_CFG)
+    return res.dataset("03_edges")
+
+
+def _humid_assign_sql(sf_dir: str):
+    """Cluster MEMBERSHIP under the phash-only config: (sig, count,
+    first_id, cluster_seed, cluster_size) — the columns that are
+    walk-order-independent and hence exactly SQL-expressible. The
+    representative (max-leaf) tie-break follows the reference's DFS
+    preorder from the seed (src/cluster.cc:72-80), which SQL cannot
+    express declaratively; it is pinned by the reference-translated
+    graph tests instead."""
+    res, _ = _pipeline_result(sf_dir, **_PHASH_CFG)
+    ds = res.dataset("04_assign")
+    return ds.map_batches(
+        lambda t: t.select(["sig", "count", "first_id", "cluster_seed",
+                            "cluster_size"]),
+        batch_format="pyarrow",
+    )
 
 
 def entry() -> Any:
@@ -216,6 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "humid_filtered_output": _humid_filtered_output,
         "humid_stats": _humid_stats,
         "humid_cluster_hist": _humid_cluster_hist,
+        # flagship phases under the SQL-expressible phash-only config
+        # (hard DuckDB oracle for the uniq/edges/assign machinery)
+        "humid_uniq_sql": _humid_uniq_sql,
+        "humid_edges_sql": _humid_edges_sql,
+        "humid_assign_sql": _humid_assign_sql,
         # documents: exact dedup + histograms (SQL-oracled)
         "exact_dedup_docs": dedup_text.exact_dedup,
         "dup_count_hist_docs": dedup_text.dup_count_hist,
@@ -276,8 +321,53 @@ def _decode_dims_oracle() -> str:
     )
 
 
+def _phash_flagship_oracles() -> dict[str, str]:
+    """DuckDB oracles for the phash-only flagship phases over the
+    synthetic corpus parquet (generated here if the driver runs oracles
+    before queries — idempotent, cached). Uses xor-with-sign-bit to
+    compare int64 bit patterns in uint64 order, bit_count(xor) for
+    Hamming distance, and a recursive transitive closure for connected
+    components (max_distance=1, maximum clustering: cluster == CC,
+    seed == min-sig member, rep == first count-argmax in ascending
+    unsigned sig order)."""
+    corpus = _corpus_for("sf0.01")
+    src = f"read_parquet('{corpus}/*.parquet')"
+    uniq = (
+        f"SELECT phash AS sig, COUNT(*) AS \"count\", MIN(image_id) AS first_id "
+        f"FROM {src} WHERE phash IS NOT NULL GROUP BY phash"
+    )
+    edges = (
+        f"WITH nodes AS (SELECT DISTINCT phash AS sig FROM {src} "
+        "WHERE phash IS NOT NULL) "
+        "SELECT a.sig AS sig_a, b.sig AS sig_b FROM nodes a JOIN nodes b "
+        f"ON xor(a.sig, {_SB}) < xor(b.sig, {_SB}) "
+        "AND bit_count(xor(a.sig, b.sig)) <= 1"
+    )
+    assign = (
+        f"WITH RECURSIVE nodes AS ({uniq}), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= 1), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS cluster_seed "
+        "FROM reach GROUP BY src), "
+        "cl AS (SELECT cluster_seed, sum(\"count\") AS cluster_size "
+        "FROM comp JOIN nodes USING (sig) GROUP BY cluster_seed) "
+        "SELECT n.sig, n.\"count\", n.first_id, c.cluster_seed, "
+        "CAST(cl.cluster_size AS BIGINT) AS cluster_size "
+        "FROM nodes n JOIN comp c USING (sig) JOIN cl USING (cluster_seed)"
+    )
+    return {
+        "humid_uniq_sql": uniq,
+        "humid_edges_sql": edges,
+        "humid_assign_sql": assign,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_phash_flagship_oracles(),
         "ngram_jaccard_docs": (
             "WITH toks AS (SELECT doc_id, "
             "regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "

@@ -55,7 +55,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from humid_ray.config import HumidConfig
-    from humid_ray.pipelines import ann, dedup_text, multimodal, textstats
+    from humid_ray.pipelines import ann, dedup_text, multimodal, substring, textstats
     from humid_ray.pipelines.humid import HumidPipeline
     from humid_ray.synth import make_corpus_parallel
 
@@ -82,38 +82,53 @@ def run_bench() -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
         return res
 
+    # single-node wall times vary ±20-30% with page-cache / writeback
+    # state: run each headline config best-of-N (fresh workdir per
+    # trial) and report every trial so regressions are distinguishable
+    # from cache noise
+    n_trials = 1 if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else int(
+        os.environ.get("GRAFT_BENCH_TRIALS", "3")
+    )
+
+    def pipeline_trials(tag: str, **cfg_over):
+        times = []
+        result = None
+        for trial in range(n_trials):
+            wd = f"/tmp/humid_bench/wd_{tag}_{NUM_CPUS}_{trial}"
+            shutil.rmtree(wd, ignore_errors=True)
+            cfg = HumidConfig(workdir=wd, resume=False, **cfg_over)
+            t0 = time.perf_counter()
+            result = HumidPipeline(cfg).run(corpus)
+            times.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(wd, ignore_errors=True)
+        return min(times), times, result
+
     # headline: full pipeline in RECOMPUTE mode — decode every image,
     # recompute pHash from pixels (the honest image-dedup workload:
     # stateful decode actors dominate, as they would at 100 TB)
-    wd = f"/tmp/humid_bench/wd_{NUM_CPUS}"
-    shutil.rmtree(wd, ignore_errors=True)
-    cfg = HumidConfig(workdir=wd, resume=False, write_filtered=True,
-                      write_annotated=False, write_stats=True,
-                      signature_source="recompute", sig_batch_size=256,
-                      filtered_output="manifest")
-    t0 = time.perf_counter()
-    result = HumidPipeline(cfg).run(corpus)
-    headline = time.perf_counter() - t0
-    queries["humid_pipeline_recompute"] = round(headline, 3)
+    headline, rec_trials, result = pipeline_trials(
+        "rec", write_filtered=True, write_annotated=False, write_stats=True,
+        signature_source="recompute", sig_batch_size=256,
+        filtered_output="manifest",
+    )
+    queries["humid_pipeline_recompute"] = headline
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         out = {
             "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",
-            "value": round(headline, 3), "unit": "sec", "queries": queries,
+            "value": headline, "unit": "sec", "queries": queries,
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "corpus_rows": n_rows,
             "images_per_sec": round(n_rows / headline, 1),
         }
         ray.shutdown()
         return out
 
-    # stored-phash fast path (trusts the phash column; sniffs payload)
-    wd2 = f"/tmp/humid_bench/wd_stored_{NUM_CPUS}"
-    shutil.rmtree(wd2, ignore_errors=True)
-    cfg2 = HumidConfig(workdir=wd2, resume=False, write_filtered=False,
-                       write_annotated=False, write_stats=True)
-    t0 = time.perf_counter()
-    HumidPipeline(cfg2).run(corpus)
-    queries["humid_pipeline_stored"] = round(time.perf_counter() - t0, 3)
+    # stored-phash fast path: trusts the phash column; the pruned scan
+    # never reads the payload bytes (validate_payload off by default)
+    stored_best, stored_trials, _ = pipeline_trials(
+        "stored", write_filtered=False, write_annotated=False, write_stats=True,
+    )
+    queries["humid_pipeline_stored"] = stored_best
 
     # operator suite over the provided testdata tables
     timed("exact_dedup_docs", lambda: dedup_text.exact_dedup(SF_DIR))
@@ -121,6 +136,9 @@ def run_bench() -> dict:
     timed("simhash_docs", lambda: dedup_text.simhash_docs(SF_DIR))
     timed("token_count_docs", lambda: textstats.token_counts(SF_DIR))
     timed("quality_docs", lambda: textstats.quality_scores(SF_DIR))
+    timed("ngram_jaccard_docs", lambda: dedup_text.ngram_jaccard_exact(SF_DIR))
+    timed("substring_dedup_docs", lambda: substring.substring_dedup_pairs(SF_DIR))
+    timed("langid_docs", lambda: textstats.langid(SF_DIR))
     timed("knn_bruteforce", lambda: ann.knn_bruteforce(SF_DIR), consume=None)
     timed("embedding_neardup", lambda: ann.embedding_neardup(SF_DIR))
     timed("multimodal_decode_stats", lambda: multimodal.decode_stats(corpus))
@@ -134,6 +152,18 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_rows": n_rows,
         "images_per_sec": round(n_rows / headline, 1),
+        "trials": {
+            "humid_pipeline_recompute": rec_trials,
+            "humid_pipeline_stored": stored_trials,
+        },
+        "trial_spread_pct": {
+            "humid_pipeline_recompute": round(
+                100 * (max(rec_trials) - min(rec_trials)) / min(rec_trials), 1
+            ),
+            "humid_pipeline_stored": round(
+                100 * (max(stored_trials) - min(stored_trials)) / min(stored_trials), 1
+            ),
+        },
         "pipeline_metrics": {
             k: v for k, v in result.metrics.items()
             if k in ("rows_scanned", "unique_sigs", "candidate_pairs",
