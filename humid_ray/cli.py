@@ -36,7 +36,14 @@ def main(argv=None):
                    help="disable deduplicated output")
     p.add_argument("-a", action="store_true", help="write annotated output (reference -a)")
     p.add_argument("-e", action="store_true",
-                   help="edit-distance mode -> MinHash-Jaccard banding (reference -e)")
+                   help="edit-distance mode: MinHash-Jaccard banded candidates "
+                        "verified with TRUE Levenshtein <= m on captions "
+                        "(reference -e)")
+    p.add_argument("--verify", choices=["edit", "exact", "estimate"],
+                   default="edit",
+                   help="-e candidate verification: true edit distance "
+                        "(default, reference parity), exact shingle Jaccard, "
+                        "or estimated Jaccard")
     p.add_argument("-x", action="store_true",
                    help="maximum clustering method (reference -x)")
     p.add_argument("--recompute-phash", action="store_true",
@@ -63,6 +70,7 @@ def main(argv=None):
         word_bits=args.n,
         max_distance=args.m,
         distance="minhash-jaccard" if args.e else "hamming",
+        minhash_verify=args.verify,
         clustering="maximum" if args.x else "directional",
         write_filtered=args.q,
         write_annotated=args.a,

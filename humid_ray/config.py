@@ -69,6 +69,13 @@ class HumidConfig:
     # estimated-only pass admits pairs whose minhashes collide by
     # chance; this mirrors how the reference's -e verifies real edit
     # distance in the trie walk (src/humid.cc:140-158), not a sketch.
+    # "edit": candidates from banding, verified by TRUE Levenshtein
+    # distance <= max_distance on the representative captions (banded
+    # DP, exact) — full -e parity for the variable-length payload.
+    # Recall caveat: banding recalls pairs by shingle similarity, so
+    # very short captions whose few shingles are all destroyed by m
+    # edits may not surface as candidates (documented approximation;
+    # accepted edges are exact).
     # "estimate": legacy estimated-Jaccard-only verification.
     minhash_verify: str = "exact"
     # exact mode prefilters pairs with estimated Jaccard >=
@@ -112,7 +119,7 @@ class HumidConfig:
             raise ValueError(f"unknown distance {self.distance}")
         if self.clustering not in ("directional", "maximum"):
             raise ValueError(f"unknown clustering {self.clustering}")
-        if self.minhash_verify not in ("exact", "estimate"):
+        if self.minhash_verify not in ("exact", "estimate", "edit"):
             raise ValueError(f"unknown minhash_verify {self.minhash_verify}")
         if not self.sources:
             raise ValueError("need at least one signature source")

@@ -63,6 +63,41 @@ def extract_umi(identifier: str) -> str:
     return ""
 
 
+def edit_distance_within(a: str, b: str, m: int) -> bool:
+    """True iff Levenshtein(a, b) <= m, via the classic banded DP —
+    O((2m+1) * len) like the reference's bounded trie walk
+    (asymmetricLevenshtein, reference trie header used by
+    src/humid.cc:146-147). Exact, not an approximation."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > m:
+        return False
+    if m == 0:
+        return a == b
+    INF = m + 1
+    prev = list(range(min(m, lb) + 1)) + [INF] * max(0, lb - m)
+    if lb > m:
+        prev = [j if j <= m else INF for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - m)
+        hi = min(lb, i + m)
+        cur = [INF] * (lb + 1)
+        if i <= m:
+            cur[0] = i
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = prev[j - 1] + cost
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            cur[j] = v if v <= m else INF
+        if all(c > m for c in cur[lo:hi + 1]) and (i > m or cur[0] > m):
+            return False
+        prev = cur
+    return prev[lb] <= m
+
+
 def tokenize_batch(texts: pa.Array | pa.ChunkedArray):
     """Lowercase + split texts into word tokens, Arrow-vectorized.
 

@@ -302,25 +302,36 @@ class ShinglePrefixIndex:
             {
                 "fp": u64col(uvals[sel]),
                 "doc_id": pa.array(doc[row_ids].astype(np.int64)),
+                # shingle-set size rides along for the size filter
+                "size": pa.array(sizes[row_ids], type=pa.int64()),
             }
         )
 
 
-def _prefix_pairer(group: pa.Table) -> pa.Table:
-    empty = pa.table(
-        {"doc_a": pa.array([], type=pa.int64()),
-         "doc_b": pa.array([], type=pa.int64())}
-    )
-    if group.num_rows < 2:
-        return empty
-    doc = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-    if len(doc) < 2:
-        return empty
-    ii, jj = np.triu_indices(len(doc), k=1)
-    return pa.table(
-        {"doc_a": pa.array(doc[ii].astype(np.int64)),
-         "doc_b": pa.array(doc[jj].astype(np.int64))}
-    )
+def _make_prefix_pairer(threshold: float):
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        doc_all = group.column("doc_id").to_numpy(zero_copy_only=False)
+        size_all = group.column("size").to_numpy(zero_copy_only=False)
+        doc, first = np.unique(doc_all, return_index=True)
+        if len(doc) < 2:
+            return empty
+        size = size_all[first].astype(np.float64)
+        ii, jj = np.triu_indices(len(doc), k=1)
+        # size filter (exact: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t)
+        ok = np.minimum(size[ii], size[jj]) >= threshold * np.maximum(size[ii], size[jj])
+        ii, jj = ii[ok], jj[ok]
+        return pa.table(
+            {"doc_a": pa.array(doc[ii].astype(np.int64)),
+             "doc_b": pa.array(doc[jj].astype(np.int64))}
+        )
+
+    return kernel
 
 
 def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
@@ -335,7 +346,9 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
         ShinglePrefixIndex, fn_constructor_kwargs={"k": k, "threshold": threshold},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )
-    pairs = idx.groupby("fp").map_groups(_prefix_pairer, batch_format="pyarrow")
+    pairs = idx.groupby("fp").map_groups(
+        _make_prefix_pairer(threshold), batch_format="pyarrow"
+    )
     cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Count(alias_name="_n"))
     cand = cand.select_columns(["doc_a", "doc_b"])
     return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True)

@@ -320,6 +320,7 @@ def expand_minhash_bands(cfg: HumidConfig):
     from humid_ray.functions.minhash import minhash_band_keys
 
     carry_shingles = cfg.minhash_verify == "exact"
+    carry_caption = cfg.minhash_verify == "edit"
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -333,6 +334,8 @@ def expand_minhash_bands(cfg: HumidConfig):
             }
             if carry_shingles:
                 cols["shingles"] = pa.array([], type=pa.large_list(pa.int64()))
+            if carry_caption:
+                cols["caption"] = pa.array([], type=pa.string())
             return pa.table(cols)
         sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
         mh = _minhash_of(batch)
@@ -348,13 +351,14 @@ def expand_minhash_bands(cfg: HumidConfig):
                 mh.shape[1],
             ),
         }
-        if carry_shingles:
+        if carry_shingles or carry_caption:
             # rows-outer / bands-inner ordering, same as every column above
             idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nb))
-            sh = batch.column("shingles")
-            if isinstance(sh, pa.ChunkedArray):
-                sh = sh.combine_chunks()
-            cols["shingles"] = sh.take(idx)
+            name = "shingles" if carry_shingles else "caption"
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(idx)
         return pa.table(cols)
 
     return kernel
@@ -376,6 +380,8 @@ def make_minhash_verifier(cfg: HumidConfig):
     threshold = cfg.jaccard_threshold
     nb = cfg.minhash_bands
     exact = cfg.minhash_verify == "exact"
+    edit = cfg.minhash_verify == "edit"
+    max_dist = cfg.max_distance
     # estimated prefilter: loose enough that true matches at the
     # threshold survive estimator noise, tight enough to bound the
     # per-bucket exact-verification work
@@ -396,21 +402,39 @@ def make_minhash_verifier(cfg: HumidConfig):
         sig, mh = sig[idx], mh[idx]
         if len(sig) < 2:
             return empty
-        est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
-        ii, jj = np.nonzero(est >= prefilter)
-        lt = ii < jj
-        ii, jj = ii[lt], jj[lt]
-        if exact and len(ii):
-            vals, offs = _list_segments(group.column("shingles"))
-            starts, ends = offs[idx], offs[idx + 1]
-            ok = np.zeros(len(ii), dtype=bool)
-            for p, (i, j) in enumerate(zip(ii.tolist(), jj.tolist())):
-                a = vals[starts[i]:ends[i]]
-                b = vals[starts[j]:ends[j]]
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                union = a.size + b.size - inter
-                ok[p] = union > 0 and inter / union >= threshold
+        if edit:
+            # -e parity: every deduped in-bucket pair, cheap length
+            # prefilter, then EXACT banded-Levenshtein verification
+            from humid_ray.functions.text import edit_distance_within
+
+            caps_all = group.column("caption").to_pylist()
+            caps = [caps_all[i] or "" for i in idx.tolist()]
+            lens = np.fromiter((len(c) for c in caps), dtype=np.int64, count=len(caps))
+            ii, jj = np.triu_indices(len(sig), k=1)
+            ok_len = np.abs(lens[ii] - lens[jj]) <= max_dist
+            ii, jj = ii[ok_len], jj[ok_len]
+            ok = np.fromiter(
+                (edit_distance_within(caps[i], caps[j], max_dist)
+                 for i, j in zip(ii.tolist(), jj.tolist())),
+                dtype=bool, count=len(ii),
+            )
             ii, jj = ii[ok], jj[ok]
+        else:
+            est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(est >= prefilter)
+            lt = ii < jj
+            ii, jj = ii[lt], jj[lt]
+            if exact and len(ii):
+                vals, offs = _list_segments(group.column("shingles"))
+                starts, ends = offs[idx], offs[idx + 1]
+                ok = np.zeros(len(ii), dtype=bool)
+                for p, (i, j) in enumerate(zip(ii.tolist(), jj.tolist())):
+                    a = vals[starts[i]:ends[i]]
+                    b = vals[starts[j]:ends[j]]
+                    inter = np.intersect1d(a, b, assume_unique=True).size
+                    union = a.size + b.size - inter
+                    ok[p] = union > 0 and inter / union >= threshold
+                ii, jj = ii[ok], jj[ok]
         if not len(ii):
             return empty
         # first-equal-band dedupe (recomputable from the minhashes)
@@ -454,6 +478,8 @@ def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
     carry = ["sig", "minhash"]
     if cfg.minhash_verify == "exact":
         carry.append("shingles")
+    elif cfg.minhash_verify == "edit":
+        carry.append("caption")
     n_uniq = uniq_ds.count()
     if n_uniq <= broadcast_max_rows:
         chunks = []

@@ -73,8 +73,10 @@ class SignatureExtractor:
         self.cfg = cfg
         self.umi_bits = umi_bits
         self.emit_minhash = cfg.distance == "minhash-jaccard"
-        # exact verification needs the true shingle sets downstream
+        # exact verification needs the true shingle sets downstream;
+        # edit verification needs the captions themselves
         self.emit_shingles = self.emit_minhash and cfg.minhash_verify == "exact"
+        self.emit_caption = self.emit_minhash and cfg.minhash_verify == "edit"
         # the registry is per-process, so custom sources must be
         # RESOLVED on the driver and shipped in as callables; when
         # constructed driver-side directly, resolve here as a fallback
@@ -196,6 +198,10 @@ class SignatureExtractor:
             uvals, uoffs = segment_unique(sh, sh_offsets)
             cols["shingles"] = pa.LargeListArray.from_arrays(
                 pa.array(uoffs, type=pa.int64()), u64col(uvals)
+            )
+        if self.emit_caption:
+            cols["caption"] = pc.fill_null(
+                pc.cast(batch.column("caption"), pa.string()), ""
             )
         return pa.table(cols)
 

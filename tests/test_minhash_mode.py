@@ -147,6 +147,81 @@ def test_exact_verify_rejects_estimator_false_positive(ray_session, tmp_path):
     assert true_pair in est_edges and true_pair in exact_edges
 
 
+def test_edit_verify_mode(ray_session, tmp_path):
+    """minhash_verify='edit': banded candidates verified with TRUE
+    Levenshtein <= max_distance on representative captions (HUMID -e
+    parity for the variable-length payload). Accepted edges are exact:
+    a distance-2 pair with high Jaccard must be rejected at m=1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.synth import SCHEMA
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    captions = [
+        base,                       # 0
+        base[:-1] + "s",            # 1: distance 1 from 0 -> edge at m=1
+        base.replace("river", "rIXer"),  # 2: distance 2 from 0 -> NO edge at m=1
+        "completely different text about mountains and snow",  # 3
+        "completely different text about mountains and snow",  # 4: identical to 3
+    ]
+    rows = [
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": c, "phash": (i + 1) * 0x0101_0202_0303}
+        for i, c in enumerate(captions)
+    ]
+    corpus = tmp_path / "editcorpus"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+
+    wd = tmp_path / "run_edit"
+    cfg = HumidConfig(
+        workdir=str(wd), distance="minhash-jaccard", minhash_verify="edit",
+        max_distance=1, resume=False, write_annotated=False, write_stats=False,
+    )
+    HumidPipeline(cfg).run(str(corpus))
+    sig = pq.read_table(str(wd / "01_signatures")).to_pandas()
+    by_sig = sig.set_index(sig.sig.to_numpy().view(U))["image_id"].to_dict()
+    edges = pq.read_table(str(wd / "03_edges")).to_pandas()
+    found = {
+        tuple(sorted((by_sig[int(a)], by_sig[int(b)])))
+        for a, b in zip(edges.sig_a.to_numpy().view(U).tolist(),
+                        edges.sig_b.to_numpy().view(U).tolist())
+    }
+    assert ("img000", "img001") in found          # distance 1
+    assert ("img003", "img004") in found          # distance 0
+    assert ("img000", "img002") not in found      # distance 2 > m
+    # soundness: every found edge is within true edit distance m
+    from humid_ray.functions.text import edit_distance_within
+
+    caps = {r["image_id"]: r["caption"] for r in rows}
+    for a, b in found:
+        assert edit_distance_within(caps[a], caps[b], 1)
+
+
+def test_edit_distance_within_fuzz():
+    """Banded DP vs full Levenshtein DP on random short strings."""
+    import random
+
+    from humid_ray.functions.text import edit_distance_within
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i]
+            for j, cb in enumerate(b, 1):
+                ndp.append(min(dp[j] + 1, ndp[-1] + 1, dp[j - 1] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    rng = random.Random(1)
+    for _ in range(800):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 9)))
+        for m in range(0, 3):
+            assert edit_distance_within(a, b, m) == (lev(a, b) <= m), (a, b, m)
+
+
 def test_cli_smoke(ray_session, corpus_dir, tmp_path):
     from humid_ray.cli import main
 
