@@ -37,6 +37,9 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
 def _pool(img: np.ndarray, n: int) -> np.ndarray:
     """Mean-pool an arbitrary HxW image to n x n (area interpolation)."""
     h, w = img.shape
+    if h % n == 0 and w % n == 0:
+        # evenly divisible (the common case): reshape-mean, no cumsum
+        return img.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
     ye = (np.arange(n + 1) * h) // n
     xe = (np.arange(n + 1) * w) // n
     csum = np.zeros((h + 1, w + 1))
