@@ -284,10 +284,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": textstats.quality_scores,
         "langid_docs": textstats.langid,
         "fingerprint_docs": textstats.fingerprints,
+        "bpe_token_count_docs": textstats.bpe_token_counts,
+        "stopword_ratio_docs": textstats.stopword_ratio,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        # IVF coarse-quantizer ANN (scale path; full-probe degenerate
+        # case proven equal to brute force in tests/test_ann.py)
+        "ann_ivf": ann.ann_ivf,
         "embedding_neardup": ann.embedding_neardup,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
@@ -365,9 +370,32 @@ def _phash_flagship_oracles() -> dict[str, str]:
     }
 
 
+def _textstats_oracles() -> dict[str, str]:
+    from humid_ray.pipelines.textstats import BPE_PATTERN, STOPWORDS
+
+    pat_sql = BPE_PATTERN.replace("'", "''")
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "bpe_token_count_docs": (
+            f"SELECT doc_id, len(regexp_extract_all(coalesce(text,''), "
+            f"'{pat_sql}')) AS n_bpe_tokens FROM documents"
+        ),
+        "stopword_ratio_docs": (
+            "SELECT doc_id, len(toks) AS n_tokens, "
+            f"len(list_filter(toks, t -> t IN ({sw}))) AS n_stopwords, "
+            "round(CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks) "
+            "ELSE 0 END, 6) AS stopword_ratio "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), "
+            "'[0-9a-z]+') AS toks FROM documents)"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_phash_flagship_oracles(),
+        **_textstats_oracles(),
         "ngram_jaccard_docs": (
             "WITH toks AS (SELECT doc_id, "
             "regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "

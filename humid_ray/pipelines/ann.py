@@ -203,6 +203,82 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
     return _merge_topk(partial, q_ids, k)
 
 
+# --- IVF (coarse-quantizer) ANN -------------------------------------------
+
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 15) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on normalized vectors;
+    init = first k points. Tiny driver-side model fit (sample ≪ corpus)."""
+    x = _normalize(x)
+    k = min(k, len(x))
+    c = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 8, n_centroids: int = 64,
+            nprobe: int = 8, sample: int = 4096, ds=None):
+    """IVF ANN: spherical-k-means coarse quantizer trained on a bounded
+    sample (driver-side numpy — the small model side), inverted-list
+    assignment in ``map_batches`` against the broadcast centroids,
+    queries probe their ``nprobe`` nearest lists, then the same
+    per-block partial-top-k + tiny driver merge as ``knn_bruteforce``.
+    With ``nprobe == n_centroids`` the result equals brute force
+    exactly (pinned in tests); smaller nprobe trades recall for a
+    1/(n_centroids/nprobe) scan fraction — the scale path."""
+    if ds is None:
+        ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(max(n_queries, 1)).take_all()
+    q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
+    q = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first]))
+
+    train = ds.limit(sample).take_all()
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train])
+    centroids = _spherical_kmeans(x, n_centroids)
+    cent_ref = ray.put(centroids)
+
+    class IvfTag:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _to_matrix(batch)
+            lst = np.argmax(_normalize(m) @ self.c.T, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "ivf_list": pa.array(lst.astype(np.int64)),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    tagged = ds.map_batches(IvfTag, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]
+    import pyarrow.compute as pc
+
+    probe_arr = pa.array(sorted(set(probe.reshape(-1).tolist())), type=pa.int64())
+    cand = tagged.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("ivf_list"), value_set=probe_arr))
+        .select(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    query_ref = ray.put((q_ids, q))
+    partial = cand.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partial, q_ids, k)
+
+
 # --- embedding near-duplicate pairs --------------------------------------
 
 def _pairs_in_bucket(threshold: float):

@@ -94,6 +94,72 @@ def quality_scores(sf_dir: str):
     )
 
 
+# a BPE-ish pre-tokenizer (GPT-2-style word/number/punct split,
+# RE2-safe: no lookahead) — both Arrow and DuckDB run RE2, so
+# non-overlapping leftmost-match counts agree exactly
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+             "for", "with", "as", "at", "by", "it")
+
+
+def bpe_token_counts(sf_dir: str):
+    """(doc_id, n_bpe_tokens) — BPE-style pre-tokenizer segment count.
+
+    Oracle: len(regexp_extract_all(text, BPE_PATTERN))."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n = pc.count_substring_regex(text, BPE_PATTERN).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pa.array(n)}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def stopword_ratio(sf_dir: str):
+    """(doc_id, n_tokens, n_stopwords, stopword_ratio) — quality
+    heuristic. Vectorized: stopword membership is tested on the token
+    HASHES (np.isin against the 16 precomputed stopword hashes), no
+    per-token string compares."""
+    from humid_ray.util import hash_bytes_segments
+
+    flat = "".join(STOPWORDS).encode()
+    offs = np.cumsum([0] + [len(s) for s in STOPWORDS])
+    sw_hashes = hash_bytes_segments(
+        np.frombuffer(flat, dtype=np.uint8), offs.astype(np.int64)
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        th, offsets = tokenize_batch(batch.column("text"))
+        ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        is_sw = np.isin(th, sw_hashes).astype(np.int64)
+        nsw = np.zeros(len(ntok), dtype=np.int64)
+        nonempty = ntok > 0
+        if nonempty.any() and len(is_sw):
+            nsw[nonempty] = np.add.reduceat(is_sw, offsets[:-1][nonempty])
+        ratio = round_half_away(
+            np.where(ntok > 0, nsw / np.maximum(ntok, 1), 0.0), 6
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "n_stopwords": pa.array(nsw),
+                "stopword_ratio": pa.array(ratio),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- language-ID heuristic (no SQL oracle: model-scored) ------------------
 
 _PROFILES = {

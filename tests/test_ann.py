@@ -95,3 +95,31 @@ def test_embedding_neardup_empty_on_dissimilar_data(ray_session):
     from humid_ray.pipelines.ann import embedding_neardup
 
     assert len(embedding_neardup(SF, threshold=0.95).to_pandas()) == 0
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(ray_session):
+    """nprobe == n_centroids degenerates to an exact scan: the IVF
+    result must equal brute force row-for-row."""
+    from humid_ray.pipelines.ann import ann_ivf, knn_bruteforce
+
+    bf = knn_bruteforce(SF, k=5, n_queries=8).to_pandas()
+    ivf = ann_ivf(SF, k=5, n_queries=8, n_centroids=16, nprobe=16).to_pandas()
+    cols = ["query_id", "rank"]
+    bf = bf.sort_values(cols).reset_index(drop=True)
+    ivf = ivf.sort_values(cols).reset_index(drop=True)
+    assert bf.equals(ivf)
+
+
+def test_ann_ivf_partial_probe_recall(ray_session):
+    """Partial probing keeps reasonable recall@k on the testdata."""
+    from humid_ray.pipelines.ann import ann_ivf, knn_bruteforce
+
+    bf = knn_bruteforce(SF, k=5, n_queries=8).to_pandas()
+    ivf = ann_ivf(SF, k=5, n_queries=8, n_centroids=16, nprobe=6).to_pandas()
+    hits = tot = 0
+    for qid in bf.query_id.unique():
+        want = set(bf[bf.query_id == qid].neighbor_id)
+        got = set(ivf[ivf.query_id == qid].neighbor_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5, hits / tot

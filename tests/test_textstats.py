@@ -101,3 +101,35 @@ def test_langid_vectorized_matches_naive(ray_session):
             if score > best_score:
                 best, best_score = lang, score
         assert pred.loc[row.doc_id] == best, row.doc_id
+
+
+def test_bpe_token_counts(ray_session):
+    """Arrow RE2 count == Python re.findall count of the same pattern."""
+    import re
+
+    from humid_ray.pipelines.textstats import BPE_PATTERN, bpe_token_counts
+
+    got = bpe_token_counts(SF).to_pandas().set_index("doc_id").n_bpe_tokens
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rx = re.compile(BPE_PATTERN)
+    for _, row in docs.head(200).iterrows():
+        assert got.loc[row.doc_id] == len(rx.findall(row.text or "")), row.doc_id
+
+
+def test_stopword_ratio(ray_session):
+    """Hash-based stopword membership == string-compare oracle."""
+    import re
+
+    from humid_ray.pipelines.textstats import STOPWORDS, stopword_ratio
+
+    got = stopword_ratio(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sw = set(STOPWORDS)
+    for _, row in docs.head(200).iterrows():
+        toks = re.findall(r"[0-9a-z]+", (row.text or "").lower())
+        nsw = sum(1 for t in toks if t in sw)
+        r = got.loc[row.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_stopwords == nsw
+        if toks:
+            assert abs(r.stopword_ratio - nsw / len(toks)) < 1e-6
