@@ -140,6 +140,7 @@ def run_bench() -> dict:
     timed("substring_dedup_docs", lambda: substring.substring_dedup_pairs(SF_DIR))
     timed("langid_docs", lambda: textstats.langid(SF_DIR))
     timed("knn_bruteforce", lambda: ann.knn_bruteforce(SF_DIR), consume=None)
+    timed("ann_ivf", lambda: ann.ann_ivf(SF_DIR), consume=None)
     timed("embedding_neardup", lambda: ann.embedding_neardup(SF_DIR))
     timed("multimodal_decode_stats", lambda: multimodal.decode_stats(corpus))
 
