@@ -79,6 +79,35 @@ def _humid_edges_sql(sf_dir: str):
     return res.dataset("03_edges")
 
 
+def _humid_stats_sql(sf_dir: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir, **_PHASH_CFG)
+    s = res.stats["summary"]
+    return pa.table({k: [int(v)] for k, v in s.items()})
+
+
+def _phash_hist(sf_dir: str, key: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir, **_PHASH_CFG)
+    df = res.stats[key]
+    return pa.table({"value": df["value"].astype("int64"),
+                     "n": df["n"].astype("int64")})
+
+
+def _humid_counts_hist_sql(sf_dir: str):
+    return _phash_hist(sf_dir, "counts")
+
+
+def _humid_neigh_hist_sql(sf_dir: str):
+    return _phash_hist(sf_dir, "neigh")
+
+
+def _humid_cluster_hist_sql(sf_dir: str):
+    return _phash_hist(sf_dir, "clusters")
+
+
 def _humid_assign_sql(sf_dir: str):
     """Cluster MEMBERSHIP under the phash-only config: (sig, count,
     first_id, cluster_seed, cluster_size) — the columns that are
@@ -261,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "humid_uniq_sql": _humid_uniq_sql,
         "humid_edges_sql": _humid_edges_sql,
         "humid_assign_sql": _humid_assign_sql,
+        "humid_stats_sql": _humid_stats_sql,
+        "humid_counts_hist_sql": _humid_counts_hist_sql,
+        "humid_neigh_hist_sql": _humid_neigh_hist_sql,
+        "humid_cluster_hist_sql": _humid_cluster_hist_sql,
         # documents: exact dedup + histograms (SQL-oracled)
         "exact_dedup_docs": dedup_text.exact_dedup,
         "dup_count_hist_docs": dedup_text.dup_count_hist,
@@ -363,10 +396,51 @@ def _phash_flagship_oracles() -> dict[str, str]:
         "CAST(cl.cluster_size AS BIGINT) AS cluster_size "
         "FROM nodes n JOIN comp c USING (sig) JOIN cl USING (cluster_seed)"
     )
+    cc_prefix = (
+        f"WITH RECURSIVE nodes AS ({uniq}), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= 1), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS cluster_seed "
+        "FROM reach GROUP BY src)"
+    )
+    stats = (
+        f"{cc_prefix} "
+        f"SELECT (SELECT count(*) FROM {src}) AS total, "
+        f"(SELECT count(phash) FROM {src}) AS usable, "
+        "(SELECT count(*) FROM nodes) AS \"unique\", "
+        "(SELECT count(DISTINCT cluster_seed) FROM comp) AS clusters"
+    )
+    counts_hist = (
+        f"WITH nodes AS ({uniq}) "
+        "SELECT \"count\" AS value, count(*) AS n FROM nodes GROUP BY \"count\""
+    )
+    neigh_hist = (
+        f"WITH nodes AS ({uniq}), "
+        "deg AS (SELECT a.sig, count(*) AS d FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= 1 GROUP BY a.sig) "
+        "SELECT value, n FROM ("
+        "SELECT d AS value, count(*) AS n FROM deg GROUP BY d "
+        "UNION ALL SELECT 0 AS value, "
+        "(SELECT count(*) FROM nodes) - (SELECT count(*) FROM deg) AS n"
+        ") WHERE n > 0"
+    )
+    cluster_hist = (
+        f"{cc_prefix} "
+        "SELECT value, count(*) AS n FROM ("
+        "SELECT CAST(sum(\"count\") AS BIGINT) AS value FROM comp "
+        "JOIN nodes USING (sig) GROUP BY cluster_seed) GROUP BY value"
+    )
     return {
         "humid_uniq_sql": uniq,
         "humid_edges_sql": edges,
         "humid_assign_sql": assign,
+        "humid_stats_sql": stats,
+        "humid_counts_hist_sql": counts_hist,
+        "humid_neigh_hist_sql": neigh_hist,
+        "humid_cluster_hist_sql": cluster_hist,
     }
 
 
