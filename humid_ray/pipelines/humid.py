@@ -189,7 +189,8 @@ class HumidPipeline:
             )
             edges_ds, edges_mf, _ = cp.run_phase(
                 "edges", edges_path, fp,
-                lambda: find_edges_minhash(usable_sigs, uniq_ds, cfg),
+                lambda: find_edges_minhash(usable_sigs, uniq_ds, cfg,
+                                           broadcast_max_rows=cfg.broadcast_max_rows),
                 resume=False,
                 metrics={"candidate_pairs": None, "hot_buckets": 0},
                 schema_hint=EDGE_SCHEMA,
@@ -210,8 +211,9 @@ class HumidPipeline:
 
             bc_small = bc.map_batches(bucket_metrics, batch_format="pyarrow")
             agg = bc_small.sum(["cand", "hot"])
-            candidate_pairs = int(agg["sum(cand)"])
-            n_hot = int(agg["sum(hot)"])
+            # empty corpus: Dataset.sum yields None, not 0
+            candidate_pairs = int(agg["sum(cand)"] or 0)
+            n_hot = int(agg["sum(hot)"] or 0)
             hot_keys: set[tuple[int, int]] = set()
             if n_hot:
                 def only_hot(t: pa.Table) -> pa.Table:

@@ -374,6 +374,52 @@ def _list_segments(col) -> tuple[np.ndarray, np.ndarray]:
     return vals, offs
 
 
+def _pack_i64_list(col) -> pa.Array:
+    """(FixedSize|Large)List<int64> -> large_binary (8 bytes/element).
+
+    Arrow acero hash joins reject list-typed non-key columns; binary
+    passes through. Zero-copy-ish: one flat tobytes + an offsets array.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if isinstance(col, pa.FixedSizeListArray):
+        width = col.type.list_size
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        data = flat.tobytes()
+        offsets = (np.arange(n + 1, dtype=np.int64) * width * 8)
+    else:
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(col.values, dtype=np.int64)
+        data = vals[offs[0]:offs[-1]].tobytes()
+        offsets = (offs - offs[0]) * 8
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _unpack_i64_list(col, fixed_width: int | None = None) -> pa.Array:
+    """Inverse of ``_pack_i64_list``: large_binary -> FixedSizeList
+    (when ``fixed_width``) or LargeList of int64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw = np.frombuffer(col.buffers()[1], dtype=np.int64)
+    offs = raw[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    vals = np.frombuffer(
+        data[offs[0]:offs[-1]].tobytes(), dtype=np.int64
+    )
+    if fixed_width is not None:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(vals, type=pa.int64()), fixed_width
+        )
+    return pa.LargeListArray.from_arrays(
+        pa.array((offs - offs[0]) // 8, type=pa.int64()),
+        pa.array(vals, type=pa.int64()),
+    )
+
+
 def make_minhash_verifier(cfg: HumidConfig):
     from humid_ray.functions.minhash import minhash_band_keys
 
@@ -487,9 +533,12 @@ def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
             batch_size=262144, batch_format="pyarrow"
         ):
             chunks.append(b.column("first_id"))
-        id_array = pa.concat_tables(
-            [pa.table({"first_id": c}) for c in chunks]
-        ).column("first_id").combine_chunks()
+        if chunks:
+            id_array = pa.concat_tables(
+                [pa.table({"first_id": c}) for c in chunks]
+            ).column("first_id").combine_chunks()
+        else:  # all-filtered / empty corpus
+            id_array = pa.array([], type=pa.string())
         ids_ref = ray.put(id_array)
 
         class FirstRows:
@@ -504,12 +553,41 @@ def find_edges_minhash(sig_ds, uniq_ds, cfg: HumidConfig,
             FirstRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
         )
     else:
+        # distributed hash semi-join (the >broadcast_max_rows scale
+        # path). Arrow acero joins reject list-typed non-key columns,
+        # so minhash/shingles travel as packed large_binary and are
+        # unpacked after the join.
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        firsts = sig_ds.select_columns(["image_id", *carry]).join(
+        packed_cols = [c for c in carry if c in ("minhash", "shingles")]
+
+        def pack(t: pa.Table) -> pa.Table:
+            cols = {"image_id": t.column("image_id"), "sig": t.column("sig")}
+            for c in packed_cols:
+                cols[f"{c}_bin"] = _pack_i64_list(t.column(c))
+            if "caption" in carry:
+                cols["caption"] = t.column("caption")
+            return pa.table(cols)
+
+        perms = cfg.minhash_perms
+
+        def unpack(t: pa.Table) -> pa.Table:
+            cols = {"sig": t.column("sig")}
+            if "minhash" in packed_cols:
+                cols["minhash"] = _unpack_i64_list(t.column("minhash_bin"), perms)
+            if "shingles" in packed_cols:
+                cols["shingles"] = _unpack_i64_list(t.column("shingles_bin"))
+            if "caption" in carry:
+                cols["caption"] = t.column("caption")
+            return pa.table(cols)
+
+        packed = sig_ds.select_columns(["image_id", *carry]).map_batches(
+            pack, batch_format="pyarrow", zero_copy_batch=True
+        )
+        firsts = packed.join(
             uniq_ds.select_columns(["first_id"]).rename_columns(["image_id"]),
             join_type="inner", on=("image_id",),
             num_partitions=max(2, min(64, cpus // 2)),
-        ).select_columns(carry)
+        ).map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
     bands = firsts.map_batches(
         expand_minhash_bands(cfg), batch_format="pyarrow", zero_copy_batch=True
     )

@@ -222,6 +222,50 @@ def test_edit_distance_within_fuzz():
             assert edit_distance_within(a, b, m) == (lev(a, b) <= m), (a, b, m)
 
 
+def test_minhash_distributed_semijoin_branch(ray_session, corpus_dir, tmp_path):
+    """broadcast_max_rows=0 forces the Dataset.join semi-join path
+    (the >5M-row scale branch); the edge set must equal the broadcast
+    path's bit-for-bit."""
+    def edges_of(bmr):
+        wd = tmp_path / f"run_bmr{bmr}"
+        cfg = HumidConfig(
+            workdir=str(wd), distance="minhash-jaccard", resume=False,
+            write_annotated=False, write_stats=False, write_filtered=False,
+            broadcast_max_rows=bmr,
+        )
+        HumidPipeline(cfg).run(corpus_dir)
+        e = pq.read_table(os.path.join(str(wd), "03_edges")).to_pandas()
+        return set(zip(e.sig_a.to_numpy().view(U).tolist(),
+                       e.sig_b.to_numpy().view(U).tolist()))
+
+    assert edges_of(0) == edges_of(5_000_000)
+
+
+def test_all_filtered_corpus(ray_session, tmp_path):
+    """A corpus where every row is filtered (null phash) must produce
+    empty outputs, not crash — the empty-band-batch guard e2e."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.synth import SCHEMA
+
+    rows = [
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": f"caption {i}", "phash": None}
+        for i in range(6)
+    ]
+    corpus = tmp_path / "allfiltered"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+    for distance in ("hamming", "minhash-jaccard"):
+        wd = tmp_path / f"run_{distance}"
+        cfg = HumidConfig(workdir=str(wd), distance=distance, resume=False,
+                          write_annotated=True, write_stats=True)
+        res = HumidPipeline(cfg).run(str(corpus))
+        assert res.metrics["usable"] == 0
+        assert res.metrics["clusters"] == 0
+
+
 def test_cli_smoke(ray_session, corpus_dir, tmp_path):
     from humid_ray.cli import main
 
