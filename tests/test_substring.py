@@ -102,3 +102,45 @@ def test_winnow_guarantee_randomized():
             if start <= p <= start + span_len - k:
                 sel[r].add((p - start, f))
         assert sel[0] & sel[1], f"trial {trial}: no aligned shared fingerprint"
+
+
+def test_substring_boilerplate_heavy_corpus(ray_session):
+    """Many docs sharing one boilerplate span: hot-fingerprint caps must
+    keep the op bounded while every reported span stays byte-true."""
+    rng = np.random.default_rng(11)
+    boiler = "this content is provided as-is without warranty of any kind. "
+    docs = {}
+    for i in range(40):
+        pad = "".join(rng.choice(list("abcdef ")) for _ in range(30))
+        docs[i] = pad + boiler + "".join(rng.choice(list("uvwxyz ")) for _ in range(20))
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), type=pa.int64()),
+                    "text": pa.array([docs[i] for i in sorted(docs)])})
+    spans = substring_spans(ray.data.from_arrow(tbl), min_len=MIN_LEN, k=K).take_all()
+    assert spans, "boilerplate pairs must be detected"
+    for r in spans:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        assert (a[r["start_a"]:r["start_a"] + r["length"]]
+                == b[r["start_b"]:r["start_b"] + r["length"]])
+    # the capped pairer plus hot_fp_stats keeps nothing silent
+    from humid_ray.pipelines.substring import hot_fp_stats
+    hot = hot_fp_stats(ray.data.from_arrow(tbl), MIN_LEN, K, threshold=40).take_all()
+    assert isinstance(hot, list)
+
+
+def test_substring_null_and_empty_texts(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([None, "", "x" * 50, "x" * 50]),
+    })
+    spans = substring_spans(ray.data.from_arrow(tbl), min_len=16, k=6).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spans}
+    assert pairs == {(3, 4)}
+
+
+def test_substring_no_duplicates(ray_session):
+    rng = np.random.default_rng(5)
+    docs = ["".join(rng.choice(list("abcdefgh"), size=80)) for _ in range(8)]
+    tbl = pa.table({"doc_id": pa.array(range(8), type=pa.int64()),
+                    "text": pa.array(docs)})
+    spans = substring_spans(ray.data.from_arrow(tbl), min_len=24, k=8).take_all()
+    assert spans == []
