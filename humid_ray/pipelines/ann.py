@@ -356,4 +356,13 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
     pairs = tagged.groupby("bucket").map_groups(
         _pairs_in_bucket(threshold), batch_format="pyarrow"
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    out = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    if out.count() == 0:
+        # empty Ray Data aggregates drop the schema; give the driver a
+        # typed empty table instead
+        return pa.table(
+            {"vec_a": pa.array([], type=pa.int64()),
+             "vec_b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+    return out
