@@ -54,6 +54,14 @@ class _TopKPartial:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # probe-filtered candidate blocks are routinely empty; a
+            # (0,0) matrix would break the matmul against (nq, d)
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
         ids, m = _to_matrix(batch)
         sims = _normalize(m) @ self.q.T  # (n, nq)
         k = min(self.k, len(ids))
@@ -149,6 +157,12 @@ class _BucketTag:
         self.multiprobe = multiprobe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "bucket": pa.array([], type=pa.int64()),
+                 "embedding": batch.column("embedding")}
+            )
         ids, m = _to_matrix(batch)
         bucket = _bucket_of(_normalize(m), self.planes)
         return pa.table(
@@ -247,6 +261,12 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 8, n_centroids: int = 64,
             self.c = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], type=pa.int64()),
+                     "ivf_list": pa.array([], type=pa.int64()),
+                     "embedding": batch.column("embedding")}
+                )
             ids, m = _to_matrix(batch)
             lst = np.argmax(_normalize(m) @ self.c.T, axis=1)
             return pa.table(
@@ -328,6 +348,12 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
             self.planes = ray.get(planes_ref)  # list of (n_bits, dim)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     "vec_id": pa.array([], type=pa.int64()),
+                     "embedding": batch.column("embedding")}
+                )
             ids, m = _to_matrix(batch)
             mn = _normalize(m)
             tabs = []

@@ -218,15 +218,14 @@ class NgramJaccard:
         return out.append_column("ngram_jaccard", pa.array(jac))
 
 
-def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
-                        round6: bool = False):
-    """Re-verify candidate (doc_a, doc_b) pairs with EXACT n-gram
-    Jaccard and filter to >= threshold.
-
-    Scale shape: only the texts of documents that appear in a
-    CANDIDATE PAIR are pulled and broadcast (candidates ≪ corpus — the
-    whole point of candidate generation); the corpus itself streams
-    through a vectorized ``pc.is_in`` semi-join, never the driver."""
+def pull_candidate_texts(ds, cand, id_col: str = "doc_id",
+                         text_col: str = "text", as_bytes: bool = False):
+    """(materialized cand, text_ref or None) — collect the doc ids that
+    appear in candidate (doc_a, doc_b) pairs, pull ONLY those texts via
+    a vectorized ``pc.is_in`` semi-join (candidates ≪ corpus — the
+    whole point of candidate generation; the corpus streams, never the
+    driver), and broadcast them once. None when there are no
+    candidates."""
     import pyarrow.compute as pc
 
     import ray
@@ -236,16 +235,40 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
     for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids.update(b.column("doc_a").to_pylist())
         ids.update(b.column("doc_b").to_pylist())
+    if not ids:
+        return cand, None
     id_arr = pa.array(sorted(ids), type=pa.int64())
-    cand_docs = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_arr)),
+    cand_docs = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=id_arr)),
         batch_format="pyarrow",
     )
-    texts: dict[int, str] = {}
+    texts: dict = {}
     for b in cand_docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for d, s in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            texts[int(d)] = s or ""
-    text_ref = ray.put(texts)
+        for d, s in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            texts[int(d)] = (s or "").encode("utf-8") if as_bytes else (s or "")
+    return cand, ray.put(texts)
+
+
+_EMPTY_JACCARD = {
+    "doc_a": pa.array([], type=pa.int64()),
+    "doc_b": pa.array([], type=pa.int64()),
+    "ngram_jaccard": pa.array([], type=pa.float64()),
+}
+
+
+def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
+                        round6: bool = False):
+    """Re-verify candidate (doc_a, doc_b) pairs with EXACT n-gram
+    Jaccard and filter to >= threshold."""
+    import pyarrow.compute as pc
+
+    cand, text_ref = pull_candidate_texts(
+        read_documents(sf_dir, columns=["doc_id", "text"]), cand
+    )
+    if text_ref is None:
+        # zero candidates: empty Ray Data pipelines drop the schema —
+        # hand back a typed empty table instead
+        return pa.table(_EMPTY_JACCARD)
     verified = cand.map_batches(
         NgramJaccard,
         fn_constructor_kwargs={"text_ref": text_ref, "k": k, "round6": round6},
@@ -259,10 +282,13 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """MinHash-LSH candidates re-verified with EXACT n-gram Jaccard."""
+    """MinHash-LSH candidates re-verified with EXACT n-gram Jaccard.
+
+    The candidate aggregate is passed un-projected: an empty Ray Data
+    aggregate drops its schema, so a select_columns here would crash on
+    a candidate-free corpus (the verify kernel projects internally)."""
     cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
-    return _verify_pairs_exact(cand.select_columns(["doc_a", "doc_b"]),
-                               sf_dir, threshold, k)
+    return _verify_pairs_exact(cand, sf_dir, threshold, k)
 
 
 # --- exact all-pairs n-gram Jaccard (prefix filtering) --------------------
@@ -309,6 +335,14 @@ class ShinglePrefixIndex:
 
 
 def _make_prefix_pairer(threshold: float):
+    """groupby(fp) kernel -> candidate pairs, size-filtered BEFORE pair
+    materialization: docs are sorted by shingle-set size and each doc
+    pairs only with the following docs inside its t-ratio window
+    (J >= t forces min/max size ratio >= t), so a hot fingerprint never
+    allocates the full O(n^2) triangle — only the ratio-passing pairs,
+    which are exactly the candidates the lemma requires (recall stays
+    exact)."""
+
     def kernel(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_a": pa.array([], type=pa.int64()),
@@ -321,14 +355,26 @@ def _make_prefix_pairer(threshold: float):
         doc, first = np.unique(doc_all, return_index=True)
         if len(doc) < 2:
             return empty
-        size = size_all[first].astype(np.float64)
-        ii, jj = np.triu_indices(len(doc), k=1)
-        # size filter (exact: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t)
-        ok = np.minimum(size[ii], size[jj]) >= threshold * np.maximum(size[ii], size[jj])
-        ii, jj = ii[ok], jj[ok]
+        size = size_all[first].astype(np.int64)
+        order = np.lexsort((doc, size))
+        doc, size = doc[order], size[order]
+        n = len(doc)
+        # window end per i: last j with size[j] <= size[i] / t
+        hi = np.searchsorted(size, size.astype(np.float64) / max(threshold, 1e-9),
+                             side="right")
+        counts = np.maximum(hi - np.arange(n) - 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(n), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[0, counts[:-1]]), counts
+        )
+        jj = ii + 1 + within
+        a, b = doc[ii], doc[jj]
         return pa.table(
-            {"doc_a": pa.array(doc[ii].astype(np.int64)),
-             "doc_b": pa.array(doc[jj].astype(np.int64))}
+            {"doc_a": pa.array(np.minimum(a, b).astype(np.int64)),
+             "doc_b": pa.array(np.maximum(a, b).astype(np.int64))}
         )
 
     return kernel
@@ -349,6 +395,7 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
     pairs = idx.groupby("fp").map_groups(
         _make_prefix_pairer(threshold), batch_format="pyarrow"
     )
+    # no select_columns on the aggregate: empty aggregates drop their
+    # schema (the verify kernel projects doc_a/doc_b internally)
     cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Count(alias_name="_n"))
-    cand = cand.select_columns(["doc_a", "doc_b"])
     return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True)

@@ -304,9 +304,12 @@ class HumidPipeline:
                 batch_size=262144, batch_format="pyarrow"
             ):
                 chunks.append(b)
-            t = pa.concat_tables(chunks)
-            h = hash_string_column(t.column("image_id"))
-            if len(np.unique(h)) == t.num_rows:
+            t = pa.concat_tables(chunks) if chunks else None
+            if t is None:
+                h = np.empty(0)
+            else:
+                h = hash_string_column(t.column("image_id"))
+            if t is not None and len(np.unique(h)) == t.num_rows:
                 lk = SigLookup(
                     h,
                     {

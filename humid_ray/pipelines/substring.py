@@ -203,36 +203,19 @@ def substring_spans(ds, min_len: int = 32, k: int = 8,
     """Byte-verified duplicated spans (doc_a, doc_b, start_a, start_b,
     length >= min_len); one row per surviving seed (spans repeat when
     several seeds land inside them — aggregate downstream)."""
-    import pyarrow.compute as pc
+    import ray.data
 
-    import ray
+    from humid_ray.pipelines.dedup_text import pull_candidate_texts
 
     fps = winnow_fingerprints_ds(ds, min_len, k, id_col, text_col)
     cand = fps.groupby("fp").map_groups(
         _make_pairer(max_docs_per_fp, max_pos_per_doc), batch_format="pyarrow"
-    ).materialize()
-    ids: set[int] = set()
-    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.update(b.column("doc_a").to_pylist())
-        ids.update(b.column("doc_b").to_pylist())
-    if not ids:
-        return cand.map_batches(
-            lambda t: pa.table(
-                {c: pa.array([], type=pa.int64())
-                 for c in ("doc_a", "doc_b", "start_a", "start_b", "length")}
-            ),
-            batch_format="pyarrow",
-        )
-    id_arr = pa.array(sorted(ids), type=pa.int64())
-    texts: dict[int, bytes] = {}
-    cand_docs = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=id_arr)),
-        batch_format="pyarrow",
     )
-    for b in cand_docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for d, s in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            texts[int(d)] = (s or "").encode("utf-8")
-    text_ref = ray.put(texts)
+    cand, text_ref = pull_candidate_texts(ds, cand, id_col, text_col, as_bytes=True)
+    if text_ref is None:
+        # typed empty DATASET (a schema-less empty pipeline would lose
+        # the doc_a/doc_b/... columns downstream)
+        return ray.data.from_arrow(pa.table(_EMPTY_SPANS))
     return cand.map_batches(
         SpanExtender,
         fn_constructor_kwargs={"text_ref": text_ref, "k": k, "min_len": min_len},
@@ -241,11 +224,25 @@ def substring_spans(ds, min_len: int = 32, k: int = 8,
     )
 
 
+_EMPTY_SPANS = {
+    c: pa.array([], type=pa.int64())
+    for c in ("doc_a", "doc_b", "start_a", "start_b", "length")
+}
+
+
 def substring_dedup_pairs(sf_dir: str, min_len: int = 32, k: int = 8):
     """(doc_a, doc_b, max_len): document pairs sharing a substring of
     length >= min_len, with the exact longest-shared-span length."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     spans = substring_spans(ds, min_len=min_len, k=k)
-    return spans.groupby(["doc_a", "doc_b"]).aggregate(
+    out = spans.groupby(["doc_a", "doc_b"]).aggregate(
         Max("length", alias_name="max_len")
     )
+    if out.count() == 0:
+        # empty Ray Data aggregates drop the schema
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64()),
+             "max_len": pa.array([], type=pa.int64())}
+        )
+    return out

@@ -449,22 +449,63 @@ def make_minhash_verifier(cfg: HumidConfig):
         if len(sig) < 2:
             return empty
         if edit:
-            # -e parity: every deduped in-bucket pair, cheap length
-            # prefilter, then EXACT banded-Levenshtein verification
+            # -e parity: EXACT banded-Levenshtein verification. Work is
+            # deduplicated to UNIQUE captions (hot buckets funnel many
+            # sigs with one caption into one group — one DP per caption
+            # pair, not per sig pair), candidate caption pairs are
+            # generated only inside the |len diff| <= m window (sorted
+            # + searchsorted, never the full triangle), and expansion
+            # back to sig pairs is bounded by the true edge output.
             from humid_ray.functions.text import edit_distance_within
 
             caps_all = group.column("caption").to_pylist()
-            caps = [caps_all[i] or "" for i in idx.tolist()]
-            lens = np.fromiter((len(c) for c in caps), dtype=np.int64, count=len(caps))
-            ii, jj = np.triu_indices(len(sig), k=1)
-            ok_len = np.abs(lens[ii] - lens[jj]) <= max_dist
-            ii, jj = ii[ok_len], jj[ok_len]
-            ok = np.fromiter(
-                (edit_distance_within(caps[i], caps[j], max_dist)
-                 for i, j in zip(ii.tolist(), jj.tolist())),
-                dtype=bool, count=len(ii),
+            caps = np.array([caps_all[i] or "" for i in idx.tolist()], dtype=object)
+            ucaps, inv = np.unique(caps, return_inverse=True)
+            ulens = np.fromiter((len(c) for c in ucaps), dtype=np.int64,
+                                count=len(ucaps))
+            order_u = np.argsort(ulens, kind="stable")
+            ul = ulens[order_u]
+            nu = len(ul)
+            hi = np.searchsorted(ul, ul + max_dist, side="right")
+            counts = np.maximum(hi - np.arange(nu) - 1, 0)
+            total = int(counts.sum())
+            cu = np.repeat(np.arange(nu), counts)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(np.r_[0, counts[:-1]]), counts
             )
-            ii, jj = ii[ok], jj[ok]
+            cv = cu + 1 + within
+            # one-pass segment index: members_list[c] = sig indices of
+            # unique caption c (no per-caption scans)
+            by_cap = np.argsort(inv, kind="stable")
+            caps_sorted = inv[by_cap]
+            bounds = np.flatnonzero(
+                np.r_[True, caps_sorted[1:] != caps_sorted[:-1], True]
+            )
+            members_list = [by_cap[bounds[c]:bounds[c + 1]] for c in range(nu)]
+            matched = [(int(u), int(u)) for u in range(nu)
+                       if len(members_list[order_u[u]]) > 1]
+            for u, v in zip(cu.tolist(), cv.tolist()):
+                if edit_distance_within(ucaps[order_u[u]], ucaps[order_u[v]],
+                                        max_dist):
+                    matched.append((u, v))
+            members = {u: members_list[order_u[u]] for u in range(nu)}
+            ii_parts, jj_parts = [], []
+            for u, v in matched:
+                gu, gv = members[u], members[v]
+                if u == v:
+                    a, b = np.triu_indices(len(gu), k=1)
+                    ii_parts.append(gu[a])
+                    jj_parts.append(gu[b])
+                else:
+                    mesh_a = np.repeat(gu, len(gv))
+                    mesh_b = np.tile(gv, len(gu))
+                    ii_parts.append(np.minimum(mesh_a, mesh_b))
+                    jj_parts.append(np.maximum(mesh_a, mesh_b))
+            if ii_parts:
+                ii = np.concatenate(ii_parts)
+                jj = np.concatenate(jj_parts)
+            else:
+                ii = jj = np.empty(0, dtype=np.int64)
         else:
             est = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
             ii, jj = np.nonzero(est >= prefilter)

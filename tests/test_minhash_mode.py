@@ -274,3 +274,58 @@ def test_cli_smoke(ray_session, corpus_dir, tmp_path):
     assert rc == 0
     assert (out / "05_stats" / "stats.dat").exists()
     assert (out / "05_annotated").exists()
+
+
+def test_edit_verify_hot_bucket_clique(ray_session, tmp_path):
+    """Many sigs sharing ONE caption funnel into one bucket: the
+    verifier must dedupe DP work per unique caption and still emit the
+    full clique of distance-0 edges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.synth import SCHEMA
+
+    n = 24
+    rows = [
+        # phash must differ in the TOP 32 bits (the signature keeps the
+        # phash MSBs), else the sigs collapse in exact dedup
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": "the same caption shared by every row here",
+         "phash": (i + 1) << 40}
+        for i in range(n)
+    ]
+    corpus = tmp_path / "hotcorpus"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+    wd = tmp_path / "run_hot"
+    cfg = HumidConfig(workdir=str(wd), distance="minhash-jaccard",
+                      minhash_verify="edit", max_distance=1, resume=False,
+                      clustering="maximum",  # directional never merges equal counts
+                      write_annotated=False, write_stats=False)
+    res = HumidPipeline(cfg).run(str(corpus))
+    edges = pq.read_table(os.path.join(str(wd), "03_edges"))
+    assert edges.num_rows == n * (n - 1) // 2   # full clique, once each
+    assign = pq.read_table(os.path.join(str(wd), "04_assign")).to_pandas()
+    assert assign.cluster_seed.nunique() == 1   # one cluster
+
+
+def test_ngram_exact_no_candidates(ray_session, tmp_path, monkeypatch):
+    """All-distinct documents: the exact n-gram query returns a TYPED
+    empty result (schema preserved through the empty aggregate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.pipelines import dedup_text
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array([f"totally unique words {i} alpha{i} beta{i} gamma{i}"
+                          for i in range(6)]),
+    })
+    d = tmp_path / "distinct"
+    d.mkdir()
+    pq_w.write_table(docs, str(d / "documents.parquet"))
+    out = dedup_text.ngram_jaccard_exact(str(d))
+    t = out if isinstance(out, pa.Table) else out.to_pandas()
+    cols = list(t.column_names) if isinstance(t, pa.Table) else list(t.columns)
+    assert sorted(cols) == ["doc_a", "doc_b", "ngram_jaccard"]
+    assert (t.num_rows if isinstance(t, pa.Table) else len(t)) == 0
