@@ -43,6 +43,20 @@ def _corpus_for(sf_dir: str) -> str:
     return make_corpus(_CORPUS_BASE, n)
 
 
+def _audio_corpus_for(sf_dir: str) -> str:
+    from humid_ray.synth import make_audio_corpus
+
+    n = max(200, min(int(200_000 * _sf_of(sf_dir)), 20_000))
+    return make_audio_corpus(_CORPUS_BASE, n)
+
+
+def _video_corpus_for(sf_dir: str) -> str:
+    from humid_ray.synth import make_video_corpus
+
+    n = max(100, min(int(100_000 * _sf_of(sf_dir)), 10_000))
+    return make_video_corpus(_CORPUS_BASE, n)
+
+
 def _pipeline_result(sf_dir: str, wd_suffix: str = "", **cfg_over):
     from humid_ray.config import HumidConfig
     from humid_ray.pipelines.humid import HumidPipeline
@@ -248,6 +262,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def corpus_decode_stats(sf_dir: str):
         return multimodal.decode_stats(_corpus_for(sf_dir))
 
+    def _audio_decode_dims(sf_dir: str):
+        """Decoded (sr, n_samples) of every decodable clip — oracled
+        against the audio corpus's stored metadata (decodable iff
+        stored sr is non-null, by construction)."""
+        ds = multimodal.audio_feature_stats(_audio_corpus_for(sf_dir))
+        return ds.map_batches(
+            lambda t: t.filter(t.column("ok")).select(["audio_id", "sr", "n_samples"]),
+            batch_format="pyarrow",
+        )
+
     def corpus_decode_dims(sf_dir: str):
         """Decoded dimensions of every decodable row — SQL-oracled
         against the corpus's stored (w, h) metadata columns (a row is
@@ -331,6 +355,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_stats": corpus_decode_stats,
         "multimodal_decode_dims": corpus_decode_dims,
         "multimodal_thumbnails": corpus_thumbnails,
+        # audio / video (deterministic FWAV/FVID stand-in codecs;
+        # decode-dims variants are SQL-oracled vs stored metadata)
+        "audio_features": lambda sf: multimodal.audio_feature_stats(_audio_corpus_for(sf)),
+        "audio_decode_dims": _audio_decode_dims,
+        "video_frame_samples": lambda sf: multimodal.video_frame_samples(_video_corpus_for(sf)),
+        "video_decode_dims": lambda sf: multimodal.video_decode_dims(_video_corpus_for(sf)),
     }
 
 
@@ -356,6 +386,22 @@ def _decode_dims_oracle() -> str:
     return (
         f"SELECT image_id, w AS width, h AS height "
         f"FROM read_parquet('{corpus}/*.parquet') WHERE phash IS NOT NULL"
+    )
+
+
+def _audio_dims_oracle() -> str:
+    corpus = _audio_corpus_for("sf0.01")
+    return (
+        f"SELECT audio_id, sr, n_samples "
+        f"FROM read_parquet('{corpus}/*.parquet') WHERE sr IS NOT NULL"
+    )
+
+
+def _video_dims_oracle() -> str:
+    corpus = _video_corpus_for("sf0.01")
+    return (
+        f"SELECT video_id, n_frames, w, h "
+        f"FROM read_parquet('{corpus}/*.parquet') WHERE n_frames IS NOT NULL"
     )
 
 
@@ -508,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
         ),
         "multimodal_decode_dims": _decode_dims_oracle(),
+        "audio_decode_dims": _audio_dims_oracle(),
+        "video_decode_dims": _video_dims_oracle(),
         "exact_dedup_docs": (
             "SELECT text, COUNT(*) AS cnt, MIN(doc_id) AS rep_id "
             "FROM documents GROUP BY text"

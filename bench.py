@@ -143,6 +143,12 @@ def run_bench() -> dict:
     timed("ann_ivf", lambda: ann.ann_ivf(SF_DIR), consume=None)
     timed("embedding_neardup", lambda: ann.embedding_neardup(SF_DIR))
     timed("multimodal_decode_stats", lambda: multimodal.decode_stats(corpus))
+    from humid_ray.synth import make_audio_corpus, make_video_corpus
+
+    audio_corpus = make_audio_corpus(CORPUS_BASE, max(200, n_rows // 10))
+    video_corpus = make_video_corpus(CORPUS_BASE, max(100, n_rows // 20))
+    timed("audio_features", lambda: multimodal.audio_feature_stats(audio_corpus))
+    timed("video_frame_samples", lambda: multimodal.video_frame_samples(video_corpus))
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

@@ -122,29 +122,141 @@ def thumbnails(corpus_dir: str, size: int = 8, batch_size: int = 512):
     )
 
 
-# --- stubs for modalities whose codecs are absent in this sandbox ---------
+# --- audio / video stages (deterministic FWAV/FVID stand-in codecs; ------
+# swap the decode call in __init__ for soundfile / PyAV in production —
+# the Ray-side plumbing is identical)
 
-class AudioFeatureStub:
-    """Shape-complete audio feature stage. Real implementation would
-    hold a decoder (soundfile/librosa) in __init__; here decode raises.
-    """
+class AudioFeatureExtractor:
+    """(audio_id, ok, sr, n_samples, duration, rms, zcr, centroid) per
+    row — decode once per row, emit small numeric features; undecodable
+    rows get ok=False with nulled features (never crash the pipeline)."""
 
     def __init__(self):
-        def _decode(_: bytes) -> np.ndarray:
-            raise NotImplementedError(
-                "audio decode requires an audio codec library; not "
-                "available in this sandbox"
-            )
+        from humid_ray.av import audio_features, decode_fwav
 
-        self.decode = _decode
+        self.decode = decode_fwav       # <- soundfile.read in production
+        self.features = audio_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError("audio decoding not available in this sandbox")
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        sr = np.zeros(n, dtype=np.int32)
+        ns = np.zeros(n, dtype=np.int32)
+        feats = {k: np.zeros(n, dtype=np.float64)
+                 for k in ("duration", "rms", "zcr", "centroid")}
+        for i, v in enumerate(batch.column("bytes")):
+            try:
+                samples, rate = self.decode(v.as_py())
+            except Exception:
+                continue
+            ok[i] = True
+            sr[i] = rate
+            ns[i] = len(samples)
+            for k, val in self.features(samples, rate).items():
+                feats[k][i] = val
+        return pa.table(
+            {
+                "audio_id": batch.column("audio_id"),
+                "ok": pa.array(ok),
+                "sr": pa.array(sr),
+                "n_samples": pa.array(ns),
+                **{k: pa.array(v) for k, v in feats.items()},
+            }
+        )
 
 
-class VideoFrameSampleStub:
-    """Shape-complete video frame-sampling stage (stub, same contract:
-    binary column in, per-frame rows out)."""
+def audio_feature_stats(corpus_dir: str, batch_size: int = 1024):
+    return read_corpus(corpus_dir, columns=["audio_id", "bytes"]).map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 8),
+    )
+
+
+class VideoFrameSampler:
+    """One output row per SAMPLED frame (every ``stride``-th):
+    (video_id, frame_idx, fw, fh, frame_phash) — random-access decode
+    of only the sampled frames, never the whole clip."""
+
+    def __init__(self, stride: int = 4):
+        from humid_ray.av import decode_fvid_frame, fvid_info
+        from humid_ray.functions.phash import phash_image
+
+        self.info = fvid_info           # <- container probe in production
+        self.frame = decode_fvid_frame  # <- PyAV seek+decode in production
+        self.phash = phash_image
+        self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError("video decoding not available in this sandbox")
+        ids, idxs, ws, hs, phs = [], [], [], [], []
+        for i, v in enumerate(batch.column("bytes")):
+            data = v.as_py()
+            try:
+                n_frames, _ = self.info(data)
+            except Exception:
+                continue
+            vid = batch.column("video_id")[i].as_py()
+            for f in range(0, n_frames, self.stride):
+                img = self.frame(data, f)
+                ids.append(vid)
+                idxs.append(f)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                phs.append(np.uint64(self.phash(img)).astype(np.int64).item())
+        return pa.table(
+            {
+                "video_id": pa.array(ids, type=pa.string()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "fw": pa.array(ws, type=pa.int32()),
+                "fh": pa.array(hs, type=pa.int32()),
+                "frame_phash": pa.array(phs, type=pa.int64()),
+            }
+        )
+
+
+class _VideoDims:
+    """(video_id, n_frames, w, h) per decodable clip — container probe
+    plus ONE frame decode, matching the stored metadata columns (the
+    SQL-oracle surface for the video decode path)."""
+
+    def __init__(self):
+        from humid_ray.av import decode_fvid_frame, fvid_info
+
+        self.info = fvid_info
+        self.frame = decode_fvid_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, ws, hs = [], [], [], []
+        for i, v in enumerate(batch.column("bytes")):
+            data = v.as_py()
+            try:
+                n_frames, _ = self.info(data)
+                img = self.frame(data, 0)
+            except Exception:
+                continue
+            ids.append(batch.column("video_id")[i].as_py())
+            nf.append(n_frames)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pa.table(
+            {
+                "video_id": pa.array(ids, type=pa.string()),
+                "n_frames": pa.array(nf, type=pa.int32()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+            }
+        )
+
+
+def video_decode_dims(corpus_dir: str, batch_size: int = 256):
+    return read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
+        _VideoDims, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 8),
+    )
+
+
+def video_frame_samples(corpus_dir: str, stride: int = 4, batch_size: int = 256):
+    return read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 8),
+    )

@@ -302,3 +302,103 @@ def corpus_files(corpus_dir: str) -> list[str]:
         for f in os.listdir(corpus_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
+
+
+# --- deterministic audio / video corpora (FWAV / FVID stand-in codecs) ----
+
+AV_GEN_VERSION = 1
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr", pa.int32()),          # NULL on rows whose payload is invalid
+        ("n_samples", pa.int32()),
+        ("caption", pa.string()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("n_frames", pa.int32()),    # NULL on rows whose payload is invalid
+        ("fps", pa.int32()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("caption", pa.string()),
+    ]
+)
+
+
+def make_audio_corpus(base_dir: str, n_rows: int, seed: int = 42,
+                      sr: int = 8000) -> str:
+    """Deterministic FWAV clips (sine mixtures + noise); every 13th row
+    carries an invalid payload with NULL metadata (the decodable-iff-
+    metadata-non-null invariant the image corpus uses for phash)."""
+    from humid_ray.av import encode_fwav
+
+    out = os.path.join(base_dir, f"audio_v{AV_GEN_VERSION}_n{n_rows}_s{seed}")
+    done = os.path.join(out, "_DONE.json")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = []
+    for i in range(n_rows):
+        rng = np.random.default_rng([seed, 7, i])
+        if i % 13 == 12:
+            data = b"" if i % 2 else b"JUNKAUDIO" + bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+            rows.append({"audio_id": f"aud{i:08d}", "bytes": data, "sr": None,
+                         "n_samples": None, "caption": _caption(rng)})
+            continue
+        n = int(rng.integers(sr // 2, sr * 2))
+        t = np.arange(n) / sr
+        sig = np.zeros(n)
+        for _ in range(int(rng.integers(1, 4))):
+            sig += rng.uniform(0.1, 0.5) * np.sin(
+                2 * np.pi * rng.uniform(80, 2000) * t + rng.uniform(0, 6.28)
+            )
+        sig += rng.normal(0, 0.02, n)
+        samples = np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+        rows.append({"audio_id": f"aud{i:08d}", "bytes": encode_fwav(samples, sr),
+                     "sr": sr, "n_samples": n, "caption": _caption(rng)})
+    pq.write_table(pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA),
+                   os.path.join(out, "part-00000.parquet"))
+    with open(done, "w") as f:
+        json.dump({"n_rows": n_rows, "seed": seed}, f)
+    return out
+
+
+def make_video_corpus(base_dir: str, n_rows: int, seed: int = 42,
+                      hw: int = 32, fps: int = 8) -> str:
+    """Deterministic FVID clips (drifting synthetic frames); every 11th
+    row is invalid with NULL metadata."""
+    from humid_ray.av import encode_fvid
+
+    out = os.path.join(base_dir, f"video_v{AV_GEN_VERSION}_n{n_rows}_s{seed}_hw{hw}")
+    done = os.path.join(out, "_DONE.json")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = []
+    for i in range(n_rows):
+        rng = np.random.default_rng([seed, 9, i])
+        if i % 11 == 10:
+            rows.append({"video_id": f"vid{i:08d}", "bytes": b"NOTVIDEO",
+                         "n_frames": None, "fps": None, "w": None, "h": None,
+                         "caption": _caption(rng)})
+            continue
+        n_frames = int(rng.integers(4, 12))
+        base = _image(rng, hw).astype(np.float64)
+        frames = []
+        for f in range(n_frames):
+            drift = np.roll(base, f, axis=1) + rng.normal(0, 2, base.shape)
+            frames.append(np.clip(drift, 0, 255).astype(np.uint8))
+        rows.append({"video_id": f"vid{i:08d}",
+                     "bytes": encode_fvid(frames, fps), "n_frames": n_frames,
+                     "fps": fps, "w": hw, "h": hw, "caption": _caption(rng)})
+    pq.write_table(pa.Table.from_pylist(rows, schema=VIDEO_SCHEMA),
+                   os.path.join(out, "part-00000.parquet"))
+    with open(done, "w") as f:
+        json.dump({"n_rows": n_rows, "seed": seed}, f)
+    return out
