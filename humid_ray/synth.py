@@ -306,7 +306,7 @@ def corpus_files(corpus_dir: str) -> list[str]:
 
 # --- deterministic audio / video corpora (FWAV / FVID stand-in codecs) ----
 
-AV_GEN_VERSION = 1
+AV_GEN_VERSION = 2  # bump when generated A/V bytes change
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -372,7 +372,9 @@ def make_audio_corpus(base_dir: str, n_rows: int, seed: int = 42,
 def make_video_corpus(base_dir: str, n_rows: int, seed: int = 42,
                       hw: int = 32, fps: int = 8) -> str:
     """Deterministic FVID clips (drifting synthetic frames); every 11th
-    row is invalid with NULL metadata."""
+    row is invalid with NULL metadata; every 7th row is a PLANTED
+    NEAR-DUPLICATE of its predecessor (same frames, the last one
+    re-rendered — the partial-re-upload case video dedup must catch)."""
     from humid_ray.av import encode_fvid
 
     out = os.path.join(base_dir, f"video_v{AV_GEN_VERSION}_n{n_rows}_s{seed}_hw{hw}")
@@ -381,6 +383,7 @@ def make_video_corpus(base_dir: str, n_rows: int, seed: int = 42,
         return out
     os.makedirs(out, exist_ok=True)
     rows = []
+    prev_frames = None
     for i in range(n_rows):
         rng = np.random.default_rng([seed, 9, i])
         if i % 11 == 10:
@@ -388,14 +391,21 @@ def make_video_corpus(base_dir: str, n_rows: int, seed: int = 42,
                          "n_frames": None, "fps": None, "w": None, "h": None,
                          "caption": _caption(rng)})
             continue
-        n_frames = int(rng.integers(4, 12))
-        base = _image(rng, hw).astype(np.float64)
-        frames = []
-        for f in range(n_frames):
-            drift = np.roll(base, f, axis=1) + rng.normal(0, 2, base.shape)
-            frames.append(np.clip(drift, 0, 255).astype(np.uint8))
+        if i % 7 == 6 and prev_frames is not None and len(prev_frames) >= 5:
+            frames = list(prev_frames[:-1])
+            frames.append(np.clip(
+                prev_frames[-1].astype(np.float64) + rng.normal(0, 40, prev_frames[-1].shape),
+                0, 255).astype(np.uint8))
+        else:
+            n_frames = int(rng.integers(4, 12))
+            base = _image(rng, hw).astype(np.float64)
+            frames = []
+            for f in range(n_frames):
+                drift = np.roll(base, f, axis=1) + rng.normal(0, 2, base.shape)
+                frames.append(np.clip(drift, 0, 255).astype(np.uint8))
+        prev_frames = frames
         rows.append({"video_id": f"vid{i:08d}",
-                     "bytes": encode_fvid(frames, fps), "n_frames": n_frames,
+                     "bytes": encode_fvid(frames, fps), "n_frames": len(frames),
                      "fps": fps, "w": hw, "h": hw, "caption": _caption(rng)})
     pq.write_table(pa.Table.from_pylist(rows, schema=VIDEO_SCHEMA),
                    os.path.join(out, "part-00000.parquet"))
