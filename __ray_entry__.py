@@ -361,9 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_dims": _audio_decode_dims,
         "video_frame_samples": lambda sf: multimodal.video_frame_samples(_video_corpus_for(sf)),
         "video_decode_dims": lambda sf: multimodal.video_decode_dims(_video_corpus_for(sf)),
-        # the flagship dedup machinery applied to the video modality
-        # (frame-pHash sets; exact-Jaccard-verified MinHash candidates)
+        # the flagship dedup machinery applied to the A/V modalities
+        # (frame-pHash / spectral-landmark sets; exact-Jaccard-verified
+        # MinHash candidates)
         "video_neardup": lambda sf: multimodal.video_neardup_pairs(_video_corpus_for(sf)),
+        "audio_neardup": lambda sf: multimodal.audio_neardup_pairs(_audio_corpus_for(sf)),
     }
 
 

@@ -68,6 +68,27 @@ def decode_fvid_frame(data: bytes, i: int) -> np.ndarray:
     return decode_fjpg(data[pos : pos + sizes[i]])
 
 
+def audio_landmarks(samples: np.ndarray, sr: int, frame: int = 2048,
+                    hop: int = 1024, tq: int = 4, fq: int = 4) -> np.ndarray:
+    """Spectral landmark set of a clip (Shazam-style, deterministic):
+    per analysis frame the dominant rFFT bin, quantized in time (//tq
+    frames) and frequency (//fq bins), packed into one int64 per
+    landmark. Robust to small additive noise (the dominant peak bin is
+    stable), fully vectorized (one 2-D rFFT). Returns sorted unique
+    int64 landmark codes."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(frame)[None, :], axis=1))
+    peaks = np.argmax(spec[:, 1:], axis=1) + 1  # skip DC
+    codes = ((np.arange(n_frames) // tq).astype(np.int64) << 16) | (
+        (peaks // fq).astype(np.int64)
+    )
+    return np.unique(codes)
+
+
 def audio_features(samples: np.ndarray, sr: int) -> dict:
     """Deterministic features of a mono int16 clip, all vectorized:
     duration, RMS, zero-crossing rate, spectral centroid (rFFT)."""

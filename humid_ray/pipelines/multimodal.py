@@ -262,74 +262,42 @@ def video_frame_samples(corpus_dir: str, stride: int = 4, batch_size: int = 256)
     )
 
 
-# --- video near-duplicate pairs (the flagship dedup machinery on the ------
-# video modality: frame-pHash SETS play the role of shingle sets)
+# --- audio/video near-duplicate pairs (the flagship dedup machinery on ----
+# the A/V modalities: per-clip ITEM SETS — frame pHashes for video,
+# spectral landmarks for audio — play the role of shingle sets)
 
-class _VideoSignature:
-    """(video_id, minhash, phashes) per decodable clip: the clip's
-    UNIQUE frame-pHash set (sorted) and its MinHash sketch — the video
-    analog of the caption shingle set."""
+def _set_signature_table(ids: list, flat: list, counts: list, n_perms: int) -> pa.Table:
+    """(doc_id, minhash, items) rows from per-clip sorted item sets."""
+    from humid_ray.functions.minhash import minhash_batch
+    from humid_ray.util import UINT64, u64col
 
-    def __init__(self, n_perms: int, stride: int = 1):
-        from humid_ray.av import decode_fvid_frame, fvid_info
-        from humid_ray.functions.phash import phash_image
-
-        self.info, self.frame, self.phash = fvid_info, decode_fvid_frame, phash_image
-        self.n_perms, self.stride = n_perms, stride
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from humid_ray.functions.minhash import minhash_batch
-        from humid_ray.util import UINT64, u64col
-
-        ids, flat, counts = [], [], []
-        for i, v in enumerate(batch.column("bytes")):
-            data = v.as_py()
-            try:
-                n_frames, _ = self.info(data)
-            except Exception:
-                continue
-            phs = {int(self.phash(self.frame(data, f)))
-                   for f in range(0, n_frames, self.stride)}
-            ids.append(batch.column("video_id")[i].as_py())
-            srt = sorted(phs)
-            flat.extend(srt)
-            counts.append(len(srt))
-        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        values = np.array(flat, dtype=np.uint64) if flat else np.empty(0, dtype=UINT64)
-        mh = minhash_batch(values, offsets, self.n_perms)
-        return pa.table(
-            {
-                "video_id": pa.array(ids, type=pa.string()),
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    u64col(mh.reshape(-1)), self.n_perms
-                ),
-                "phashes": pa.LargeListArray.from_arrays(
-                    pa.array(offsets, type=pa.int64()), u64col(values)
-                ),
-            }
-        )
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    values = np.array(flat, dtype=np.uint64) if flat else np.empty(0, dtype=UINT64)
+    mh = minhash_batch(values, offsets, n_perms)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                u64col(mh.reshape(-1)), n_perms
+            ),
+            "items": pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), u64col(values)
+            ),
+        }
+    )
 
 
-def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
-                        n_perms: int = 64, n_bands: int = 16):
-    """Distinct video pairs whose frame-pHash sets have EXACT Jaccard
-    >= threshold (the partial-re-upload dedup case): MinHash banding
-    generates candidates, the carried pHash sets verify exactly —
-    same candidates-are-a-sketch / edges-are-exact rule as the
+def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int):
+    """(doc_id, minhash, items) Dataset -> distinct (doc_a, doc_b,
+    jaccard) pairs with EXACT item-set Jaccard >= threshold. MinHash
+    banding generates candidates, the carried item sets verify exactly
+    — the same candidates-are-a-sketch / edges-are-exact rule as the
     flagship."""
-    import pyarrow.compute as pc
-
     from ray.data.aggregate import Min
 
     from humid_ray.functions.minhash import minhash_band_keys
     from humid_ray.util import UINT64
-
-    sigs = read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
-        _VideoSignature, fn_constructor_kwargs={"n_perms": n_perms},
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=256, concurrency=(1, 8),
-    )
 
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -337,32 +305,28 @@ def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
             return pa.table(
                 {"band_id": pa.array([], type=pa.int32()),
                  "band_key": pa.array([], type=pa.int64()),
-                 "video_id": pa.array([], type=pa.string()),
-                 "minhash": pa.array([], type=pa.list_(pa.int64(), n_perms)),
-                 "phashes": pa.array([], type=pa.large_list(pa.int64()))}
+                 "doc_id": pa.array([], type=pa.string()),
+                 "items": pa.array([], type=pa.large_list(pa.int64()))}
             )
         from humid_ray.stages.lsh import _minhash_of
 
         mh = _minhash_of(batch)
         keys = minhash_band_keys(mh.view(UINT64), n_bands)
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
-        vid = batch.column("video_id")
-        ph = batch.column("phashes")
-        if isinstance(vid, pa.ChunkedArray):
-            vid = vid.combine_chunks()
-        if isinstance(ph, pa.ChunkedArray):
-            ph = ph.combine_chunks()
+        cols = {}
+        for name in ("doc_id", "items"):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(idx)
         return pa.table(
             {
                 "band_id": pa.array(
                     np.repeat(np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
                 ),
                 "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "video_id": vid.take(idx),
-                "minhash": batch.column("minhash").take(idx)
-                if not isinstance(batch.column("minhash"), pa.ChunkedArray)
-                else batch.column("minhash").combine_chunks().take(idx),
-                "phashes": ph.take(idx),
+                "doc_id": cols["doc_id"],
+                "items": cols["items"],
             }
         )
 
@@ -376,25 +340,25 @@ def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
             return empty
         from humid_ray.stages.lsh import _list_segments
 
-        vids = np.asarray(group.column("video_id").to_pylist(), dtype=object)
-        order = np.argsort(vids, kind="stable")
-        keep = np.r_[True, vids[order][1:] != vids[order][:-1]]
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        keep = np.r_[True, ids[order][1:] != ids[order][:-1]]
         idx = order[keep]
-        vids = vids[idx]
-        if len(vids) < 2:
+        ids = ids[idx]
+        if len(ids) < 2:
             return empty
-        vals, offs = _list_segments(group.column("phashes"))
+        vals, offs = _list_segments(group.column("items"))
         starts, ends = offs[idx], offs[idx + 1]
         out_a, out_b, out_j = [], [], []
-        for i in range(len(vids)):
+        for i in range(len(ids)):
             a = vals[starts[i]:ends[i]]
-            for j in range(i + 1, len(vids)):
+            for j in range(i + 1, len(ids)):
                 b = vals[starts[j]:ends[j]]
                 inter = np.intersect1d(a, b, assume_unique=True).size
                 union = a.size + b.size - inter
                 if union and inter / union >= threshold:
-                    out_a.append(str(vids[i]))
-                    out_b.append(str(vids[j]))
+                    out_a.append(str(ids[i]))
+                    out_b.append(str(ids[j]))
                     out_j.append(round(inter / union, 6))
         return pa.table(
             {"doc_a": pa.array(out_a, type=pa.string()),
@@ -416,3 +380,77 @@ def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
              "jaccard": pa.array([], type=pa.float64())}
         )
     return out
+
+
+class _VideoSignature:
+    """Per decodable clip: UNIQUE frame-pHash set + MinHash sketch."""
+
+    def __init__(self, n_perms: int, stride: int = 1):
+        from humid_ray.av import decode_fvid_frame, fvid_info
+        from humid_ray.functions.phash import phash_image
+
+        self.info, self.frame, self.phash = fvid_info, decode_fvid_frame, phash_image
+        self.n_perms, self.stride = n_perms, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, flat, counts = [], [], []
+        for i, v in enumerate(batch.column("bytes")):
+            data = v.as_py()
+            try:
+                n_frames, _ = self.info(data)
+            except Exception:
+                continue
+            phs = {int(self.phash(self.frame(data, f)))
+                   for f in range(0, n_frames, self.stride)}
+            ids.append(batch.column("video_id")[i].as_py())
+            srt = sorted(phs)
+            flat.extend(srt)
+            counts.append(len(srt))
+        return _set_signature_table(ids, flat, counts, self.n_perms)
+
+
+def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
+                        n_perms: int = 64, n_bands: int = 16):
+    """Distinct video pairs whose frame-pHash sets have EXACT Jaccard
+    >= threshold (the partial-re-upload dedup case)."""
+    sigs = read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
+        _VideoSignature, fn_constructor_kwargs={"n_perms": n_perms},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 8),
+    )
+    return set_neardup_pairs(sigs, threshold, n_perms, n_bands)
+
+
+class _AudioSignature:
+    """Per decodable clip: spectral landmark set + MinHash sketch."""
+
+    def __init__(self, n_perms: int):
+        from humid_ray.av import audio_landmarks, decode_fwav
+
+        self.decode, self.landmarks = decode_fwav, audio_landmarks
+        self.n_perms = n_perms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, flat, counts = [], [], []
+        for i, v in enumerate(batch.column("bytes")):
+            try:
+                samples, sr = self.decode(v.as_py())
+            except Exception:
+                continue
+            codes = self.landmarks(samples, sr)
+            ids.append(batch.column("audio_id")[i].as_py())
+            flat.extend(codes.tolist())
+            counts.append(len(codes))
+        return _set_signature_table(ids, flat, counts, self.n_perms)
+
+
+def audio_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
+                        n_perms: int = 64, n_bands: int = 16):
+    """Distinct audio pairs whose spectral-landmark sets have EXACT
+    Jaccard >= threshold (re-encoded / noise-degraded re-upload dedup)."""
+    sigs = read_corpus(corpus_dir, columns=["audio_id", "bytes"]).map_batches(
+        _AudioSignature, fn_constructor_kwargs={"n_perms": n_perms},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=512, concurrency=(1, 8),
+    )
+    return set_neardup_pairs(sigs, threshold, n_perms, n_bands)

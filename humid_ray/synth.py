@@ -306,7 +306,7 @@ def corpus_files(corpus_dir: str) -> list[str]:
 
 # --- deterministic audio / video corpora (FWAV / FVID stand-in codecs) ----
 
-AV_GEN_VERSION = 2  # bump when generated A/V bytes change
+AV_GEN_VERSION = 3  # bump when generated A/V bytes change
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -335,7 +335,9 @@ def make_audio_corpus(base_dir: str, n_rows: int, seed: int = 42,
                       sr: int = 8000) -> str:
     """Deterministic FWAV clips (sine mixtures + noise); every 13th row
     carries an invalid payload with NULL metadata (the decodable-iff-
-    metadata-non-null invariant the image corpus uses for phash)."""
+    metadata-non-null invariant the image corpus uses for phash);
+    every 9th valid row is a PLANTED NEAR-DUPLICATE of its predecessor
+    (same sines, fresh noise — a re-encoded re-upload)."""
     from humid_ray.av import encode_fwav
 
     out = os.path.join(base_dir, f"audio_v{AV_GEN_VERSION}_n{n_rows}_s{seed}")
@@ -344,6 +346,7 @@ def make_audio_corpus(base_dir: str, n_rows: int, seed: int = 42,
         return out
     os.makedirs(out, exist_ok=True)
     rows = []
+    prev_clean = None
     for i in range(n_rows):
         rng = np.random.default_rng([seed, 7, i])
         if i % 13 == 12:
@@ -351,17 +354,21 @@ def make_audio_corpus(base_dir: str, n_rows: int, seed: int = 42,
             rows.append({"audio_id": f"aud{i:08d}", "bytes": data, "sr": None,
                          "n_samples": None, "caption": _caption(rng)})
             continue
-        n = int(rng.integers(sr // 2, sr * 2))
-        t = np.arange(n) / sr
-        sig = np.zeros(n)
-        for _ in range(int(rng.integers(1, 4))):
-            sig += rng.uniform(0.1, 0.5) * np.sin(
-                2 * np.pi * rng.uniform(80, 2000) * t + rng.uniform(0, 6.28)
-            )
-        sig += rng.normal(0, 0.02, n)
-        samples = np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+        if i % 9 == 8 and prev_clean is not None:
+            sig = prev_clean
+        else:
+            n = int(rng.integers(sr // 2, sr * 2))
+            t = np.arange(n) / sr
+            sig = np.zeros(n)
+            for _ in range(int(rng.integers(1, 4))):
+                sig += rng.uniform(0.1, 0.5) * np.sin(
+                    2 * np.pi * rng.uniform(80, 2000) * t + rng.uniform(0, 6.28)
+                )
+        prev_clean = sig
+        noisy = sig + rng.normal(0, 0.02, len(sig))
+        samples = np.clip(noisy * 12000, -32768, 32767).astype(np.int16)
         rows.append({"audio_id": f"aud{i:08d}", "bytes": encode_fwav(samples, sr),
-                     "sr": sr, "n_samples": n, "caption": _caption(rng)})
+                     "sr": sr, "n_samples": len(samples), "caption": _caption(rng)})
     pq.write_table(pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA),
                    os.path.join(out, "part-00000.parquet"))
     with open(done, "w") as f:

@@ -121,3 +121,37 @@ def test_video_neardup_matches_bruteforce(ray_session, tmp_path):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
     assert got == truth
     assert truth, "corpus must contain planted near-dup videos"
+
+
+def test_audio_neardup_matches_bruteforce(ray_session, tmp_path):
+    """Spectral-landmark-set Jaccard >= t pairs vs an all-pairs oracle:
+    planted re-encoded clips recovered; zero deviations either way."""
+    from humid_ray.av import audio_landmarks, decode_fwav
+    from humid_ray.pipelines.multimodal import audio_neardup_pairs
+    from humid_ray.synth import make_audio_corpus
+
+    corpus = make_audio_corpus(str(tmp_path), 55)
+    src = pq.read_table(f"{corpus}/part-00000.parquet").to_pandas()
+    sets = {}
+    for _, row in src[src.sr.notna()].iterrows():
+        s, sr = decode_fwav(row.bytes)
+        sets[row.audio_id] = set(audio_landmarks(s, sr).tolist())
+    truth = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            union = len(a | b)
+            jac = len(a & b) / union if union else 0.0
+            if jac >= 0.6:
+                truth[(ids[i], ids[j])] = round(jac, 6)
+
+    out = audio_neardup_pairs(corpus, threshold=0.6)
+    rows = out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got == truth
+    # the planted re-encodes must be among them
+    valid = set(src[src.sr.notna()].audio_id)
+    planted = {(f"aud{i-1:08d}", f"aud{i:08d}") for i in range(55)
+               if i % 9 == 8 and i % 13 != 12 and f"aud{i-1:08d}" in valid}
+    assert planted <= set(got)
