@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_last_field_docs": _extract_last_field_docs,
         # documents: near-dup suite
         "simhash_docs": dedup_text.simhash_docs,
+        # the flagship banded-Hamming LSH stage reused on the simhash
+        # column (brute-force-oracle-tested edge-set parity)
+        "simhash_neardup_docs": dedup_text.simhash_neardup,
         "minhash_neardup_docs": dedup_text.minhash_neardup_pairs,
         # exact all-pairs shingle Jaccard via prefix filtering (SQL-oracled)
         "ngram_jaccard_docs": dedup_text.ngram_jaccard_exact,

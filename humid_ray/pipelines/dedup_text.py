@@ -291,6 +291,35 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
     return _verify_pairs_exact(cand, sf_dir, threshold, k)
 
 
+def simhash_neardup(sf_dir: str, max_distance: int = 3):
+    """SimHash near-dup edges over the documents table: distinct
+    unordered pairs of DISTINCT simhash values within Hamming <=
+    max_distance — the flagship's pigeonhole-banded LSH + salted
+    in-bucket verify stage (stages/lsh.py) reused verbatim on another
+    64-bit fingerprint column. Returns (sig_a, sig_b) int64 bit
+    patterns; docs sharing one simhash are exact-dup groups handled by
+    exact dedup, not edges (the flagship's uniq/edges split)."""
+    from humid_ray.config import HumidConfig
+    from humid_ray.stages.exact import unique_signatures
+    from humid_ray.stages.lsh import find_edges
+
+    sigs = simhash_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"image_id": t.column("doc_id"), "sig": t.column("simhash")}
+        ),
+        batch_format="pyarrow",
+    )
+    uniq = unique_signatures(sigs)
+    cfg = HumidConfig(word_bits=64, max_distance=max_distance)
+    out = find_edges(uniq, cfg, None)
+    if out.count() == 0:
+        return pa.table(
+            {"sig_a": pa.array([], type=pa.int64()),
+             "sig_b": pa.array([], type=pa.int64())}
+        )
+    return out
+
+
 # --- exact all-pairs n-gram Jaccard (prefix filtering) --------------------
 
 class ShinglePrefixIndex:

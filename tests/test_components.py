@@ -97,3 +97,33 @@ def test_distributed_cc_vectorized_at_scale(ray_session):
     # version took ~13 min here; the bucketed one ~40-60 s on 4-8 CPUs);
     # generous to absorb CI noise
     assert t_dist < max(120.0, 100 * t_local), (t_dist, t_local)
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    """The flagship LSH stage reused on the documents simhash column:
+    edge set must equal O(n^2) Hamming over the computed simhashes."""
+    import numpy as np
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from humid_ray.pipelines.dedup_text import simhash_docs, simhash_neardup
+    from humid_ray.util import UINT64, hamming64
+
+    sf = "/root/testdata/sf0.001"
+    m = 3
+    sims = simhash_docs(sf).to_pandas()
+    uniq = np.unique(sims.simhash.to_numpy().view(UINT64))
+    truth = set()
+    for i in range(len(uniq)):
+        d = hamming64(uniq[i], uniq[i + 1:])
+        for j in np.flatnonzero(d <= m):
+            truth.add((int(uniq[i]), int(uniq[i + 1 + j])))
+    truth = {tuple(sorted(p)) for p in truth}
+
+    out = simhash_neardup(sf, max_distance=m)
+    rows = out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+    got = {
+        tuple(sorted((int(np.uint64(np.int64(r["sig_a"]))),
+                      int(np.uint64(np.int64(r["sig_b"]))))))
+        for r in rows
+    }
+    assert got == truth
