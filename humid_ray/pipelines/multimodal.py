@@ -339,6 +339,7 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int):
         if group.num_rows < 2:
             return empty
         from humid_ray.stages.lsh import _list_segments
+        from humid_ray.util import hash_u64_segments
 
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
         order = np.argsort(ids, kind="stable")
@@ -349,17 +350,44 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int):
             return empty
         vals, offs = _list_segments(group.column("items"))
         starts, ends = offs[idx], offs[idx + 1]
+        # hot-bucket guard: many identical clips land in one bucket —
+        # intersect once per UNIQUE item set (items are sorted, so the
+        # segment hash is canonical), expand matches to clip pairs
+        lens = ends - starts
+        seg_offs = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=seg_offs[1:])
+        packed = np.concatenate([vals[s:e] for s, e in zip(starts, ends)]) \
+            if len(idx) else np.empty(0, dtype=vals.dtype)
+        set_hash = hash_u64_segments(packed, seg_offs)
+        uniq_h, inv = np.unique(set_hash, return_inverse=True)
+        rep = np.zeros(len(uniq_h), dtype=np.int64)
+        rep[inv] = np.arange(len(idx))  # any member as representative
+        members = [np.flatnonzero(inv == u) for u in range(len(uniq_h))]
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            a = vals[starts[i]:ends[i]]
-            for j in range(i + 1, len(ids)):
-                b = vals[starts[j]:ends[j]]
+
+        def emit(i, j, jac):
+            a, b = str(ids[i]), str(ids[j])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(jac)
+
+        for u in range(len(uniq_h)):
+            mu = members[u]
+            for x in range(len(mu)):       # identical sets: Jaccard 1.0
+                for y in range(x + 1, len(mu)):
+                    emit(mu[x], mu[y], 1.0)
+            a = vals[starts[rep[u]]:ends[rep[u]]]
+            for v in range(u + 1, len(uniq_h)):
+                b = vals[starts[rep[v]]:ends[rep[v]]]
                 inter = np.intersect1d(a, b, assume_unique=True).size
                 union = a.size + b.size - inter
                 if union and inter / union >= threshold:
-                    out_a.append(str(ids[i]))
-                    out_b.append(str(ids[j]))
-                    out_j.append(round(inter / union, 6))
+                    jac = round(inter / union, 6)
+                    for i in members[u]:
+                        for j in members[v]:
+                            emit(i, j, jac)
         return pa.table(
             {"doc_a": pa.array(out_a, type=pa.string()),
              "doc_b": pa.array(out_b, type=pa.string()),
