@@ -69,24 +69,33 @@ def decode_fvid_frame(data: bytes, i: int) -> np.ndarray:
 
 
 def audio_landmarks(samples: np.ndarray, sr: int, frame: int = 2048,
-                    hop: int = 1024, tq: int = 4, fq: int = 4) -> np.ndarray:
+                    hop: int = 1024, tq: int = 4, fq: int = 4,
+                    n_peaks: int = 3) -> np.ndarray:
     """Spectral landmark set of a clip (Shazam-style, deterministic):
-    per analysis frame the dominant rFFT bin, quantized in time (//tq
-    frames) and frequency (//fq bins), packed into one int64 per
-    landmark. Robust to small additive noise (the dominant peak bin is
-    stable), fully vectorized (one 2-D rFFT). Returns sorted unique
-    int64 landmark codes."""
+    per analysis frame the ``n_peaks`` strongest rFFT bins, quantized
+    in time (//tq frames) and frequency (//fq bins), each packed with
+    its per-frame RANK into one int64 code. The rank keeps single-tone
+    clips from colliding whenever their dominant bins merely coincide
+    — two clips match only if their whole peak ORDERING agrees. Robust
+    to small additive noise (peak bins and their order are stable),
+    fully vectorized (one 2-D rFFT + one argpartition). Returns sorted
+    unique int64 landmark codes."""
     x = np.asarray(samples, dtype=np.float64)
     if len(x) < frame:
         x = np.pad(x, (0, frame - len(x)))
     n_frames = 1 + (len(x) - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(frame)[None, :], axis=1))
-    peaks = np.argmax(spec[:, 1:], axis=1) + 1  # skip DC
-    codes = ((np.arange(n_frames) // tq).astype(np.int64) << 16) | (
-        (peaks // fq).astype(np.int64)
-    )
-    return np.unique(codes)
+    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(frame)[None, :], axis=1))[:, 1:]
+    k = min(n_peaks, spec.shape[1])
+    top = np.argpartition(-spec, k - 1, axis=1)[:, :k]
+    # order the top-k by magnitude desc (bin asc on exact ties)
+    mags = np.take_along_axis(spec, top, axis=1)
+    order = np.lexsort((top, -mags), axis=1)
+    top = np.take_along_axis(top, order, axis=1) + 1  # undo DC skip
+    t_codes = (np.arange(n_frames, dtype=np.int64) // tq)[:, None]
+    rank = np.arange(k, dtype=np.int64)[None, :]
+    codes = (t_codes << 24) | (rank << 16) | (top // fq).astype(np.int64)
+    return np.unique(codes.reshape(-1))
 
 
 def audio_features(samples: np.ndarray, sr: int) -> dict:
