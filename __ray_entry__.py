@@ -257,7 +257,14 @@ def _embedding_norms(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from humid_ray.pipelines import ann, dedup_text, multimodal, substring, textstats
+    from humid_ray.pipelines import (
+        ann,
+        dedup_text,
+        events,
+        multimodal,
+        substring,
+        textstats,
+    )
 
     def corpus_decode_stats(sf_dir: str):
         return multimodal.decode_stats(_corpus_for(sf_dir))
@@ -346,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": textstats.fingerprints,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
+        # events: windowed aggregate + gap sessionization (SQL-oracled)
+        "events_windowed": events.windowed_counts,
+        "events_sessions": events.sessionize,
+        "events_session_stats": events.session_stats,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -550,6 +561,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) "
             "AS BIGINT) AS \"rank\", round(cos, 6) AS cosine "
             "FROM s QUALIFY \"rank\" <= 5"
+        ),
+        "events_windowed": (
+            "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, "
+            "event_type, COUNT(*) AS n, round(SUM(value), 6) AS total "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 minute THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, round(SUM(value), 6) AS total_value "
+            "FROM s GROUP BY user_id, sess"
         ),
         "langid_docs": (
             f"WITH s AS (SELECT doc_id, {_langid_score_sql('en')} AS s_en, "

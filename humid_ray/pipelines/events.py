@@ -1,0 +1,175 @@
+"""Windowed operators over the ``events`` table.
+
+The custom-operator class the reference lacks (SURVEY §2.10 confirms
+it has no streaming/window semantics): tumbling-window aggregation and
+gap-based sessionization, expressed Ray-Data-first.
+
+* Tumbling windows need no order at all — the window key is a pure
+  row function, so it is a per-batch partial aggregate (combiner)
+  plus one small groupby: shuffle volume = |windows x types|, not
+  |events|.
+* Sessionization needs per-user time order. Users are hashed into a
+  bounded number of buckets (ONE shuffle, no per-user groups); each
+  bucket kernel lexsorts (user, ts, event_id) once and derives every
+  session with numpy segment ops — no per-event or per-user Python.
+  Partitioning assumption: one user's events fit one bucket task —
+  true at any realistic skew (a single user's event count), the same
+  assumption the SQL window-function formulation makes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from humid_ray.util import round_half_away
+
+HOUR_US = 3_600_000_000
+N_SESSION_BUCKETS = 256
+
+
+def read_events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _ts_us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
+    """(window_start, event_type, n, total): tumbling-window count and
+    value sum. Oracle: GROUP BY date_trunc/time_bucket in SQL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        win = (ts // window_us) * window_us
+        et = batch.column("event_type")
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"window_us": pa.array(win), "event_type": et,
+             "n": pa.array(np.ones(len(win), dtype=np.int64)),
+             "total": pa.array(val)}
+        )
+        # per-batch combiner: collapse to one row per (window, type)
+        import pyarrow.compute as pc
+
+        keys = pa.table({"window_us": t.column("window_us"),
+                         "event_type": t.column("event_type")})
+        idx = pc.sort_indices(keys, sort_keys=[("window_us", "ascending"),
+                                               ("event_type", "ascending")])
+        s = t.take(idx)
+        w = s.column("window_us").to_numpy(zero_copy_only=False)
+        e = np.asarray(s.column("event_type").to_pylist(), dtype=object)
+        new = np.r_[True, (w[1:] != w[:-1]) | (e[1:] != e[:-1])]
+        starts = np.flatnonzero(new)
+        v = s.column("total").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_us": pa.array(w[starts]),
+                "event_type": pa.array(e[starts].tolist(), type=pa.string()),
+                "n": pa.array(np.diff(np.r_[starts, len(w)]).astype(np.int64)),
+                "total": pa.array(np.add.reduceat(v, starts)),
+            }
+        )
+
+    agg = (
+        read_events(sf_dir, columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        win = t.column("window_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": pa.array(win, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "total": pa.array(
+                    round_half_away(
+                        t.column("total").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
+    """(user_id, session_start, session_end, n_events, total_value):
+    gap-based sessions (a new session starts when the inter-event gap
+    exceeds ``gap_us``)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((uid % N_SESSION_BUCKETS).astype(np.int64))
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], type=pa.int64()),
+             "session_start": pa.array([], type=pa.timestamp("us")),
+             "session_end": pa.array([], type=pa.timestamp("us")),
+             "n_events": pa.array([], type=pa.int64()),
+             "total_value": pa.array([], type=pa.float64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        new_sess = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)]
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(uid)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64)),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ts[ends], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "total_value": pa.array(
+                    round_half_away(
+                        np.add.reduceat(val, starts), 6
+                    )
+                ),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def session_stats(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
+    """One-row summary: sessions, max session length, users."""
+    sess = sessionize(sf_dir, gap_us).materialize()
+    n_sessions = sess.count()
+    users = sess.groupby("user_id").aggregate(Count(alias_name="k")).count()
+    mx = sess.max("n_events") if n_sessions else 0
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            "n_users": pa.array([int(users)], type=pa.int64()),
+            "max_session_events": pa.array([int(mx)], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,82 @@
+"""Windowed event operators vs a pure-pandas oracle (sf0.001)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _events():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_windowed_counts(ray_session):
+    from humid_ray.pipelines.events import windowed_counts
+
+    got = (
+        windowed_counts(SF).to_pandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    ev = _events()
+    ev["window_start"] = ev.ts.dt.floor("h")
+    exp = (
+        ev.groupby(["window_start", "event_type"])
+        .agg(n=("value", "size"), total=("value", "sum"))
+        .reset_index()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got.window_start.to_numpy() == exp.window_start.to_numpy()).all()
+    assert (got.event_type.to_numpy() == exp.event_type.to_numpy()).all()
+    assert (got.n.to_numpy() == exp.n.to_numpy()).all()
+    assert np.allclose(got.total.to_numpy(), exp.total.to_numpy(), atol=1e-5)
+
+
+def test_sessionize(ray_session):
+    from humid_ray.pipelines.events import sessionize
+
+    got = (
+        sessionize(SF).to_pandas()
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g.ts.astype("int64").to_numpy()
+        brk = np.r_[True, np.diff(ts) > GAP_US]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ts)] - 1
+        for s, e in zip(starts, ends):
+            rows.append(
+                {
+                    "user_id": uid,
+                    "session_start": g.ts.iloc[s],
+                    "session_end": g.ts.iloc[e],
+                    "n_events": e - s + 1,
+                    "total_value": round(float(g.value.iloc[s:e + 1].sum()), 6),
+                }
+            )
+    exp = pd.DataFrame(rows).sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("user_id", "n_events"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got.session_start.to_numpy() == exp.session_start.to_numpy()).all()
+    assert (got.session_end.to_numpy() == exp.session_end.to_numpy()).all()
+    assert np.allclose(got.total_value.to_numpy(), exp.total_value.to_numpy(),
+                       atol=1e-5)
+    # every session respects the gap invariant
+    by_user = got.groupby("user_id").session_start.count()
+    assert (by_user >= 1).all()
+
+
+def test_session_stats(ray_session):
+    from humid_ray.pipelines.events import session_stats, sessionize
+
+    sess = sessionize(SF).to_pandas()
+    t = session_stats(SF)
+    assert t.column("n_sessions")[0].as_py() == len(sess)
+    assert t.column("n_users")[0].as_py() == sess.user_id.nunique()
+    assert t.column("max_session_events")[0].as_py() == int(sess.n_events.max())
