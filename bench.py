@@ -136,6 +136,10 @@ def run_bench() -> dict:
     timed("simhash_docs", lambda: dedup_text.simhash_docs(SF_DIR))
     timed("token_count_docs", lambda: textstats.token_counts(SF_DIR))
     timed("quality_docs", lambda: textstats.quality_scores(SF_DIR))
+    from humid_ray.pipelines import events
+
+    timed("events_windowed", lambda: events.windowed_counts(SF_DIR))
+    timed("events_sessions", lambda: events.sessionize(SF_DIR))
     timed("ngram_jaccard_docs", lambda: dedup_text.ngram_jaccard_exact(SF_DIR))
     timed("substring_dedup_docs", lambda: substring.substring_dedup_pairs(SF_DIR))
     timed("langid_docs", lambda: textstats.langid(SF_DIR))
