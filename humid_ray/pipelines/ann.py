@@ -82,6 +82,13 @@ class _TopKPartial:
         )
 
 
+def _empty_topk() -> pa.Table:
+    return pa.table({"query_id": pa.array([], type=pa.int64()),
+                     "neighbor_id": pa.array([], type=pa.int64()),
+                     "rank": pa.array([], type=pa.int64()),
+                     "cosine": pa.array([], type=pa.float64())})
+
+
 def _merge_topk(partial_ds, q_ids: np.ndarray, k: int) -> pa.Table:
     """Global top-k from per-block partial top-k rows. The driver only
     ever sees n_blocks * n_queries * k rows — tiny at any corpus size."""
@@ -108,10 +115,7 @@ def _merge_topk(partial_ds, q_ids: np.ndarray, k: int) -> pa.Table:
                 }
             )
     if not rows:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "neighbor_id": pa.array([], type=pa.int64()),
-                         "rank": pa.array([], type=pa.int64()),
-                         "cosine": pa.array([], type=pa.float64())})
+        return _empty_topk()
     return pa.Table.from_pylist(rows)
 
 
@@ -123,6 +127,8 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
     qt = (
         ds.sort("vec_id").limit(n_queries).take_all()
     )
+    if not qt:
+        return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)
     q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qt])
     query_ref = ray.put((q_ids, q))
@@ -180,6 +186,8 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
     knn_bruteforce; recall is approximate by design."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     first = ds.sort("vec_id").limit(n_queries).take_all()
+    if not first:
+        return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
     q = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first]))
     dim = q.shape[1]
@@ -248,6 +256,9 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 8, n_centroids: int = 64,
     if ds is None:
         ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     first = ds.sort("vec_id").limit(max(n_queries, 1)).take_all()
+    if not first:
+        # empty embeddings table: np.stack on an empty list raises
+        return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
     q = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first]))
 
@@ -372,6 +383,12 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
 
     # probe dim lazily from the first row
     one = ds.limit(1).take(1)
+    if not one:
+        return pa.table(
+            {"vec_a": pa.array([], type=pa.int64()),
+             "vec_b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
     dim = len(one[0]["embedding"])
     planes = [_hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)]
     planes_ref = ray.put(planes)

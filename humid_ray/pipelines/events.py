@@ -46,6 +46,15 @@ def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
     value sum. Oracle: GROUP BY date_trunc/time_bucket in SQL."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks (empty events table / all-filtered split)
+            # would break the reduceat segment indexing below
+            return pa.table(
+                {"window_us": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "total": pa.array([], type=pa.float64())}
+            )
         ts = _ts_us(batch.column("ts"))
         win = (ts // window_us) * window_us
         et = batch.column("event_type")

@@ -215,10 +215,10 @@ def fingerprints(sf_dir: str):
     """(doc_id, fingerprint) — order-sensitive polynomial rolling hash
     over the token-hash sequence (winnowing-style document
     fingerprint), one vectorized reduceat kernel per batch — no
-    per-document Python loop. Empty docs fingerprint to a fixed
-    sentinel (splitmix64(0)); zero-token docs stay distinguishable
-    from content by that sentinel."""
-    from humid_ray.util import hash_u64_segments, splitmix64
+    per-document Python loop. Zero-token docs fingerprint to 0,
+    keeping them distinguishable from any splitmix64-finalized
+    content hash."""
+    from humid_ray.util import hash_u64_segments
 
     def kernel(batch: pa.Table) -> pa.Table:
         th, offs = tokenize_batch(batch.column("text"))

@@ -123,3 +123,28 @@ def test_ann_ivf_partial_probe_recall(ray_session):
         hits += len(want & got)
         tot += len(want)
     assert hits / tot >= 0.5, hits / tot
+
+
+def test_ann_empty_embeddings_table(ray_session, tmp_path):
+    """Regression: driver-side np.stack on an empty take_all crashed
+    every ANN entry point on an empty embeddings table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.ann import (
+        ann_ivf,
+        ann_lsh,
+        embedding_neardup,
+        knn_bruteforce,
+    )
+
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int32())]
+    )
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    pq_.write_table(schema.empty_table(), d / "embeddings.parquet")
+    for fn in (knn_bruteforce, ann_lsh, ann_ivf, embedding_neardup):
+        out = fn(str(d))
+        assert out.num_rows == 0

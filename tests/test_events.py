@@ -80,3 +80,23 @@ def test_session_stats(ray_session):
     assert t.column("n_sessions")[0].as_py() == len(sess)
     assert t.column("n_users")[0].as_py() == sess.user_id.nunique()
     assert t.column("max_session_events")[0].as_py() == int(sess.n_events.max())
+
+
+def test_windowed_counts_empty_input(ray_session, tmp_path):
+    """Regression: the partial combiner used to IndexError on an empty
+    batch (np.r_[True, ...] yields starts=[0] indexing an empty array)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.events import sessionize, windowed_counts
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    pq_.write_table(schema.empty_table(), d / "events.parquet")
+    assert windowed_counts(str(d)).count() == 0
+    assert sessionize(str(d)).count() == 0
