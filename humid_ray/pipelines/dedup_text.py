@@ -181,39 +181,45 @@ def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def ngram_jaccard_of_text_pairs(texts: pa.Array, k: int) -> np.ndarray:
+    """Exact unique-k-shingle Jaccard of text pairs (i, n+i) for a
+    2n-element text column, fully vectorized (segment-unique shingles +
+    one gathered lexsort for all intersections — no per-pair Python)."""
+    from humid_ray.util import pairwise_intersect_sizes, segment_unique
+
+    th, offs = tokenize_batch(texts)
+    sh, sh_offs = shingle_hashes(th, offs, k)
+    uvals, uoffs = segment_unique(sh, sh_offs)
+    n = len(texts) // 2
+    ii = np.arange(n, dtype=np.int64)
+    jj = n + ii
+    starts, ends = uoffs[:-1], uoffs[1:]
+    inter = pairwise_intersect_sizes(uvals, starts, ends, ii, jj)
+    union = (ends[ii] - starts[ii]) + (ends[jj] - starts[jj]) - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 class NgramJaccard:
     """Exact n-gram (token shingle) Jaccard for given doc pairs; the
-    verification stage behind minhash_neardup_pairs (broadcast texts)."""
+    verification stage behind minhash_neardup_pairs (broadcast texts).
+    Emits the UNROUNDED jaccard — callers filter first and round only
+    the surviving output column (matching the SQL oracles'
+    WHERE-then-round order)."""
 
-    def __init__(self, text_ref, k: int = 3, round6: bool = False):
+    def __init__(self, text_ref, k: int = 3):
         import ray
 
         self.texts: dict[int, str] = ray.get(text_ref)
         self.k = k
-        self.round6 = round6
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
         texts = pa.array(
             [self.texts.get(int(i), "") for i in a_ids]
             + [self.texts.get(int(i), "") for i in b_ids]
         )
-        th, offs = tokenize_batch(texts)
-        sh, sh_offs = shingle_hashes(th, offs, self.k)
-        n = len(a_ids)
-        jac = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            sa = set(sh[sh_offs[i] : sh_offs[i + 1]].tolist())
-            sb = set(sh[sh_offs[n + i] : sh_offs[n + i + 1]].tolist())
-            denom = len(sa | sb)
-            jac[i] = (len(sa & sb) / denom) if denom else 0.0
-        if self.round6:
-            from humid_ray.util import round_half_away
-
-            jac = round_half_away(jac, 6)
+        jac = ngram_jaccard_of_text_pairs(texts, self.k)
         out = batch.select(["doc_a", "doc_b"])
         return out.append_column("ngram_jaccard", pa.array(jac))
 
@@ -271,14 +277,37 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
         return pa.table(_EMPTY_JACCARD)
     verified = cand.map_batches(
         NgramJaccard,
-        fn_constructor_kwargs={"text_ref": text_ref, "k": k, "round6": round6},
+        fn_constructor_kwargs={"text_ref": text_ref, "k": k},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
     return verified.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("ngram_jaccard"), threshold)),
-        batch_format="pyarrow",
+        _threshold_then_round(threshold, round6), batch_format="pyarrow"
     )
+
+
+def _threshold_then_round(threshold: float, round6: bool):
+    """Filter on the UNROUNDED jaccard, then round only the emitted
+    column — the same WHERE-then-round order as the DuckDB oracle (a
+    pair in [threshold-5e-7, threshold) must be dropped, not rounded
+    up into the result)."""
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("ngram_jaccard"), threshold))
+        if round6:
+            from humid_ray.util import round_half_away
+
+            jac = round_half_away(
+                t.column("ngram_jaccard").to_numpy(zero_copy_only=False), 6
+            )
+            t = t.set_column(
+                t.schema.get_field_index("ngram_jaccard"),
+                "ngram_jaccard", pa.array(jac),
+            )
+        return t
+
+    return kernel
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):

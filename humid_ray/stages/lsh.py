@@ -512,15 +512,13 @@ def make_minhash_verifier(cfg: HumidConfig):
             lt = ii < jj
             ii, jj = ii[lt], jj[lt]
             if exact and len(ii):
+                from humid_ray.util import pairwise_intersect_sizes
+
                 vals, offs = _list_segments(group.column("shingles"))
                 starts, ends = offs[idx], offs[idx + 1]
-                ok = np.zeros(len(ii), dtype=bool)
-                for p, (i, j) in enumerate(zip(ii.tolist(), jj.tolist())):
-                    a = vals[starts[i]:ends[i]]
-                    b = vals[starts[j]:ends[j]]
-                    inter = np.intersect1d(a, b, assume_unique=True).size
-                    union = a.size + b.size - inter
-                    ok[p] = union > 0 and inter / union >= threshold
+                inter = pairwise_intersect_sizes(vals, starts, ends, ii, jj)
+                union = (ends[ii] - starts[ii]) + (ends[jj] - starts[jj]) - inter
+                ok = (union > 0) & (inter >= threshold * union)
                 ii, jj = ii[ok], jj[ok]
         if not len(ii):
             return empty

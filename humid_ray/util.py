@@ -190,6 +190,54 @@ def segment_unique(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray,
     return sv, new_offsets
 
 
+def _gather_segments(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate vals[starts[i]:starts[i]+lens[i]] for all i, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0]
+    out_pos = np.arange(total, dtype=np.int64)
+    seg_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    seg_start_out = np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
+    return vals[starts[seg_of] + (out_pos - seg_start_out)]
+
+
+def pairwise_intersect_sizes(
+    vals: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    ii: np.ndarray,
+    jj: np.ndarray,
+) -> np.ndarray:
+    """|seg(ii[p]) ∩ seg(jj[p])| for candidate pairs, loop-free.
+
+    Segments (``vals[starts[s]:ends[s]]``) must each hold UNIQUE values
+    (sortedness not required). One gather + one lexsort over the total
+    candidate mass replaces a per-pair ``np.intersect1d`` Python loop:
+    within a pair, a value appearing twice means it came from both
+    sides. Returns int64[len(ii)].
+    """
+    ii = np.asarray(ii, dtype=np.int64)
+    jj = np.asarray(jj, dtype=np.int64)
+    npairs = len(ii)
+    if npairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    la = ends[ii] - starts[ii]
+    lb = ends[jj] - starts[jj]
+    allv = np.concatenate(
+        [_gather_segments(vals, starts[ii], la), _gather_segments(vals, starts[jj], lb)]
+    )
+    pid = np.concatenate(
+        [np.repeat(np.arange(npairs, dtype=np.int64), la),
+         np.repeat(np.arange(npairs, dtype=np.int64), lb)]
+    )
+    order = np.lexsort((allv, pid))
+    sv, sp = allv[order], pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    return np.bincount(sp[1:][dup], minlength=npairs).astype(np.int64)
+
+
 def top_bits(h: np.ndarray, nbits: int, total: int = 64) -> np.ndarray:
     """Keep the ``nbits`` most-significant bits of ``h`` (as an integer
     value in [0, 2^nbits)); nbits == 0 -> zeros."""

@@ -247,3 +247,26 @@ def test_hash_u64_segments_matches_scalar_reference():
     swapped = hash_u64_segments(np.array([1, 3, 4], dtype=np.uint64),
                                 np.array([0, 3], dtype=np.int64))
     assert int(swapped[0]) != int(got[0])
+
+
+def test_pairwise_intersect_sizes_vs_sets():
+    import numpy as np
+
+    from humid_ray.util import pairwise_intersect_sizes
+
+    rng = np.random.default_rng(7)
+    segs = [np.unique(rng.integers(0, 50, size=rng.integers(0, 20)).astype(np.uint64))
+            for _ in range(30)]
+    vals = np.concatenate([s for s in segs]) if segs else np.empty(0, np.uint64)
+    offs = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segs], out=offs[1:])
+    ii = rng.integers(0, len(segs), size=100)
+    jj = rng.integers(0, len(segs), size=100)
+    got = pairwise_intersect_sizes(vals, offs[:-1], offs[1:], ii, jj)
+    exp = [len(set(segs[a].tolist()) & set(segs[b].tolist()))
+           if a != b else len(segs[a]) for a, b in zip(ii, jj)]
+    # self-pairs (a == b) duplicate every value; the helper assumes the
+    # two sides are distinct segments, so only compare a != b pairs
+    mask = ii != jj
+    assert (got[mask] == np.array(exp, dtype=np.int64)[mask]).all()
+    assert pairwise_intersect_sizes(vals, offs[:-1], offs[1:], [], []).size == 0
