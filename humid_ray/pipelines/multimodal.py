@@ -288,45 +288,150 @@ def _set_signature_table(ids: list, flat: list, counts: list, n_perms: int) -> p
     )
 
 
-def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int):
-    """(doc_id, minhash, items) Dataset -> distinct (doc_a, doc_b,
-    jaccard) pairs with EXACT item-set Jaccard >= threshold. MinHash
-    banding generates candidates, the carried item sets verify exactly
-    — the same candidates-are-a-sketch / edges-are-exact rule as the
-    flagship."""
-    from ray.data.aggregate import Min
+NO_SET_SALT = -1
+
+
+def _set_band_counts(sigs, n_bands: int, hot_threshold: int) -> set:
+    """Counting pre-pass: {(band_id, band_key)} of buckets whose member
+    count exceeds ``hot_threshold`` (same pattern as the flagship's
+    band_bucket_counts, stages/lsh.py). The hot set is bounded by the
+    number of pathological buckets, not the corpus."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
     from humid_ray.functions.minhash import minhash_band_keys
+    from humid_ray.stages.lsh import _minhash_of
     from humid_ray.util import UINT64
 
-    def expand(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table(
                 {"band_id": pa.array([], type=pa.int32()),
                  "band_key": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        keys = minhash_band_keys(_minhash_of(batch).view(UINT64), n_bands)
+        flat = keys.reshape(-1).view(np.int64)
+        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        order = np.lexsort((flat, bands))
+        fb, fk = bands[order], flat[order]
+        new = np.r_[True, (fb[1:] != fb[:-1]) | (fk[1:] != fk[:-1])]
+        s = np.flatnonzero(new)
+        return pa.table(
+            {"band_id": pa.array(fb[s], type=pa.int32()),
+             "band_key": pa.array(fk[s], type=pa.int64()),
+             "n": pa.array(np.diff(np.r_[s, len(fb)]).astype(np.int64))}
+        )
+
+    counts = sigs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["band_id", "band_key"]).aggregate(Sum("n", alias_name="n"))
+    hot: set = set()
+    hot_only = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), hot_threshold)),
+        batch_format="pyarrow",
+    )
+    for b in hot_only.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        hot.update(
+            zip(b.column("band_id").to_pylist(), b.column("band_key").to_pylist())
+        )
+    return hot
+
+
+def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int,
+                      hot_bucket_threshold: int = 256):
+    """(doc_id, minhash, items) Dataset -> distinct (doc_a, doc_b,
+    jaccard) pairs with EXACT item-set Jaccard >= threshold. MinHash
+    banding generates candidates, the carried item sets verify exactly
+    — the same candidates-are-a-sketch / edges-are-exact rule as the
+    flagship.
+
+    Skew handling (the flagship expand_bands pattern, stages/lsh.py):
+    a counting pre-pass flags hot (band, key) buckets; their rows are
+    re-emitted once per OTHER band with that band's key as a salt, so
+    a hot bucket splits across tasks by second-band agreement.
+    Identical item sets agree on every band and are never lost; a
+    DISTINCT-set pair inside a hot bucket is kept iff it also agrees
+    on some other band (P ≈ 1-(1-t^r)^(bands-1) at the threshold —
+    the documented recall trade on pathological buckets only).
+    In-kernel work is loop-free: identical sets collapse to one
+    representative (hash + element-wise confirm, so a 64-bit collision
+    can never fabricate a jaccard=1.0 edge), representative pairs are
+    size-window-pruned (J >= t forces a size ratio >= t) and verified
+    in memory-bounded chunks via one gathered lexsort per chunk."""
+    from ray.data.aggregate import Min
+
+    from humid_ray.functions.minhash import minhash_band_keys
+    from humid_ray.util import UINT64
+
+    if hasattr(sigs, "materialize"):
+        # the counting pre-pass and the band expansion both consume the
+        # signature table; materialize once so the decode actors don't
+        # run twice (signature-shaped rows only — no payload)
+        sigs = sigs.materialize()
+    hot_keys = _set_band_counts(sigs, n_bands, hot_bucket_threshold)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mh_type = pa.list_(pa.int64(), n_perms)
+        if n == 0:
+            return pa.table(
+                {"band_id": pa.array([], type=pa.int32()),
+                 "band_key": pa.array([], type=pa.int64()),
+                 "salt_id": pa.array([], type=pa.int32()),
+                 "salt_key": pa.array([], type=pa.int64()),
                  "doc_id": pa.array([], type=pa.string()),
-                 "items": pa.array([], type=pa.large_list(pa.int64()))}
+                 "items": pa.array([], type=pa.large_list(pa.int64())),
+                 "minhash": pa.array([], type=mh_type)}
             )
         from humid_ray.stages.lsh import _minhash_of
 
         mh = _minhash_of(batch)
-        keys = minhash_band_keys(mh.view(UINT64), n_bands)
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        keys = minhash_band_keys(mh.view(UINT64), n_bands)  # (n, n_bands)
+        take_idx, bids, bkeys, sids, skeys = [], [], [], [], []
+        for band in range(n_bands):
+            k = keys[:, band]
+            if hot_keys:
+                hot_mask = np.fromiter(
+                    ((band, int(v.view(np.int64))) in hot_keys for v in k),
+                    dtype=bool, count=n,
+                )
+            else:
+                hot_mask = np.zeros(n, dtype=bool)
+            cold = np.flatnonzero(~hot_mask)
+            if len(cold):
+                take_idx.append(cold)
+                bids.append(np.full(len(cold), band, dtype=np.int32))
+                bkeys.append(k[cold].view(np.int64))
+                sids.append(np.full(len(cold), NO_SET_SALT, dtype=np.int32))
+                skeys.append(np.zeros(len(cold), dtype=np.int64))
+            hot = np.flatnonzero(hot_mask)
+            if len(hot):
+                for ob in range(n_bands):
+                    if ob == band:
+                        continue
+                    take_idx.append(hot)
+                    bids.append(np.full(len(hot), band, dtype=np.int32))
+                    bkeys.append(k[hot].view(np.int64))
+                    sids.append(np.full(len(hot), ob, dtype=np.int32))
+                    skeys.append(keys[hot, ob].view(np.int64))
+        idx = pa.array(np.concatenate(take_idx))
         cols = {}
-        for name in ("doc_id", "items"):
+        for name in ("doc_id", "items", "minhash"):
             col = batch.column(name)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             cols[name] = col.take(idx)
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.repeat(np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
-                ),
-                "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+                "band_id": pa.array(np.concatenate(bids), type=pa.int32()),
+                "band_key": pa.array(np.concatenate(bkeys), type=pa.int64()),
+                "salt_id": pa.array(np.concatenate(sids), type=pa.int32()),
+                "salt_key": pa.array(np.concatenate(skeys), type=pa.int64()),
                 "doc_id": cols["doc_id"],
                 "items": cols["items"],
+                "minhash": cols["minhash"],
             }
         )
 
@@ -338,64 +443,157 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int):
         )
         if group.num_rows < 2:
             return empty
-        from humid_ray.stages.lsh import _list_segments
-        from humid_ray.util import hash_u64_segments
+        from humid_ray.stages.lsh import _list_segments, _minhash_of
+        from humid_ray.util import _gather_segments, hash_u64_segments, \
+            pairwise_intersect_sizes
 
+        band = int(group.column("band_id")[0].as_py())
+        salt = int(group.column("salt_id")[0].as_py())
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
         order = np.argsort(ids, kind="stable")
         keep = np.r_[True, ids[order][1:] != ids[order][:-1]]
         idx = order[keep]
         ids = ids[idx]
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return empty
         vals, offs = _list_segments(group.column("items"))
         starts, ends = offs[idx], offs[idx + 1]
-        # hot-bucket guard: many identical clips land in one bucket —
-        # intersect once per UNIQUE item set (items are sorted, so the
-        # segment hash is canonical), expand matches to clip pairs
         lens = ends - starts
-        seg_offs = np.zeros(len(idx) + 1, dtype=np.int64)
+        mh = _minhash_of(group)[idx]
+
+        # --- collapse identical item sets: hash, then ELEMENT-WISE
+        # confirm within equal-(hash,len) runs so a collision can never
+        # fabricate a jaccard=1.0 edge (colliding-but-different sets
+        # fall back to being their own representatives and re-enter the
+        # exact rep-pair verification below)
+        seg_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=seg_offs[1:])
-        packed = np.concatenate([vals[s:e] for s, e in zip(starts, ends)]) \
-            if len(idx) else np.empty(0, dtype=vals.dtype)
+        packed = _gather_segments(vals, starts, lens)
         set_hash = hash_u64_segments(packed, seg_offs)
-        uniq_h, inv = np.unique(set_hash, return_inverse=True)
-        rep = np.zeros(len(uniq_h), dtype=np.int64)
-        rep[inv] = np.arange(len(idx))  # any member as representative
-        members = [np.flatnonzero(inv == u) for u in range(len(uniq_h))]
-        out_a, out_b, out_j = [], [], []
+        gorder = np.lexsort((lens, set_hash.view(np.int64)))
+        h_s, l_s = set_hash[gorder], lens[gorder]
+        new_grp = np.r_[True, (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        gid_sorted = np.cumsum(new_grp) - 1
+        rep_sorted = gorder[np.flatnonzero(new_grp)]     # run-rep row idx
+        rep_of_row = rep_sorted[gid_sorted]
+        mem_vals = _gather_segments(vals, starts[gorder], lens[gorder])
+        rep_vals = _gather_segments(vals, starts[rep_of_row], lens[rep_of_row])
+        eqflat = mem_vals == rep_vals
+        row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens[gorder], out=row_offs[1:])
+        okrow = np.ones(n, dtype=bool)
+        nz = lens[gorder] > 0
+        if nz.any():
+            okrow[nz] = np.logical_and.reduceat(eqflat, row_offs[:-1][nz])
+        if (~okrow).any():
+            bad = np.flatnonzero(~okrow)
+            gid_sorted = gid_sorted.copy()
+            gid_sorted[bad] = gid_sorted.max() + 1 + np.arange(len(bad))
+        gid = np.empty(n, dtype=np.int64)
+        gid[gorder] = gid_sorted
+        morder = np.argsort(gid, kind="stable")
+        g_sorted = gid[morder]
+        gbounds = np.flatnonzero(np.r_[True, g_sorted[1:] != g_sorted[:-1], True])
+        grp_start, grp_end = gbounds[:-1], gbounds[1:]
+        gsize = grp_end - grp_start
+        n_groups = len(gsize)
+        rep_rows = morder[grp_start]
 
-        def emit(i, j, jac):
-            a, b = str(ids[i]), str(ids[j])
-            if a > b:
-                a, b = b, a
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(jac)
+        def salt_keep(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
+            """First-equal-OTHER-band rule: a salted bucket emits a pair
+            only when ``salt`` is the smallest other band the two
+            minhashes agree on (locally recomputable, so each pair is
+            produced by exactly one salt of this primary band)."""
+            if salt == NO_SET_SALT or len(ra) == 0:
+                return np.ones(len(ra), dtype=bool)
+            ka = minhash_band_keys(mh[ra].view(UINT64), n_bands)
+            kb = minhash_band_keys(mh[rb].view(UINT64), n_bands)
+            eq = ka == kb
+            eq[:, band] = False
+            first = np.full(len(ra), n_bands, dtype=np.int64)
+            for ob in range(n_bands - 1, -1, -1):
+                first = np.where(eq[:, ob], ob, first)
+            return first == salt
 
-        for u in range(len(uniq_h)):
-            mu = members[u]
-            for x in range(len(mu)):       # identical sets: Jaccard 1.0
-                for y in range(x + 1, len(mu)):
-                    emit(mu[x], mu[y], 1.0)
-            a = vals[starts[rep[u]]:ends[rep[u]]]
-            for v in range(u + 1, len(uniq_h)):
-                b = vals[starts[rep[v]]:ends[rep[v]]]
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                union = a.size + b.size - inter
-                if union and inter / union >= threshold:
-                    jac = round(inter / union, 6)
-                    for i in members[u]:
-                        for j in members[v]:
-                            emit(i, j, jac)
+        def ordered(ra: np.ndarray, rb: np.ndarray):
+            A, B = ids[ra], ids[rb]
+            swap = A > B
+            return np.where(swap, B, A), np.where(swap, A, B)
+
+        parts_a, parts_b, parts_j = [], [], []
+
+        # --- intra-group pairs: identical sets, jaccard exactly 1.0
+        flat_pos = np.arange(n, dtype=np.int64)
+        cnt = np.repeat(grp_end, gsize) - flat_pos - 1
+        total = int(cnt.sum())
+        if total:
+            ii_f = np.repeat(flat_pos, cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(np.r_[0, cnt[:-1]]), cnt
+            )
+            jj_f = ii_f + 1 + within
+            ra, rb = morder[ii_f], morder[jj_f]
+            km = salt_keep(ra, rb)
+            if km.any():
+                a, b = ordered(ra[km], rb[km])
+                parts_a.append(a)
+                parts_b.append(b)
+                parts_j.append(np.ones(int(km.sum()), dtype=np.float64))
+
+        # --- representative pairs: size-window candidates, exact
+        # verification in memory-bounded chunks (never the full O(G^2)
+        # triangle in one allocation)
+        if n_groups >= 2:
+            rsize = lens[rep_rows].astype(np.int64)
+            rord = np.lexsort((np.arange(n_groups), rsize))
+            rs = rsize[rord]
+            hi = np.searchsorted(rs, rs.astype(np.float64) / max(threshold, 1e-9),
+                                 side="right")
+            wcnt = np.maximum(hi - np.arange(n_groups) - 1, 0)
+            wtotal = int(wcnt.sum())
+            wcum = np.cumsum(np.r_[0, wcnt[:-1]])
+            max_len = int(lens.max()) if n else 1
+            chunk = max(1024, (1 << 22) // max(1, 2 * max_len))
+            for lo in range(0, wtotal, chunk):
+                pids = np.arange(lo, min(lo + chunk, wtotal), dtype=np.int64)
+                pu = np.searchsorted(wcum, pids, side="right") - 1
+                pv = pu + 1 + (pids - wcum[pu])
+                gu, gv = rord[pu], rord[pv]
+                ru, rv = rep_rows[gu], rep_rows[gv]
+                inter = pairwise_intersect_sizes(vals, starts, ends, ru, rv)
+                union = lens[ru] + lens[rv] - inter
+                ok = (union > 0) & (inter >= threshold * union)
+                ok &= salt_keep(ru, rv)
+                if not ok.any():
+                    continue
+                gu, gv, ru, rv = gu[ok], gv[ok], ru[ok], rv[ok]
+                jac = np.round(inter[ok] / union[ok], 6)
+                su, sv = gsize[gu], gsize[gv]
+                cntm = su * sv
+                totm = int(cntm.sum())
+                pidx = np.repeat(np.arange(len(gu), dtype=np.int64), cntm)
+                within = np.arange(totm, dtype=np.int64) - np.repeat(
+                    np.cumsum(np.r_[0, cntm[:-1]]), cntm
+                )
+                a_loc = within // sv[pidx]
+                b_loc = within % sv[pidx]
+                ra = morder[grp_start[gu][pidx] + a_loc]
+                rb = morder[grp_start[gv][pidx] + b_loc]
+                a, b = ordered(ra, rb)
+                parts_a.append(a)
+                parts_b.append(b)
+                parts_j.append(jac[pidx])
+        if not parts_a:
+            return empty
         return pa.table(
-            {"doc_a": pa.array(out_a, type=pa.string()),
-             "doc_b": pa.array(out_b, type=pa.string()),
-             "jaccard": pa.array(out_j, type=pa.float64())}
+            {"doc_a": pa.array(np.concatenate(parts_a).tolist(), type=pa.string()),
+             "doc_b": pa.array(np.concatenate(parts_b).tolist(), type=pa.string()),
+             "jaccard": pa.array(np.concatenate(parts_j))}
         )
 
     pairs = sigs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
-    verified = pairs.groupby(["band_id", "band_key"]).map_groups(
+    verified = pairs.groupby(["band_id", "band_key", "salt_id", "salt_key"]).map_groups(
         verify, batch_format="pyarrow"
     )
     out = verified.groupby(["doc_a", "doc_b"]).aggregate(
