@@ -227,6 +227,46 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
 
 # --- IVF (coarse-quantizer) ANN -------------------------------------------
 
+def _hash_sample(ds, sample: int, seed: int = 2026) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded bottom-``sample``-by-hash row sample drawn uniformly
+    across ALL blocks (``ds.limit(sample)`` reads only the first
+    blocks — a biased training set when the table is sorted or
+    clustered). Each batch keeps only its local bottom-``sample`` rows
+    by ``splitmix64(vec_id + seed)``, so the driver pull is bounded by
+    sample x n_blocks of (id, embedding) rows, and the global
+    bottom-``sample`` merge is deterministic regardless of block
+    layout. Returns (ids, matrix)."""
+    from humid_ray.util import UINT64, splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_h": pa.array([], type=pa.int64()),
+                 "vec_id": pa.array([], type=pa.int64()),
+                 "embedding": t.column("embedding")}
+            )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.int64).view(UINT64) + UINT64(seed))
+        k = min(sample, t.num_rows)
+        sel = np.argpartition(h, k - 1)[:k] if k < t.num_rows else np.arange(t.num_rows)
+        out = t.select(["vec_id", "embedding"]).take(pa.array(sel))
+        return out.append_column("_h", pa.array(h[sel].view(np.int64)))
+
+    chunks = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    if not chunks:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    t = pa.concat_tables(chunks)
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    hh = t.column("_h").to_numpy(zero_copy_only=False).view(UINT64)
+    order = np.argsort(hh, kind="stable")[:sample]
+    ids, m = _to_matrix(t.select(["vec_id", "embedding"]).take(pa.array(order)))
+    return ids, m
+
+
 def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 15) -> np.ndarray:
     """Deterministic spherical k-means (Lloyd) on normalized vectors;
     init = first k points. Tiny driver-side model fit (sample ≪ corpus)."""
@@ -262,8 +302,8 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 8, n_centroids: int = 64,
     q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
     q = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first]))
 
-    train = ds.limit(sample).take_all()
-    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train])
+    # seeded hash sample across all blocks (not limit()'s first blocks)
+    _, x = _hash_sample(ds, sample)
     centroids = _spherical_kmeans(x, n_centroids)
     cent_ref = ray.put(centroids)
 

@@ -119,9 +119,14 @@ def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
     exceeds ``gap_us``)."""
 
     def bucket(batch: pa.Table) -> pa.Table:
+        from humid_ray.util import UINT64, splitmix64
+
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        # hash before bucketing: raw `uid % N` assumes well-distributed
+        # ids (stride-N id assignment would hammer one bucket)
+        h = splitmix64(uid.astype(np.int64).view(UINT64))
         return batch.append_column(
-            "bucket", pa.array((uid % N_SESSION_BUCKETS).astype(np.int64))
+            "bucket", pa.array((h % N_SESSION_BUCKETS).astype(np.int64))
         )
 
     def kernel(group: pa.Table) -> pa.Table:

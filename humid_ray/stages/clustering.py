@@ -254,14 +254,34 @@ def assign_clusters(uniq_ds, edges_ds, comp_ds, cfg: HumidConfig,
     return grouped.union(singles)
 
 
-def dense_cluster_ids(assign_ds) -> dict[int, int]:
-    """Driver-side rank of cluster seeds -> dense ids 1..K in ascending
-    seed order (the reference's walk-order numbering). Only for small K."""
-    seeds: set[int] = set()
+def dense_cluster_ids(assign_ds) -> np.ndarray:
+    """Sorted uint64 array of cluster seeds; a seed's dense id is its
+    rank + 1 in ascending unsigned-sig order (the reference's
+    walk-order numbering). Map seed arrays to ids with
+    ``dense_ids_for`` — a searchsorted rank, no per-row Python.
+    Only for small K (broadcast once via ``ray.put``)."""
+    parts: list[np.ndarray] = []
     for batch in assign_ds.select_columns(["cluster_seed"]).iter_batches(
         batch_size=262144, batch_format="pyarrow"
     ):
         u = batch.column("cluster_seed").to_numpy(zero_copy_only=False).view(UINT64)
-        seeds.update(u.tolist())
+        parts.append(np.unique(u))
+    if not parts:
+        return np.empty(0, dtype=UINT64)
     # ascending unsigned seed sig == reference walk order
-    return {s: i + 1 for i, s in enumerate(sorted(seeds))}
+    return np.unique(np.concatenate(parts))
+
+
+def dense_ids_for(seeds_sorted: np.ndarray, seed: np.ndarray,
+                  valid: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized dense-id lookup: uint64 ids (rank + 1 in
+    ``seeds_sorted``) for a seed array; 0 where the seed is unknown or
+    ``valid`` is False (the reserved filtered-row id)."""
+    seed = np.asarray(seed, dtype=UINT64)
+    if len(seeds_sorted) == 0 or len(seed) == 0:
+        return np.zeros(len(seed), dtype=np.uint64)
+    idx = np.minimum(np.searchsorted(seeds_sorted, seed), len(seeds_sorted) - 1)
+    found = seeds_sorted[idx] == seed
+    if valid is not None:
+        found = found & valid
+    return np.where(found, (idx + 1).astype(np.uint64), np.uint64(0))

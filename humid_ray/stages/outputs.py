@@ -47,7 +47,8 @@ class _OutputBase:
                  custom_sources: dict | None = None, sig_map_ref=None):
         self.extract = SignatureExtractor(cfg, umi_bits, custom_sources or {})
         self.lk: SigLookup = ray.get(assign_ref)
-        self.dense: dict[int, int] | None = ray.get(dense_ref) if dense_ref is not None else None
+        # sorted seed array: dense id == rank + 1 (vectorized searchsorted)
+        self.dense: np.ndarray | None = ray.get(dense_ref) if dense_ref is not None else None
         # phase-1 checkpoint reuse: hashed-image_id -> (sig, filtered)
         # sorted-array lookup (vectorized probe). When it fits the
         # broadcast budget the second pass skips re-decoding entirely
@@ -84,10 +85,9 @@ class _OutputBase:
         else:
             seed = np.zeros(len(sig), dtype=UINT64)
         if self.dense is not None:
-            cluster_id = np.array(
-                [self.dense.get(int(s), 0) if f else 0 for s, f in zip(seed, found)],
-                dtype=np.uint64,
-            )
+            from humid_ray.stages.clustering import dense_ids_for
+
+            cluster_id = dense_ids_for(self.dense, seed, found)
         else:
             cluster_id = np.where(found, seed, UINT64(0))
         rep_id = self.lk.get("rep_image_id", idx) if len(self.lk.keys) else np.array([None] * len(sig), dtype=object)
@@ -118,8 +118,9 @@ def filtered_manifest(sig_ds, assign_ref, dense_ref=None):
             size = self.lk.get("cluster_size", idx)
             keep = found & (ids == rep_id)
             if self.dense is not None:
-                cid = np.array([self.dense.get(int(s), 0) for s in seed[keep]],
-                               dtype=np.uint64)
+                from humid_ray.stages.clustering import dense_ids_for
+
+                cid = dense_ids_for(self.dense, seed[keep])
             else:
                 cid = seed[keep]
             mask = pa.array(keep.astype(bool))
@@ -243,7 +244,9 @@ def annotated_output_hash_join(rows_ds, sig_ds, assign_ds, dense_map=None,
     def to_cluster_id(t: pa.Table) -> pa.Table:
         seed = t.column("cluster_seed").to_numpy(zero_copy_only=False).view(UINT64)
         if dense_map is not None:
-            cid = np.array([dense_map.get(int(s), 0) for s in seed], dtype=np.uint64)
+            from humid_ray.stages.clustering import dense_ids_for
+
+            cid = dense_ids_for(dense_map, seed)
         else:
             cid = seed
         return pa.table(

@@ -148,3 +148,29 @@ def test_ann_empty_embeddings_table(ray_session, tmp_path):
     for fn in (knn_bruteforce, ann_lsh, ann_ivf, embedding_neardup):
         out = fn(str(d))
         assert out.num_rows == 0
+
+
+def test_ivf_hash_sample_spans_blocks(ray_session):
+    """The k-means training sample must draw from EVERY region of a
+    multi-block table, not just the first blocks (limit() bias)."""
+    import pyarrow as pa
+    import ray.data
+
+    from humid_ray.pipelines.ann import _hash_sample
+
+    def block(lo, hi):
+        return pa.table(
+            {"vec_id": pa.array(list(range(lo, hi)), type=pa.int64()),
+             "embedding": pa.array([[float(i), 1.0] for i in range(lo, hi)])}
+        )
+
+    # 4 blocks with disjoint id ranges, sorted layout (the bias case)
+    ds = ray.data.from_arrow([block(0, 250), block(250, 500),
+                              block(500, 750), block(750, 1000)])
+    ids, m = _hash_sample(ds, sample=100)
+    assert len(ids) == 100 and m.shape == (100, 2)
+    quartile = set(ids // 250)
+    assert quartile == {0, 1, 2, 3}, f"sample biased to blocks {quartile}"
+    # deterministic: same seed -> same sample
+    ids2, _ = _hash_sample(ds, sample=100)
+    assert np.array_equal(np.sort(ids), np.sort(ids2))
