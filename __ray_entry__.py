@@ -279,6 +279,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _audio_durations(sf_dir: str):
+        """Decoded clip durations — SQL-oracled vs stored metadata
+        (duration_s = round(n_samples/sr, 6), computed from the DECODED
+        sr/n_samples with DuckDB's half-away rounding)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from humid_ray.util import round_half_away
+
+        ds = multimodal.audio_feature_stats(_audio_corpus_for(sf_dir))
+
+        def kernel(t: pa.Table) -> pa.Table:
+            t = t.filter(t.column("ok"))
+            ns = t.column("n_samples").to_numpy(zero_copy_only=False).astype(np.float64)
+            sr = t.column("sr").to_numpy(zero_copy_only=False).astype(np.float64)
+            dur = round_half_away(
+                np.divide(ns, sr, out=np.zeros_like(ns), where=sr > 0), 6
+            )
+            return pa.table(
+                {"audio_id": t.column("audio_id"), "duration_s": pa.array(dur)}
+            )
+
+        return ds.map_batches(kernel, batch_format="pyarrow")
+
+    def _video_sampled_frames(sf_dir: str):
+        """Per-video count of SAMPLED frames (every stride-th) — SQL-
+        oracled as ceil(n_frames/stride) vs the stored frame count."""
+        from ray.data.aggregate import Count
+
+        ds = multimodal.video_frame_samples(_video_corpus_for(sf_dir))
+        return ds.groupby("video_id").aggregate(Count(alias_name="n_sampled"))
+
     def corpus_decode_dims(sf_dir: str):
         """Decoded dimensions of every decodable row — SQL-oracled
         against the corpus's stored (w, h) metadata columns (a row is
@@ -373,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode-dims variants are SQL-oracled vs stored metadata)
         "audio_features": lambda sf: multimodal.audio_feature_stats(_audio_corpus_for(sf)),
         "audio_decode_dims": _audio_decode_dims,
+        "audio_durations": _audio_durations,
+        "video_sampled_frames": _video_sampled_frames,
         "video_frame_samples": lambda sf: multimodal.video_frame_samples(_video_corpus_for(sf)),
         "video_decode_dims": lambda sf: multimodal.video_decode_dims(_video_corpus_for(sf)),
         # the flagship dedup machinery applied to the A/V modalities
@@ -420,6 +454,22 @@ def _video_dims_oracle() -> str:
     corpus = _video_corpus_for("sf0.01")
     return (
         f"SELECT video_id, n_frames, w, h "
+        f"FROM read_parquet('{corpus}/*.parquet') WHERE n_frames IS NOT NULL"
+    )
+
+
+def _audio_durations_oracle() -> str:
+    corpus = _audio_corpus_for("sf0.01")
+    return (
+        f"SELECT audio_id, round(CAST(n_samples AS DOUBLE) / sr, 6) AS duration_s "
+        f"FROM read_parquet('{corpus}/*.parquet') WHERE sr IS NOT NULL"
+    )
+
+
+def _video_sampled_frames_oracle(stride: int = 4) -> str:
+    corpus = _video_corpus_for("sf0.01")
+    return (
+        f"SELECT video_id, CAST(ceil(n_frames / {stride}.0) AS BIGINT) AS n_sampled "
         f"FROM read_parquet('{corpus}/*.parquet') WHERE n_frames IS NOT NULL"
     )
 
@@ -577,6 +627,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, round(SUM(value), 6) AS total_value "
             "FROM s GROUP BY user_id, sess"
         ),
+        "events_session_stats": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 minute THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o), "
+            "g AS (SELECT user_id, sess, COUNT(*) AS n_events "
+            "FROM s GROUP BY user_id, sess) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(MAX(n_events) AS BIGINT) AS max_session_events FROM g"
+        ),
         "langid_docs": (
             f"WITH s AS (SELECT doc_id, {_langid_score_sql('en')} AS s_en, "
             f"{_langid_score_sql('de')} AS s_de, {_langid_score_sql('fr')} AS s_fr, "
@@ -590,6 +652,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_dims": _decode_dims_oracle(),
         "audio_decode_dims": _audio_dims_oracle(),
         "video_decode_dims": _video_dims_oracle(),
+        "audio_durations": _audio_durations_oracle(),
+        "video_sampled_frames": _video_sampled_frames_oracle(),
         "exact_dedup_docs": (
             "SELECT text, COUNT(*) AS cnt, MIN(doc_id) AS rep_id "
             "FROM documents GROUP BY text"

@@ -25,6 +25,7 @@ CORPUS_ORACLES = {
     "humid_stats_sql", "humid_counts_hist_sql", "humid_neigh_hist_sql",
     "humid_cluster_hist_sql", "multimodal_decode_dims",
     "audio_decode_dims", "video_decode_dims",
+    "audio_durations", "video_sampled_frames",
 }
 
 
