@@ -261,26 +261,90 @@ _EMPTY_JACCARD = {
     "ngram_jaccard": pa.array([], type=pa.float64()),
 }
 
+# above this many candidate-side rows the verify stage switches from
+# ONE broadcast text dict to two distributed hash joins — a
+# boilerplate-heavy corpus at 100 TB can make "candidates" too large
+# for a single driver-built object (same switch as
+# find_edges_minhash's broadcast/join split, stages/lsh.py)
+BROADCAST_MAX_CANDIDATE_IDS = 2_000_000
+
+
+def join_candidate_texts(ds, cand, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_partitions: int | None = None):
+    """Scale path of ``pull_candidate_texts``: texts reach the pairs
+    through two hash joins (pairs ⋈ texts on doc_a, then on doc_b) —
+    the candidate id set and the texts never land on the driver or in
+    one monolithic broadcast object. Emits the candidate columns plus
+    ``text_a``/``text_b``."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(64, cpus // 2))
+    base = ds.select_columns([id_col, text_col])
+    ta = base.rename_columns(["doc_a", "text_a"])
+    tb = base.rename_columns(["doc_b", "text_b"])
+    j = cand.join(ta, join_type="inner", on=("doc_a",),
+                  num_partitions=num_partitions)
+    return j.join(tb, join_type="inner", on=("doc_b",),
+                  num_partitions=num_partitions)
+
+
+class NgramJaccardJoined:
+    """Exact n-gram Jaccard over pairs whose texts arrived via the
+    hash-join path (``text_a``/``text_b`` columns) — same kernel math
+    as NgramJaccard, no broadcast dict anywhere."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_JACCARD)
+        cat = pa.concat_tables(
+            [pa.table({"t": pc.fill_null(batch.column("text_a"), "")}),
+             pa.table({"t": pc.fill_null(batch.column("text_b"), "")})]
+        )
+        jac = ngram_jaccard_of_text_pairs(cat.column("t"), self.k)
+        out = batch.select(["doc_a", "doc_b"])
+        return out.append_column("ngram_jaccard", pa.array(jac))
+
 
 def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
-                        round6: bool = False):
+                        round6: bool = False,
+                        broadcast_max_ids: int | None = None):
     """Re-verify candidate (doc_a, doc_b) pairs with EXACT n-gram
-    Jaccard and filter to >= threshold."""
-    import pyarrow.compute as pc
-
-    cand, text_ref = pull_candidate_texts(
-        read_documents(sf_dir, columns=["doc_id", "text"]), cand
-    )
-    if text_ref is None:
+    Jaccard and filter to >= threshold. Small candidate sets verify
+    against ONE broadcast text dict; past ``broadcast_max_ids``
+    (2 x pair count as the id-set bound) the texts are hash-joined to
+    the pairs instead — identical outputs, no driver-sized object."""
+    if broadcast_max_ids is None:
+        broadcast_max_ids = BROADCAST_MAX_CANDIDATE_IDS
+    cand = cand.materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         # zero candidates: empty Ray Data pipelines drop the schema —
         # hand back a typed empty table instead
         return pa.table(_EMPTY_JACCARD)
-    verified = cand.map_batches(
-        NgramJaccard,
-        fn_constructor_kwargs={"text_ref": text_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    if 2 * n_pairs > broadcast_max_ids:
+        verified = join_candidate_texts(docs, cand).map_batches(
+            NgramJaccardJoined, fn_constructor_kwargs={"k": k},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+    else:
+        cand, text_ref = pull_candidate_texts(docs, cand)
+        if text_ref is None:
+            return pa.table(_EMPTY_JACCARD)
+        verified = cand.map_batches(
+            NgramJaccard,
+            fn_constructor_kwargs={"text_ref": text_ref, "k": k},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
     return verified.map_batches(
         _threshold_then_round(threshold, round6), batch_format="pyarrow"
     )
@@ -310,14 +374,16 @@ def _threshold_then_round(threshold: float, round6: bool):
     return kernel
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                        broadcast_max_ids: int | None = None):
     """MinHash-LSH candidates re-verified with EXACT n-gram Jaccard.
 
     The candidate aggregate is passed un-projected: an empty Ray Data
     aggregate drops its schema, so a select_columns here would crash on
     a candidate-free corpus (the verify kernel projects internally)."""
     cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
-    return _verify_pairs_exact(cand, sf_dir, threshold, k)
+    return _verify_pairs_exact(cand, sf_dir, threshold, k,
+                               broadcast_max_ids=broadcast_max_ids)
 
 
 def simhash_neardup(sf_dir: str, max_distance: int = 3):
@@ -438,7 +504,8 @@ def _make_prefix_pairer(threshold: float):
     return kernel
 
 
-def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                        broadcast_max_ids: int | None = None):
     """ALL document pairs with exact k-token-shingle Jaccard >=
     threshold (doc_a < doc_b, jaccard rounded to 6). Deterministic and
     SQL-oracled: candidates come from a prefix-filtered shingle
@@ -456,4 +523,5 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3):
     # no select_columns on the aggregate: empty aggregates drop their
     # schema (the verify kernel projects doc_a/doc_b internally)
     cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Count(alias_name="_n"))
-    return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True)
+    return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True,
+                               broadcast_max_ids=broadcast_max_ids)

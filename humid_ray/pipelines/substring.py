@@ -147,13 +147,44 @@ def hot_fp_stats(ds, min_len: int, k: int, threshold: int = 64):
     )
 
 
+def _extend_spans(da, db, pa_, pb_, text_of_a, text_of_b, k: int,
+                  min_len: int) -> pa.Table:
+    """Shared seed-extension loop: the seed k-gram is byte-checked
+    (hash collisions rejected), then extended greedily left and right
+    — ``os.path.commonprefix`` runs at C speed."""
+    out_a, out_b, sa_, sb_, ln_ = [], [], [], [], []
+    for i in range(len(da)):
+        a = text_of_a(i)
+        b = text_of_b(i)
+        if a is None or b is None:
+            continue
+        x, y = int(pa_[i]), int(pb_[i])
+        if a[x : x + k] != b[y : y + k]:
+            continue  # fingerprint hash collision
+        right = len(os.path.commonprefix([a[x + k :], b[y + k :]]))
+        left = len(os.path.commonprefix([a[:x][::-1], b[:y][::-1]]))
+        length = left + k + right
+        if length < min_len:
+            continue
+        out_a.append(int(da[i]))
+        out_b.append(int(db[i]))
+        sa_.append(x - left)
+        sb_.append(y - left)
+        ln_.append(length)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "start_a": pa.array(sa_, type=pa.int64()),
+            "start_b": pa.array(sb_, type=pa.int64()),
+            "length": pa.array(ln_, type=pa.int64()),
+        }
+    )
+
+
 class SpanExtender:
     """Candidate seed pairs -> byte-verified maximal spans >= min_len.
-
-    Texts arrive as one broadcast dict (candidate docs only); the seed
-    k-gram is byte-checked (hash collisions rejected), then extended
-    greedily left and right — ``os.path.commonprefix`` runs at C speed.
-    """
+    Texts arrive as one broadcast dict (candidate docs only)."""
 
     def __init__(self, text_ref, k: int, min_len: int):
         import ray
@@ -166,55 +197,79 @@ class SpanExtender:
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
         pa_ = batch.column("pos_a").to_numpy(zero_copy_only=False)
         pb_ = batch.column("pos_b").to_numpy(zero_copy_only=False)
-        out_a, out_b, sa_, sb_, ln_ = [], [], [], [], []
-        k = self.k
-        for i in range(len(da)):
-            a = self.texts.get(int(da[i]))
-            b = self.texts.get(int(db[i]))
-            if a is None or b is None:
-                continue
-            x, y = int(pa_[i]), int(pb_[i])
-            if a[x : x + k] != b[y : y + k]:
-                continue  # fingerprint hash collision
-            right = len(os.path.commonprefix([a[x + k :], b[y + k :]]))
-            left = len(os.path.commonprefix([a[:x][::-1], b[:y][::-1]]))
-            length = left + k + right
-            if length < self.min_len:
-                continue
-            out_a.append(int(da[i]))
-            out_b.append(int(db[i]))
-            sa_.append(x - left)
-            sb_.append(y - left)
-            ln_.append(length)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "start_a": pa.array(sa_, type=pa.int64()),
-                "start_b": pa.array(sb_, type=pa.int64()),
-                "length": pa.array(ln_, type=pa.int64()),
-            }
+        return _extend_spans(
+            da, db, pa_, pb_,
+            lambda i: self.texts.get(int(da[i])),
+            lambda i: self.texts.get(int(db[i])),
+            self.k, self.min_len,
+        )
+
+
+class SpanExtenderJoined:
+    """Scale path of SpanExtender: texts arrive per pair via the two
+    hash joins of ``join_candidate_texts`` (``text_a``/``text_b``
+    columns) — no broadcast dict; same extension loop, byte offsets
+    into the utf-8 encoding exactly as the winnow kernel hashed them."""
+
+    def __init__(self, k: int, min_len: int):
+        self.k, self.min_len = k, min_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_SPANS)
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        pa_ = batch.column("pos_a").to_numpy(zero_copy_only=False)
+        pb_ = batch.column("pos_b").to_numpy(zero_copy_only=False)
+        ta = [(s or "").encode("utf-8") for s in batch.column("text_a").to_pylist()]
+        tb = [(s or "").encode("utf-8") for s in batch.column("text_b").to_pylist()]
+        return _extend_spans(
+            da, db, pa_, pb_, lambda i: ta[i], lambda i: tb[i],
+            self.k, self.min_len,
         )
 
 
 def substring_spans(ds, min_len: int = 32, k: int = 8,
                     max_docs_per_fp: int = 64, max_pos_per_doc: int = 4,
-                    id_col: str = "doc_id", text_col: str = "text"):
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_max_ids: int | None = None):
     """Byte-verified duplicated spans (doc_a, doc_b, start_a, start_b,
     length >= min_len); one row per surviving seed (spans repeat when
-    several seeds land inside them — aggregate downstream)."""
+    several seeds land inside them — aggregate downstream). Small
+    candidate sets extend against ONE broadcast text dict; past
+    ``broadcast_max_ids`` (2 x seed-pair count as the id-set bound)
+    texts are hash-joined to the seed pairs instead — identical
+    outputs, no driver-sized object."""
     import ray.data
 
-    from humid_ray.pipelines.dedup_text import pull_candidate_texts
+    from humid_ray.pipelines.dedup_text import (
+        BROADCAST_MAX_CANDIDATE_IDS,
+        join_candidate_texts,
+        pull_candidate_texts,
+    )
 
+    if broadcast_max_ids is None:
+        broadcast_max_ids = BROADCAST_MAX_CANDIDATE_IDS
     fps = winnow_fingerprints_ds(ds, min_len, k, id_col, text_col)
     cand = fps.groupby("fp").map_groups(
         _make_pairer(max_docs_per_fp, max_pos_per_doc), batch_format="pyarrow"
     )
-    cand, text_ref = pull_candidate_texts(ds, cand, id_col, text_col, as_bytes=True)
-    if text_ref is None:
+    cand = cand.materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         # typed empty DATASET (a schema-less empty pipeline would lose
         # the doc_a/doc_b/... columns downstream)
+        return ray.data.from_arrow(pa.table(_EMPTY_SPANS))
+    if 2 * n_pairs > broadcast_max_ids:
+        joined = join_candidate_texts(ds, cand, id_col, text_col)
+        return joined.map_batches(
+            SpanExtenderJoined,
+            fn_constructor_kwargs={"k": k, "min_len": min_len},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    cand, text_ref = pull_candidate_texts(ds, cand, id_col, text_col, as_bytes=True)
+    if text_ref is None:
         return ray.data.from_arrow(pa.table(_EMPTY_SPANS))
     return cand.map_batches(
         SpanExtender,
@@ -230,11 +285,13 @@ _EMPTY_SPANS = {
 }
 
 
-def substring_dedup_pairs(sf_dir: str, min_len: int = 32, k: int = 8):
+def substring_dedup_pairs(sf_dir: str, min_len: int = 32, k: int = 8,
+                          broadcast_max_ids: int | None = None):
     """(doc_a, doc_b, max_len): document pairs sharing a substring of
     length >= min_len, with the exact longest-shared-span length."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    spans = substring_spans(ds, min_len=min_len, k=k)
+    spans = substring_spans(ds, min_len=min_len, k=k,
+                            broadcast_max_ids=broadcast_max_ids)
     out = spans.groupby(["doc_a", "doc_b"]).aggregate(
         Max("length", alias_name="max_len")
     )
