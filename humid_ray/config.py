@@ -72,12 +72,19 @@ class HumidConfig:
     # "edit": candidates from banding, verified by TRUE Levenshtein
     # distance <= max_distance on the representative captions (banded
     # DP, exact) — full -e parity for the variable-length payload.
-    # Recall caveat: banding recalls pairs by shingle similarity, so
-    # very short captions whose few shingles are all destroyed by m
-    # edits may not surface as candidates (documented approximation;
-    # accepted edges are exact).
+    # Recall: pairs where BOTH captions are short (<= edit_short_tokens
+    # tokens — few enough shingles that m edits can destroy all
+    # overlap) bypass banding entirely via exhaustive length-bucketed
+    # fallback buckets (stages/lsh.py SHORT_BAND), so the weakest
+    # banding class is exact like the reference's trie enumeration
+    # (src/humid.cc:140-158); short-long and long-long pairs keep the
+    # standard LSH s-curve recall (accepted edges are always exact).
     # "estimate": legacy estimated-Jaccard-only verification.
     minhash_verify: str = "exact"
+    # "short caption" cutoff for the edit-mode exhaustive fallback;
+    # -1 = auto (shingle_k + 2 * max_distance: one char edit touches
+    # <= 2 tokens, each in <= shingle_k shingles)
+    edit_short_tokens: int = -1
     # exact mode prefilters pairs with estimated Jaccard >=
     # threshold - slack before exact verification (3-sigma of the
     # k=128 estimator at J=0.5 is ~0.13); widen for tiny perm counts.

@@ -316,6 +316,24 @@ def _minhash_of(batch: pa.Table) -> np.ndarray:
     return vals.reshape(n, -1)
 
 
+# band_id of the edit-mode exhaustive short-caption fallback buckets
+SHORT_BAND = -1
+
+
+def _short_token_cutoff(cfg: HumidConfig) -> int:
+    if cfg.edit_short_tokens >= 0:
+        return cfg.edit_short_tokens
+    return cfg.shingle_k + 2 * cfg.max_distance
+
+
+def _caption_token_counts(captions) -> np.ndarray:
+    """Token count per caption (null -> 0), vectorized."""
+    from humid_ray.functions.text import tokenize_batch
+
+    _, offs = tokenize_batch(captions)
+    return np.diff(offs)
+
+
 def expand_minhash_bands(cfg: HumidConfig):
     from humid_ray.functions.minhash import minhash_band_keys
 
@@ -359,7 +377,55 @@ def expand_minhash_bands(cfg: HumidConfig):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             cols[name] = col.take(idx)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if not carry_caption:
+            return out
+        # edit mode: exhaustive fallback for SHORT captions. The
+        # reference enumerates ALL pairs within edit distance m
+        # (trie.asymmetricLevenshtein, src/humid.cc:146-147); shingle
+        # banding can miss a pair whose few shingles are all destroyed
+        # by m edits. Such captions have <= cutoff tokens, and any
+        # edit-distance-<=m partner of one is itself short (m char
+        # edits change the token count by <= m), so routing every
+        # short caption into char-length buckets q = len // (m+1) and
+        # q+1 makes BOTH-short pairs exhaustive: |len diff| <= m
+        # implies the pair shares bucket max(q_a, q_b). The verifier
+        # emits a short-bucket pair only there (no double emission)
+        # and drops both-short pairs from regular bands.
+        import pyarrow.compute as pc
+
+        cap = batch.column("caption")
+        if isinstance(cap, pa.ChunkedArray):
+            cap = cap.combine_chunks()
+        filled = pc.fill_null(cap, "")
+        short = _caption_token_counts(filled) <= _short_token_cutoff(cfg)
+        if not short.any():
+            return out
+        sidx = np.flatnonzero(short)
+        clen = pc.utf8_length(filled).to_numpy(zero_copy_only=False)[sidx]
+        q = (clen // (cfg.max_distance + 1)).astype(np.int64)
+        rows2 = pa.array(np.repeat(sidx, 2))
+        keys2 = np.stack([q, q + 1], axis=1).reshape(-1)
+        extra = pa.table(
+            {
+                "band_id": pa.array(
+                    np.full(len(keys2), SHORT_BAND, dtype=np.int32)
+                ),
+                "band_key": pa.array(keys2, type=pa.int64()),
+                "sig": pa.array(
+                    np.repeat(sig.view(np.int64)[sidx], 2), type=pa.int64()
+                ),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.repeat(mh[sidx], 2, axis=0).reshape(-1),
+                        type=pa.int64(),
+                    ),
+                    mh.shape[1],
+                ),
+                "caption": filled.take(rows2),
+            }
+        )
+        return pa.concat_tables([out, extra])
 
     return kernel
 
@@ -463,6 +529,16 @@ def make_minhash_verifier(cfg: HumidConfig):
             ucaps, inv = np.unique(caps, return_inverse=True)
             ulens = np.fromiter((len(c) for c in ucaps), dtype=np.int64,
                                 count=len(ucaps))
+            # shortness per unique caption: both-short pairs belong to
+            # the SHORT_BAND fallback buckets exclusively (exhaustive
+            # there, dropped from regular bands — no double emission)
+            short_cut = _short_token_cutoff(cfg)
+            ushort = _caption_token_counts(
+                pa.array(ucaps.tolist(), type=pa.string())
+            ) <= short_cut
+            if band == SHORT_BAND:
+                bucket_q = int(group.column("band_key")[0].as_py())
+                uq = ulens // (max_dist + 1)
             order_u = np.argsort(ulens, kind="stable")
             ul = ulens[order_u]
             nu = len(ul)
@@ -482,11 +558,24 @@ def make_minhash_verifier(cfg: HumidConfig):
                 np.r_[True, caps_sorted[1:] != caps_sorted[:-1], True]
             )
             members_list = [by_cap[bounds[c]:bounds[c + 1]] for c in range(nu)]
+
+            def _pair_here(u: int, v: int) -> bool:
+                """Emission ownership: SHORT buckets own both-short
+                pairs (at bucket max(q_a, q_b) only), regular bands
+                own the rest."""
+                a, b = order_u[u], order_u[v]
+                both_short = bool(ushort[a] and ushort[b])
+                if band == SHORT_BAND:
+                    return both_short and max(int(uq[a]), int(uq[b])) == bucket_q
+                return not both_short
+
             matched = [(int(u), int(u)) for u in range(nu)
-                       if len(members_list[order_u[u]]) > 1]
+                       if len(members_list[order_u[u]]) > 1
+                       and _pair_here(int(u), int(u))]
             for u, v in zip(cu.tolist(), cv.tolist()):
-                if edit_distance_within(ucaps[order_u[u]], ucaps[order_u[v]],
-                                        max_dist):
+                if _pair_here(u, v) and edit_distance_within(
+                    ucaps[order_u[u]], ucaps[order_u[v]], max_dist
+                ):
                     matched.append((u, v))
             members = {u: members_list[order_u[u]] for u in range(nu)}
             ii_parts, jj_parts = [], []
@@ -522,14 +611,19 @@ def make_minhash_verifier(cfg: HumidConfig):
                 ii, jj = ii[ok], jj[ok]
         if not len(ii):
             return empty
-        # first-equal-band dedupe (recomputable from the minhashes)
-        ka = minhash_band_keys(mh[ii].view(UINT64), nb)
-        kb = minhash_band_keys(mh[jj].view(UINT64), nb)
-        eq = ka == kb
-        first = np.full(len(ii), nb, dtype=np.int64)
-        for b in range(nb - 1, -1, -1):
-            first = np.where(eq[:, b], b, first)
-        keepb = first == band
+        if edit and band == SHORT_BAND:
+            # short-bucket pairs are already deduped by the max-q
+            # ownership rule above, not by minhash bands
+            keepb = np.ones(len(ii), dtype=bool)
+        else:
+            # first-equal-band dedupe (recomputable from the minhashes)
+            ka = minhash_band_keys(mh[ii].view(UINT64), nb)
+            kb = minhash_band_keys(mh[jj].view(UINT64), nb)
+            eq = ka == kb
+            first = np.full(len(ii), nb, dtype=np.int64)
+            for b in range(nb - 1, -1, -1):
+                first = np.where(eq[:, b], b, first)
+            keepb = first == band
         a, b = sig[ii[keepb]], sig[jj[keepb]]
         order = np.lexsort((b, a))
         return pa.table(

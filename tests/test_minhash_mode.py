@@ -329,3 +329,55 @@ def test_ngram_exact_no_candidates(ray_session, tmp_path, monkeypatch):
     cols = list(t.column_names) if isinstance(t, pa.Table) else list(t.columns)
     assert sorted(cols) == ["doc_a", "doc_b", "ngram_jaccard"]
     assert (t.num_rows if isinstance(t, pa.Table) else len(t)) == 0
+
+
+def test_edit_mode_short_caption_exhaustive_fallback(ray_session, tmp_path):
+    """Adversarial edit-mode recall: planted <=m-edit pairs with ZERO
+    shingle overlap (short captions — m edits destroy every shingle).
+    Banding alone can never surface them; the SHORT_BAND length-bucket
+    fallback must find them ALL, exactly once, and stay sound
+    (reference parity: trie.asymmetricLevenshtein enumerates every
+    pair within m, src/humid.cc:146-147)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from humid_ray.synth import SCHEMA
+
+    captions = [
+        "ab cd",   # 0: 1 shingle
+        "ab ce",   # 1: distance 1 from 0, ZERO shingle overlap -> edge
+        "pq rs",   # 2: far from everything
+        "zz yy",   # 3,4,5: identical short caption -> 3-clique,
+        "zz yy",   #        each edge emitted exactly once
+        "zz yy",
+        "mm nn",   # 6: distance 2 from 7 -> NO edge at m=1
+        "mm pp",   # 7
+    ]
+    rows = [
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": c, "phash": (i + 1) << 40}
+        for i, c in enumerate(captions)
+    ]
+    corpus = tmp_path / "shortcorpus"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+    wd = tmp_path / "run_short"
+    cfg = HumidConfig(workdir=str(wd), distance="minhash-jaccard",
+                      minhash_verify="edit", max_distance=1, resume=False,
+                      clustering="maximum",
+                      write_annotated=False, write_stats=False)
+    HumidPipeline(cfg).run(str(corpus))
+    sig = pq.read_table(os.path.join(str(wd), "01_signatures")).to_pandas()
+    by_sig = sig.set_index(sig.sig.to_numpy().view(U))["image_id"].to_dict()
+    edges = pq.read_table(os.path.join(str(wd), "03_edges")).to_pandas()
+    pairs = [
+        tuple(sorted((by_sig[int(a)], by_sig[int(b)])))
+        for a, b in zip(edges.sig_a.to_numpy().view(U).tolist(),
+                        edges.sig_b.to_numpy().view(U).tolist())
+    ]
+    expected = {
+        ("img000", "img001"),
+        ("img003", "img004"), ("img003", "img005"), ("img004", "img005"),
+    }
+    assert set(pairs) == expected      # full adversarial recall + soundness
+    assert len(pairs) == len(expected)  # exactly once each (q-rule dedupe)
