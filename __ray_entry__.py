@@ -582,9 +582,17 @@ def _textstats_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from humid_ray import oracles as _orc
+
     return {
         **_phash_flagship_oracles(),
         **_textstats_oracles(),
+        # hash-valued oracles: the engine's deterministic 64-bit chain
+        # (splitmix64 / polynomial byte hash / shingle combine)
+        # re-expressed in DuckDB HUGEINT arithmetic (humid_ray/oracles.py)
+        "simhash_docs": _orc.simhash_docs_sql(),
+        "simhash_neardup_docs": _orc.simhash_neardup_sql(),
+        "fingerprint_docs": _orc.fingerprint_docs_sql(),
         "ngram_jaccard_docs": (
             "WITH toks AS (SELECT doc_id, "
             "regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "

@@ -1,0 +1,175 @@
+"""DuckDB SQL builders for hash-valued oracles.
+
+The engine's 64-bit hash chain (polynomial byte hash -> splitmix64 ->
+shingle combine -> SimHash bit-vote / rolling fingerprint, see
+``humid_ray/util.py`` and ``humid_ray/functions/simhash.py``) is fully
+deterministic, so it is SQL-expressible: DuckDB HUGEINT carries the
+[0, 2^64) domain, wrapped 64x64-bit multiplication is done by 32-bit
+limb splitting (each partial product stays under 2^65 << HUGEINT max),
+and splitmix64 unrolls into a lateral-alias column chain. These
+builders give the sketch-valued queries (simhash, simhash near-dup,
+document fingerprints) the same hard hash-equality oracle the flagship
+phash phases already have.
+"""
+
+from __future__ import annotations
+
+TWO64 = 1 << 64
+TWO63 = 1 << 63
+TWO32 = 1 << 32
+_G = 0x9E3779B97F4A7C15   # splitmix64 gamma (util._SM_GAMMA)
+_M1 = 0xBF58476D1CE4E5B9  # util._SM_M1
+_M2 = 0x94D049BB133111EB  # util._SM_M2
+_B = 0x100000001B3        # util.HASH_BASE
+
+# order-preserving uint64 view of an int64 bit pattern (flip sign bit)
+_SB = "-9223372036854775808"
+
+
+def _mulmod_const(x: str, c: int) -> str:
+    """(x * c) % 2^64 for HUGEINT x in [0, 2^64), constant c."""
+    lo, hi = c % TWO32, c // TWO32
+    return (
+        f"((({x}) % {TWO32}) * {lo} + "
+        f"(((({x}) % {TWO32}) * {hi} + (({x}) // {TWO32}) * {lo}) % {TWO32})"
+        f" * {TWO32}) % {TWO64}"
+    )
+
+
+def _sm64_cols(x: str, p: str) -> str:
+    """Lateral-alias column chain computing splitmix64(x) AS {p}.
+
+    Right shifts on the non-negative HUGEINT domain are integer
+    division by the matching power of two.
+    """
+    return (
+        f"(({x}) + {_G}) % {TWO64} AS {p}_0, "
+        f"xor({p}_0, {p}_0 // {1 << 30}) AS {p}_1, "
+        f"{_mulmod_const(f'{p}_1', _M1)} AS {p}_2, "
+        f"xor({p}_2, {p}_2 // {1 << 27}) AS {p}_3, "
+        f"{_mulmod_const(f'{p}_3', _M2)} AS {p}_4, "
+        f"xor({p}_4, {p}_4 // {1 << 31}) AS {p}"
+    )
+
+
+def _pow_list(base: int, n: int) -> str:
+    vals, acc = [], 1
+    for _ in range(n):
+        vals.append(acc)
+        acc = (acc * base) % TWO64
+    return "CAST([" + ", ".join(map(str, vals)) + "] AS HUGEINT[])"
+
+
+def _pow2_list() -> str:
+    return "CAST([" + ", ".join(str(1 << b) for b in range(64)) + "] AS HUGEINT[])"
+
+
+def _to_int64(x: str) -> str:
+    """HUGEINT in [0, 2^64) (NULL -> 0) -> int64 bit pattern."""
+    return (
+        f"CAST(CASE WHEN {x} IS NULL THEN 0 WHEN {x} >= {TWO63} "
+        f"THEN {x} - {TWO64} ELSE {x} END AS BIGINT)"
+    )
+
+
+def _token_hash_ctes(table: str) -> str:
+    """CTE chain: {table}(doc_id, text) -> th(doc_id, pos, n_toks, h).
+
+    h reproduces functions/text.tokenize_batch's token hash: UTF-8
+    bytes (extracted as hex pairs) folded with the polynomial rolling
+    hash sum(byte_j * B^(len-1-j)) mod 2^64 (util.hash_bytes_segments),
+    splitmix64-finalized. Tokens = maximal [0-9a-z]+ runs of the
+    lowercased text, exactly the engine's split-and-drop-empties.
+    """
+    return (
+        f"powt AS (SELECT {_pow_list(_B, 128)} AS p), "
+        f"toks AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), "
+        f"'[0-9a-z]+') AS t FROM {table}), "
+        "trows AS (SELECT doc_id, len(t) AS n_toks, "
+        "unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok FROM toks), "
+        "brows AS (SELECT doc_id, n_toks, pos, "
+        "octet_length(encode(tok)) AS blen, hex(encode(tok)) AS hx, "
+        "unnest(range(1, octet_length(encode(tok))+1)) AS j FROM trows), "
+        "thraw AS (SELECT doc_id, ANY_VALUE(n_toks) AS n_toks, pos, "
+        "SUM(CAST(CAST('0x' || substr(hx, CAST(2*j-1 AS INTEGER), 2) AS UBIGINT) "
+        "AS HUGEINT) * p[CAST(blen-j+1 AS INTEGER)]) % " + str(TWO64) + " AS hraw "
+        "FROM brows, powt GROUP BY doc_id, pos), "
+        f"th AS (SELECT doc_id, n_toks, pos, {_sm64_cols('hraw', 'h')} FROM thraw)"
+    )
+
+
+def _simhash_value_ctes(table: str) -> str:
+    """CTEs ending in simv(doc_id, v): the engine's 2-token-shingle
+    SimHash as HUGEINT in [0, 2^64) (docs with zero shingles absent;
+    join back and NULL-coalesce to 0 like simhash_from_shingles).
+
+    Shingles follow functions/simhash.shingle_hashes: k=2 windows
+    combined via splitmix64(h_i * B + h_{i+1}), single-token rows keep
+    the unigram, all splitmix64-finalized; the bit-vote sets bit b iff
+    strictly more than half the shingles have it set.
+    """
+    return (
+        f"{_token_hash_ctes(table)}, "
+        "sh0 AS (SELECT doc_id, n_toks, h, "
+        "lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM th), "
+        f"shpair AS (SELECT doc_id, (h * {_B} + h2) % {TWO64} AS c0 "
+        "FROM sh0 WHERE h2 IS NOT NULL AND n_toks >= 2), "
+        f"shinner AS (SELECT doc_id, {_sm64_cols('c0', 'innr')} FROM shpair), "
+        "shall AS (SELECT doc_id, innr AS acc FROM shinner "
+        "UNION ALL SELECT doc_id, h AS acc FROM sh0 WHERE n_toks = 1), "
+        f"shfin AS (SELECT doc_id, {_sm64_cols('acc', 'sh')} FROM shall), "
+        f"pow2 AS (SELECT {_pow2_list()} AS p2), "
+        "bitrows AS (SELECT doc_id, sh, unnest(range(0, 64)) AS b FROM shfin), "
+        "votes AS (SELECT doc_id, b, "
+        "SUM(CAST((sh // p2[CAST(b+1 AS INTEGER)]) % 2 AS HUGEINT)) AS cnt, "
+        "COUNT(*) AS n FROM bitrows, pow2 GROUP BY doc_id, b), "
+        "simv AS (SELECT doc_id, SUM(CASE WHEN 2*cnt > n "
+        "THEN p2[CAST(b+1 AS INTEGER)] ELSE CAST(0 AS HUGEINT) END) "
+        f"% {TWO64} AS v FROM votes, pow2 GROUP BY doc_id)"
+    )
+
+
+def simhash_docs_sql(table: str = "documents") -> str:
+    """(doc_id, simhash) — engine parity for pipelines.dedup_text
+    .simhash_docs (int64 bit patterns, zero-shingle docs -> 0)."""
+    return (
+        f"WITH {_simhash_value_ctes(table)} "
+        f"SELECT d.doc_id, {_to_int64('s.v')} AS simhash "
+        f"FROM {table} d LEFT JOIN simv s USING (doc_id)"
+    )
+
+
+def simhash_neardup_sql(table: str = "documents", max_distance: int = 3) -> str:
+    """(sig_a, sig_b) — distinct unordered simhash pairs within
+    Hamming <= max_distance, uint64-ordered via the sign-bit flip
+    (engine parity for dedup_text.simhash_neardup, whose pigeonhole
+    banding is exhaustive at this distance)."""
+    return (
+        f"WITH {_simhash_value_ctes(table)}, "
+        f"sigs AS (SELECT DISTINCT {_to_int64('s.v')} AS sig "
+        f"FROM {table} d LEFT JOIN simv s USING (doc_id)) "
+        "SELECT a.sig AS sig_a, b.sig AS sig_b FROM sigs a JOIN sigs b "
+        f"ON xor(a.sig, {_SB}) < xor(b.sig, {_SB}) "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}"
+    )
+
+
+def fingerprint_docs_sql(table: str = "documents") -> str:
+    """(doc_id, fingerprint) — engine parity for pipelines.textstats
+    .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the
+    token-hash sequence; zero-token docs -> 0."""
+    mulmod_var = (
+        f"((h % {TWO32}) * (pw % {TWO32}) + "
+        f"(((h % {TWO32}) * (pw // {TWO32}) + (h // {TWO32}) * (pw % {TWO32}))"
+        f" % {TWO32}) * {TWO32}) % {TWO64}"
+    )
+    return (
+        f"WITH {_token_hash_ctes(table)}, "
+        "terms AS (SELECT doc_id, h, p[CAST(n_toks - pos + 1 AS INTEGER)] AS pw "
+        "FROM th, powt), "
+        f"fraw AS (SELECT doc_id, SUM({mulmod_var}) % {TWO64} AS fr "
+        "FROM terms GROUP BY doc_id), "
+        f"ffin AS (SELECT doc_id, {_sm64_cols('fr', 'f')} FROM fraw) "
+        f"SELECT d.doc_id, {_to_int64('x.f')} AS fingerprint "
+        f"FROM {table} d LEFT JOIN ffin x USING (doc_id)"
+    )
