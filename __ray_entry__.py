@@ -593,6 +593,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _orc.simhash_docs_sql(),
         "simhash_neardup_docs": _orc.simhash_neardup_sql(),
         "fingerprint_docs": _orc.fingerprint_docs_sql(),
+        # FULL default flagship config (phash top-32 || caption-simhash
+        # top-32): the caption SimHash being SQL-expressible makes the
+        # composite-word uniq/edges phases oracle-able too (clustering
+        # phases stay pytest-pinned: directional walk order is not SQL)
+        "humid_uniq": _orc.flagship_uniq_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_edges": _orc.flagship_edges_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
         "ngram_jaccard_docs": (
             "WITH toks AS (SELECT doc_id, "
             "regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "

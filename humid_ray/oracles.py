@@ -129,6 +129,45 @@ def _simhash_value_ctes(table: str) -> str:
     )
 
 
+def flagship_uniq_sql(corpus_glob: str) -> str:
+    """(sig, count, first_id) for the FULL default flagship config
+    (sources=("phash","simhash"), stored phash, word_bits=64 split
+    32/32): sig = top-32 bits of the stored phash packed MSB-first with
+    the top-32 bits of the caption SimHash (functions/signature
+    .compose_signatures); usable rows have a non-NULL phash AND at
+    least one caption token (stages/signatures.py stored-mode filter).
+    """
+    src = (
+        f"(SELECT image_id AS doc_id, caption AS text "
+        f"FROM read_parquet('{corpus_glob}'))"
+    )
+    return (
+        f"WITH {_simhash_value_ctes(src)}, "
+        "crows AS (SELECT image_id, phash FROM "
+        f"read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        # inner join vs simv drops zero-shingle (empty-caption) rows
+        "sigs AS (SELECT c.image_id, "
+        f"((CASE WHEN c.phash < 0 THEN CAST(c.phash AS HUGEINT) + {TWO64} "
+        f"ELSE CAST(c.phash AS HUGEINT) END) // {TWO32}) * {TWO32} "
+        f"+ (s.v // {TWO32}) AS sigu "
+        "FROM crows c JOIN simv s ON s.doc_id = c.image_id) "
+        f"SELECT {_to_int64('sigu')} AS sig, COUNT(*) AS \"count\", "
+        "MIN(image_id) AS first_id FROM sigs GROUP BY sigu"
+    )
+
+
+def flagship_edges_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """(sig_a, sig_b) for the full default flagship config: distinct
+    composite-signature pairs within Hamming <= max_distance,
+    uint64-ordered (the engine's pigeonhole banding is exhaustive)."""
+    return (
+        f"WITH nodes AS (SELECT DISTINCT sig FROM ({flagship_uniq_sql(corpus_glob)})) "
+        "SELECT a.sig AS sig_a, b.sig AS sig_b FROM nodes a JOIN nodes b "
+        f"ON xor(a.sig, {_SB}) < xor(b.sig, {_SB}) "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}"
+    )
+
+
 def simhash_docs_sql(table: str = "documents") -> str:
     """(doc_id, simhash) — engine parity for pipelines.dedup_text
     .simhash_docs (int64 bit patterns, zero-shingle docs -> 0)."""
