@@ -593,6 +593,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _orc.simhash_docs_sql(),
         "simhash_neardup_docs": _orc.simhash_neardup_sql(),
         "fingerprint_docs": _orc.fingerprint_docs_sql(),
+        # MinHash-in-SQL: permutation constants baked at build time,
+        # band membership = all rows-per-band lanes equal
+        "minhash_neardup_docs": _orc.minhash_neardup_sql(),
+        "ngram_jaccard_lsh": _orc.ngram_jaccard_lsh_sql(),
         # FULL default flagship config (phash top-32 || caption-simhash
         # top-32): the caption SimHash being SQL-expressible makes the
         # composite-word uniq/edges phases oracle-able too (clustering

@@ -193,6 +193,140 @@ def simhash_neardup_sql(table: str = "documents", max_distance: int = 3) -> str:
     )
 
 
+def _shingle3_ctes(table: str) -> str:
+    """CTE chain ending in shfin(doc_id, fp): the engine's k=3 token
+    shingle hashes (functions/simhash.shingle_hashes with k=3).
+
+    Full windows (n_toks >= 3) fold with combine_hashes — each step is
+    splitmix64(acc * B + next) — then a final splitmix64:
+    fp = sm64(sm64(sm64(h0*B + h1)*B + h2)). Rows with 1 <= n_toks < 3
+    degrade to unigram shingles fp = sm64(h). Zero-token docs have no
+    rows (the minhash CTE re-attaches them with sentinel lanes).
+    """
+    return (
+        f"{_token_hash_ctes(table)}, "
+        "sg0 AS (SELECT doc_id, n_toks, h, "
+        "lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS hb1, "
+        "lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS hb2 FROM th), "
+        f"sgw1 AS (SELECT doc_id, (h * {_B} + hb1) % {TWO64} AS c0, hb2 "
+        "FROM sg0 WHERE n_toks >= 3 AND hb2 IS NOT NULL), "
+        f"sgw2 AS (SELECT doc_id, {_sm64_cols('c0', 't1')}, hb2 FROM sgw1), "
+        f"sgw3 AS (SELECT doc_id, (t1 * {_B} + hb2) % {TWO64} AS c1 FROM sgw2), "
+        f"sgw4 AS (SELECT doc_id, {_sm64_cols('c1', 't2')} FROM sgw3), "
+        "sgall AS (SELECT doc_id, t2 FROM sgw4 "
+        "UNION ALL SELECT doc_id, h AS t2 FROM th WHERE n_toks < 3), "
+        f"shfin AS (SELECT doc_id, {_sm64_cols('t2', 'fp')} FROM sgall)"
+    )
+
+
+def _minhash_perm_values(n_perms: int, seed: int = 42) -> str:
+    """VALUES list (pid, a, b) reproducing functions/minhash
+    ._perm_params: default_rng(seed) draws a then b (order matters)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 62, size=n_perms, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=n_perms, dtype=np.uint64)
+    return ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perms)
+    )
+
+
+def _minhash_pair_ctes(
+    table: str, n_perms: int = 128, n_bands: int = 16, seed: int = 42
+) -> str:
+    """CTEs ending in mhagg(da, db, neq, sb): for every doc pair
+    (da < db), the number of equal minhash lanes (neq) and whether at
+    least one LSH band is fully equal (sb) — the candidate condition.
+
+    MinHash lanes follow functions/minhash.minhash_batch: per
+    permutation p, min over shingles of (fp * a_p + b_p) mod 2^64;
+    zero-shingle docs get all-sentinel (2^64-1) lanes, exactly the
+    engine's behavior (no special-casing, so two empty docs DO pair).
+    Band membership is modeled as all rows-per-band lanes equal; the
+    engine hashes each band slice to a 64-bit key, so this matches
+    modulo band-key hash collisions (~2^-64, an accepted assumption
+    like collision-freedom in the shingle oracles). Both a*fp and the
+    +b sum stay below 2^127, so HUGEINT arithmetic is exact without
+    limb splitting.
+    """
+    if n_perms % n_bands:
+        raise ValueError("n_perms must divide evenly into n_bands")
+    r = n_perms // n_bands
+    return (
+        f"{_shingle3_ctes(table)}, "
+        f"perms(pid, pa, pb) AS (VALUES {_minhash_perm_values(n_perms, seed)}), "
+        "mh0 AS (SELECT doc_id, pid, "
+        f"MIN((fp * pa + pb) % {TWO64}) AS v FROM shfin, perms "
+        "GROUP BY doc_id, pid), "
+        f"docs0 AS (SELECT doc_id FROM {table}), "
+        f"mh AS (SELECT d.doc_id, p.pid, coalesce(m.v, {TWO64 - 1}) AS v "
+        "FROM docs0 d CROSS JOIN perms p "
+        "LEFT JOIN mh0 m ON m.doc_id = d.doc_id AND m.pid = p.pid), "
+        "lane AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"a.pid // {r} AS band, CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS eq "
+        "FROM mh a JOIN mh b ON a.pid = b.pid AND a.doc_id < b.doc_id), "
+        "bnd AS (SELECT da, db, band, SUM(eq) AS ne FROM lane "
+        "GROUP BY da, db, band), "
+        "mhagg AS (SELECT da, db, SUM(ne) AS neq, "
+        f"MAX(CASE WHEN ne = {r} THEN 1 ELSE 0 END) AS sb "
+        "FROM bnd GROUP BY da, db)"
+    )
+
+
+def minhash_neardup_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_a, doc_b, jaccard) — engine parity for pipelines.dedup_text
+    .minhash_neardup_pairs: pairs sharing >= 1 full LSH band whose
+    estimated Jaccard (equal-lane fraction) >= threshold. neq/n_perms
+    is exactly representable in float64 on both sides."""
+    return (
+        f"WITH {_minhash_pair_ctes(table, n_perms, n_bands)} "
+        "SELECT da AS doc_a, db AS doc_b, "
+        f"CAST(neq AS DOUBLE) / {n_perms} AS jaccard FROM mhagg "
+        f"WHERE sb = 1 AND CAST(neq AS DOUBLE) / {n_perms} >= {threshold}"
+    )
+
+
+def ngram_jaccard_lsh_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_a, doc_b, ngram_jaccard) — engine parity for
+    pipelines.dedup_text.ngram_jaccard_pairs: MinHash-LSH candidates at
+    estimated-Jaccard >= max(0.5, threshold - 0.2), re-verified with
+    EXACT distinct-shingle Jaccard >= threshold (filter on the
+    unrounded value, round only the output — the engine's
+    WHERE-then-round order). Zero-shingle candidate pairs have union 0
+    and are dropped, matching ngram_jaccard_of_text_pairs' 0.0."""
+    cand_t = max(0.5, threshold - 0.2)
+    return (
+        f"WITH {_minhash_pair_ctes(table, n_perms, n_bands)}, "
+        "cand AS (SELECT da, db FROM mhagg WHERE sb = 1 "
+        f"AND CAST(neq AS DOUBLE) / {n_perms} >= {cand_t}), "
+        "shu AS (SELECT DISTINCT doc_id, fp FROM shfin), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM shu GROUP BY doc_id), "
+        "itr AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c "
+        "JOIN shu x ON x.doc_id = c.da "
+        "JOIN shu y ON y.doc_id = c.db AND y.fp = x.fp "
+        "GROUP BY c.da, c.db), "
+        "ex AS (SELECT c.da, c.db, coalesce(i.i, 0) AS i, "
+        "coalesce(sa.n, 0) + coalesce(sb2.n, 0) - coalesce(i.i, 0) AS u "
+        "FROM cand c LEFT JOIN itr i ON i.da = c.da AND i.db = c.db "
+        "LEFT JOIN sz sa ON sa.doc_id = c.da "
+        "LEFT JOIN sz sb2 ON sb2.doc_id = c.db) "
+        "SELECT da AS doc_a, db AS doc_b, "
+        "round(CAST(i AS DOUBLE) / u, 6) AS ngram_jaccard FROM ex "
+        f"WHERE u > 0 AND CAST(i AS DOUBLE) / u >= {threshold}"
+    )
+
+
 def fingerprint_docs_sql(table: str = "documents") -> str:
     """(doc_id, fingerprint) — engine parity for pipelines.textstats
     .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the

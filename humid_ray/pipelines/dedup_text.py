@@ -382,7 +382,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
     aggregate drops its schema, so a select_columns here would crash on
     a candidate-free corpus (the verify kernel projects internally)."""
     cand = minhash_neardup_pairs(sf_dir, threshold=max(0.5, threshold - 0.2))
-    return _verify_pairs_exact(cand, sf_dir, threshold, k,
+    return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True,
                                broadcast_max_ids=broadcast_max_ids)
 
 
