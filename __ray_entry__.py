@@ -139,6 +139,55 @@ def _humid_assign_sql(sf_dir: str):
     )
 
 
+# FULL default signature config (phash top-32 || caption-simhash
+# top-32) under maximum clustering: the composite-word analog of the
+# phash-only `_sql` family — every phase below is SQL-expressible via
+# the HUGEINT hash chain in humid_ray/oracles.py plus the recursive
+# transitive closure, giving the multi-source uniq -> edges -> CC ->
+# stats machinery its own hard DuckDB oracle.
+_FULLMAX_CFG = dict(clustering="maximum", wd_suffix="_fullmax",
+                    write_annotated=False)
+
+
+def _humid_assign_full_sql(sf_dir: str):
+    res, _ = _pipeline_result(sf_dir, **_FULLMAX_CFG)
+    ds = res.dataset("04_assign")
+    return ds.map_batches(
+        lambda t: t.select(["sig", "count", "first_id", "cluster_seed",
+                            "cluster_size"]),
+        batch_format="pyarrow",
+    )
+
+
+def _humid_stats_full_sql(sf_dir: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir, **_FULLMAX_CFG)
+    s = res.stats["summary"]
+    return pa.table({k: [int(v)] for k, v in s.items()})
+
+
+def _fullmax_hist(sf_dir: str, key: str):
+    import pyarrow as pa
+
+    res, _ = _pipeline_result(sf_dir, **_FULLMAX_CFG)
+    df = res.stats[key]
+    return pa.table({"value": df["value"].astype("int64"),
+                     "n": df["n"].astype("int64")})
+
+
+def _humid_counts_hist_full_sql(sf_dir: str):
+    return _fullmax_hist(sf_dir, "counts")
+
+
+def _humid_neigh_hist_full_sql(sf_dir: str):
+    return _fullmax_hist(sf_dir, "neigh")
+
+
+def _humid_cluster_hist_full_sql(sf_dir: str):
+    return _fullmax_hist(sf_dir, "clusters")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; returns the assignment table
     (one row per unique signature with cluster id / representative)."""
@@ -357,6 +406,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "humid_counts_hist_sql": _humid_counts_hist_sql,
         "humid_neigh_hist_sql": _humid_neigh_hist_sql,
         "humid_cluster_hist_sql": _humid_cluster_hist_sql,
+        # flagship phases under the FULL composite-word config with
+        # maximum clustering (DuckDB HUGEINT hash chain + recursive CC)
+        "humid_assign_full_sql": _humid_assign_full_sql,
+        "humid_stats_full_sql": _humid_stats_full_sql,
+        "humid_counts_hist_full_sql": _humid_counts_hist_full_sql,
+        "humid_neigh_hist_full_sql": _humid_neigh_hist_full_sql,
+        "humid_cluster_hist_full_sql": _humid_cluster_hist_full_sql,
         # documents: exact dedup + histograms (SQL-oracled)
         "exact_dedup_docs": dedup_text.exact_dedup,
         "dup_count_hist_docs": dedup_text.dup_count_hist,
@@ -605,6 +661,21 @@ def oracle_sql() -> dict[str, str]:
             f"{_corpus_for('sf0.01')}/*.parquet"
         ),
         "humid_edges": _orc.flagship_edges_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_assign_full_sql": _orc.flagship_assign_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_stats_full_sql": _orc.flagship_stats_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_counts_hist_full_sql": _orc.flagship_counts_hist_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_neigh_hist_full_sql": _orc.flagship_neigh_hist_sql(
+            f"{_corpus_for('sf0.01')}/*.parquet"
+        ),
+        "humid_cluster_hist_full_sql": _orc.flagship_cluster_hist_sql(
             f"{_corpus_for('sf0.01')}/*.parquet"
         ),
         "ngram_jaccard_docs": (

@@ -168,6 +168,92 @@ def flagship_edges_sql(corpus_glob: str, max_distance: int = 1) -> str:
     )
 
 
+def _flagship_closure_ctes(corpus_glob: str, max_distance: int = 1) -> str:
+    """WITH RECURSIVE prefix ending in comp(sig, cluster_seed): connected
+    components over the FULL default flagship config's composite
+    signatures (maximum clustering: cluster == CC, seed == min member
+    in unsigned sig order) via transitive closure."""
+    return (
+        "WITH RECURSIVE nodes AS "
+        f"(SELECT * FROM ({flagship_uniq_sql(corpus_glob)})), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS cluster_seed "
+        "FROM reach GROUP BY src)"
+    )
+
+
+def flagship_assign_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """(sig, count, first_id, cluster_seed, cluster_size) — the
+    walk-order-independent assignment columns for the full default
+    flagship config under maximum clustering. The representative
+    (max-leaf) column follows the reference's DFS preorder tie-break
+    (src/cluster.cc:72-80), which SQL cannot express declaratively; it
+    stays pinned by the reference-translated graph tests."""
+    return (
+        f"{_flagship_closure_ctes(corpus_glob, max_distance)}, "
+        "cl AS (SELECT cluster_seed, sum(\"count\") AS cluster_size "
+        "FROM comp JOIN nodes USING (sig) GROUP BY cluster_seed) "
+        "SELECT n.sig, n.\"count\", n.first_id, c.cluster_seed, "
+        "CAST(cl.cluster_size AS BIGINT) AS cluster_size "
+        "FROM nodes n JOIN comp c USING (sig) JOIN cl USING (cluster_seed)"
+    )
+
+
+def flagship_stats_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """(total, usable, unique, clusters) for the full default flagship
+    config under maximum clustering. Usable = stored-mode filter:
+    non-NULL phash AND >= 1 caption token (stages/signatures.py)."""
+    src = f"read_parquet('{corpus_glob}')"
+    return (
+        f"{_flagship_closure_ctes(corpus_glob, max_distance)} "
+        f"SELECT (SELECT count(*) FROM {src}) AS total, "
+        f"(SELECT count(*) FROM {src} WHERE phash IS NOT NULL AND "
+        "len(regexp_extract_all(lower(coalesce(caption, '')), '[0-9a-z]+')) > 0"
+        ") AS usable, "
+        "(SELECT count(*) FROM nodes) AS \"unique\", "
+        "(SELECT count(DISTINCT cluster_seed) FROM comp) AS clusters"
+    )
+
+
+def flagship_counts_hist_sql(corpus_glob: str) -> str:
+    """counts.dat histogram (value, n) for the full flagship config."""
+    return (
+        f"WITH nodes AS (SELECT * FROM ({flagship_uniq_sql(corpus_glob)})) "
+        "SELECT \"count\" AS value, count(*) AS n FROM nodes GROUP BY \"count\""
+    )
+
+
+def flagship_neigh_hist_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """neigh.dat histogram (value, n) incl. degree 0 for the full
+    flagship config."""
+    return (
+        f"WITH nodes AS (SELECT * FROM ({flagship_uniq_sql(corpus_glob)})), "
+        "deg AS (SELECT a.sig, count(*) AS d FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance} "
+        "GROUP BY a.sig) "
+        "SELECT value, n FROM ("
+        "SELECT d AS value, count(*) AS n FROM deg GROUP BY d "
+        "UNION ALL SELECT 0 AS value, "
+        "(SELECT count(*) FROM nodes) - (SELECT count(*) FROM deg) AS n"
+        ") WHERE n > 0"
+    )
+
+
+def flagship_cluster_hist_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """clusters.dat histogram (value, n) — cluster sizes in reads —
+    for the full flagship config under maximum clustering."""
+    return (
+        f"{_flagship_closure_ctes(corpus_glob, max_distance)} "
+        "SELECT value, count(*) AS n FROM ("
+        "SELECT CAST(sum(\"count\") AS BIGINT) AS value FROM comp "
+        "JOIN nodes USING (sig) GROUP BY cluster_seed) GROUP BY value"
+    )
+
+
 def simhash_docs_sql(table: str = "documents") -> str:
     """(doc_id, simhash) — engine parity for pipelines.dedup_text
     .simhash_docs (int64 bit patterns, zero-shingle docs -> 0)."""

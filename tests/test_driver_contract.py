@@ -24,6 +24,9 @@ CORPUS_ORACLES = {
     "humid_uniq_sql", "humid_edges_sql", "humid_assign_sql",
     "humid_stats_sql", "humid_counts_hist_sql", "humid_neigh_hist_sql",
     "humid_cluster_hist_sql", "humid_uniq", "humid_edges",
+    "humid_assign_full_sql", "humid_stats_full_sql",
+    "humid_counts_hist_full_sql", "humid_neigh_hist_full_sql",
+    "humid_cluster_hist_full_sql",
     "multimodal_decode_dims",
     "audio_decode_dims", "video_decode_dims",
     "audio_durations", "video_sampled_frames",
