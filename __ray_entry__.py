@@ -426,6 +426,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # column (brute-force-oracle-tested edge-set parity)
         "simhash_neardup_docs": dedup_text.simhash_neardup,
         "minhash_neardup_docs": dedup_text.minhash_neardup_pairs,
+        # fuzzy-dedup composition: MinHash edges -> connected
+        # components -> per-doc cluster assignment + keep list
+        # (SQL-oracled: MinHash-in-SQL + recursive closure)
+        "minhash_cluster_docs": dedup_text.minhash_clusters,
+        "minhash_keep_docs": dedup_text.minhash_dedup_keep,
+        # benchmark decontamination (distinct-shingle overlap vs the
+        # deterministic doc_id % 20 == 0 "eval suite"; SQL-oracled)
+        "decontaminate_docs": dedup_text.decontaminate,
         # exact all-pairs shingle Jaccard via prefix filtering (SQL-oracled)
         "ngram_jaccard_docs": dedup_text.ngram_jaccard_exact,
         # MinHash-LSH candidates re-verified with exact n-gram Jaccard
@@ -653,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
         # band membership = all rows-per-band lanes equal
         "minhash_neardup_docs": _orc.minhash_neardup_sql(),
         "ngram_jaccard_lsh": _orc.ngram_jaccard_lsh_sql(),
+        "minhash_cluster_docs": _orc.minhash_cluster_sql(),
+        "minhash_keep_docs": _orc.minhash_keep_sql(),
+        "decontaminate_docs": _orc.decontaminate_sql(),
         # FULL default flagship config (phash top-32 || caption-simhash
         # top-32): the caption SimHash being SQL-expressible makes the
         # composite-word uniq/edges phases oracle-able too (clustering

@@ -413,6 +413,98 @@ def ngram_jaccard_lsh_sql(
     )
 
 
+def _minhash_cluster_ctes(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """WITH RECURSIVE prefix ending in compsz(doc_id, cluster_id,
+    cluster_size): connected components (transitive closure) over the
+    MinHash-LSH near-dup pairs at estimated Jaccard >= threshold;
+    every document is seeded into the closure, so edge-free docs come
+    out as singletons of themselves — engine parity for
+    pipelines.dedup_text.minhash_clusters."""
+    return (
+        f"WITH RECURSIVE {_minhash_pair_ctes(table, n_perms, n_bands)}, "
+        "e AS (SELECT da, db FROM mhagg WHERE sb = 1 "
+        f"AND CAST(neq AS DOUBLE) / {n_perms} >= {threshold}), "
+        "ee AS (SELECT da AS a, db AS b FROM e "
+        "UNION SELECT db AS a, da AS b FROM e), "
+        f"reach(src, dst) AS (SELECT doc_id, doc_id FROM {table} UNION "
+        "SELECT r.src, ee.b FROM reach r JOIN ee ON ee.a = r.dst), "
+        "comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id "
+        "FROM reach GROUP BY src), "
+        "sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp "
+        "GROUP BY cluster_id), "
+        "compsz AS (SELECT c.doc_id, c.cluster_id, "
+        "CAST(s.n AS BIGINT) AS cluster_size "
+        "FROM comp c JOIN sz s USING (cluster_id))"
+    )
+
+
+def minhash_cluster_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_id, cluster_id, cluster_size) — engine parity for
+    pipelines.dedup_text.minhash_clusters (fuzzy-dedup CC assignment:
+    cluster label = min doc_id of the component)."""
+    return (
+        f"{_minhash_cluster_ctes(table, threshold, n_perms, n_bands)} "
+        "SELECT doc_id, cluster_id, cluster_size FROM compsz"
+    )
+
+
+def minhash_keep_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_id, cluster_size) — engine parity for pipelines.dedup_text
+    .minhash_dedup_keep: one representative (min doc_id) per near-dup
+    cluster."""
+    return (
+        f"{_minhash_cluster_ctes(table, threshold, n_perms, n_bands)} "
+        "SELECT doc_id, cluster_size FROM compsz WHERE doc_id = cluster_id"
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    bench_mod: int = 20,
+    frac_threshold: float = 0.2,
+) -> str:
+    """(doc_id, n_shingles, n_overlap, overlap_frac, contaminated) —
+    engine parity for pipelines.dedup_text.decontaminate: distinct
+    k=3-shingle overlap of each training doc (doc_id % bench_mod != 0)
+    against the union of benchmark-doc shingles, contamination flagged
+    on the UNROUNDED fraction (round only the emitted column)."""
+    return (
+        f"WITH {_shingle3_ctes(table)}, "
+        "shu AS (SELECT DISTINCT doc_id, fp FROM shfin), "
+        f"bsh AS (SELECT DISTINCT fp FROM shu WHERE doc_id % {bench_mod} = 0), "
+        "cnt AS (SELECT s.doc_id, COUNT(*) AS n_shingles, "
+        "SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap "
+        f"FROM shu s LEFT JOIN bsh b ON b.fp = s.fp "
+        f"WHERE s.doc_id % {bench_mod} != 0 GROUP BY s.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(c.n_shingles, 0) AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(c.n_overlap, 0) AS BIGINT) AS n_overlap, "
+        "round(CASE WHEN coalesce(c.n_shingles, 0) > 0 THEN "
+        "CAST(c.n_overlap AS DOUBLE) / c.n_shingles ELSE 0 END, 6) "
+        "AS overlap_frac, "
+        "CAST(CASE WHEN (CASE WHEN coalesce(c.n_shingles, 0) > 0 THEN "
+        "CAST(c.n_overlap AS DOUBLE) / c.n_shingles ELSE 0 END) "
+        f">= {frac_threshold} THEN 1 ELSE 0 END AS BIGINT) AS contaminated "
+        f"FROM {table} d LEFT JOIN cnt c USING (doc_id) "
+        f"WHERE d.doc_id % {bench_mod} != 0"
+    )
+
+
 def fingerprint_docs_sql(table: str = "documents") -> str:
     """(doc_id, fingerprint) — engine parity for pipelines.textstats
     .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the

@@ -415,6 +415,302 @@ def simhash_neardup(sf_dir: str, max_distance: int = 3):
     return out
 
 
+# --- fuzzy-dedup cluster assignment (flagship CC applied to docs) ---------
+
+# above this many component-member rows the doc->cluster assignment
+# switches from one broadcast lookup to a distributed left join — the
+# same broadcast/join split as the flagship output stage (outputs.py)
+BROADCAST_MAX_COMPONENT_MEMBERS = 4_000_000
+
+
+def _singleton_clusters(docs):
+    """Every doc its own cluster of size 1 (the no-edges degenerate case)."""
+    def kernel(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": d,
+                "cluster_id": d,
+                "cluster_size": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+class _AssignDocCluster:
+    """Broadcast (member -> component label, label -> size) lookup;
+    docs outside any component are singletons of themselves."""
+
+    def __init__(self, comp_ref):
+        import ray
+
+        self.members, self.labels, self.ulabels, self.usizes = ray.get(comp_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(self.members):
+            pos = np.searchsorted(self.members, d)
+            pos_c = np.minimum(pos, len(self.members) - 1)
+            hit = self.members[pos_c] == d
+            cluster = np.where(hit, self.labels[pos_c], d)
+            spos = np.searchsorted(self.ulabels, cluster)
+            spos_c = np.minimum(spos, len(self.ulabels) - 1)
+            size = np.where(
+                hit & (self.ulabels[spos_c] == cluster), self.usizes[spos_c], 1
+            )
+        else:
+            cluster = d
+            size = np.ones(len(d), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.array(cluster.astype(np.int64)),
+                "cluster_size": pa.array(size.astype(np.int64)),
+            }
+        )
+
+
+def minhash_clusters(sf_dir: str, threshold: float = 0.8,
+                     broadcast_max_members: int | None = None):
+    """Near-dup CLUSTER assignment over documents — the canonical
+    fuzzy-dedup composition (the flagship's uniq→edges→CC chain applied
+    to the documents table): MinHash-LSH pairs at estimated Jaccard >=
+    threshold become edges, connected components label every member
+    with the component's min doc_id, and every document gets
+    (doc_id, cluster_id, cluster_size); docs with no near-dup edge are
+    singletons of themselves.
+
+    Scale shape: the edge list and the component-member table are the
+    SMALL side (only near-duplicate docs appear — candidates are a
+    sketch, membership is verified); below ``broadcast_max_members``
+    the member->label map is broadcast once (ray.put) and the corpus
+    streams through one vectorized searchsorted kernel; above it the
+    assignment switches to a distributed left join + size groupby
+    (no driver-sized object anywhere).
+    """
+    from humid_ray.config import HumidConfig
+    from humid_ray.stages.components import connected_components
+
+    if broadcast_max_members is None:
+        broadcast_max_members = BROADCAST_MAX_COMPONENT_MEMBERS
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    pairs = minhash_neardup_pairs(sf_dir, threshold=threshold).materialize()
+    if pairs.count() == 0:
+        return _singleton_clusters(docs)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"sig_a": t.column("doc_a"), "sig_b": t.column("doc_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges, HumidConfig()).materialize()
+    if comp.count() > broadcast_max_members:
+        return _assign_clusters_joined(docs, comp)
+    members_l, labels_l = [], []
+    for b in comp.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        members_l.append(
+            b.column("sig").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        labels_l.append(
+            b.column("comp").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    members = np.concatenate(members_l)
+    labels = np.concatenate(labels_l)
+    order = np.argsort(members, kind="stable")
+    members, labels = members[order], labels[order]
+    ulabels, usizes = np.unique(labels, return_counts=True)
+    import ray
+
+    comp_ref = ray.put((members, labels, ulabels, usizes.astype(np.int64)))
+    return docs.map_batches(
+        _AssignDocCluster,
+        fn_constructor_kwargs={"comp_ref": comp_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _assign_clusters_joined(docs, comp):
+    """Distributed path of minhash_clusters: docs ⟕ components on
+    doc_id (nulls -> singleton), then cluster sizes via one small
+    groupby joined back on cluster_id."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(64, cpus // 2))
+    labels = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("sig"), pa.int64()),
+                "comp_label": pc.cast(t.column("comp"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = docs.join(labels, join_type="left_outer", on=("doc_id",),
+                  num_partitions=nparts)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t.column("comp_label"), t.column("doc_id"))
+        return pa.table({"doc_id": t.column("doc_id"), "cluster_id": cid})
+
+    assigned = j.map_batches(resolve, batch_format="pyarrow").materialize()
+    sizes = assigned.groupby("cluster_id").aggregate(_Count(alias_name="cluster_size"))
+    out = assigned.join(sizes, join_type="inner", on=("cluster_id",),
+                        num_partitions=nparts)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "cluster_id", "cluster_size"]),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_keep(sf_dir: str, threshold: float = 0.8,
+                       broadcast_max_members: int | None = None):
+    """The fuzzy-dedup KEEP list: one representative (min doc_id) per
+    near-dup cluster, with the cluster size it stands for — what a
+    training-data pipeline actually writes out after near-dedup."""
+    import pyarrow.compute as pc
+
+    cl = minhash_clusters(sf_dir, threshold=threshold,
+                          broadcast_max_members=broadcast_max_members)
+    return cl.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id", "cluster_size"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- decontamination against a benchmark shingle set ----------------------
+
+class _ContamScorer:
+    """Per-batch kernel: distinct k-shingle overlap of each training
+    doc against the broadcast benchmark shingle union (sorted array +
+    searchsorted membership; per-doc counts via offset cumsum — no
+    Python in the loop)."""
+
+    def __init__(self, bench_ref, k: int, frac_threshold: float):
+        import ray
+
+        self.bench: np.ndarray = ray.get(bench_ref)  # sorted uint64
+        self.k, self.frac_threshold = k, frac_threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from humid_ray.util import round_half_away, segment_unique
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_shingles": pa.array([], type=pa.int64()),
+                    "n_overlap": pa.array([], type=pa.int64()),
+                    "overlap_frac": pa.array([], type=pa.float64()),
+                    "contaminated": pa.array([], type=pa.int64()),
+                }
+            )
+        th, offs = tokenize_batch(t.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        uvals, uoffs = segment_unique(sh, sh_offs)
+        if len(self.bench):
+            pos = np.searchsorted(self.bench, uvals)
+            pos_c = np.minimum(pos, len(self.bench) - 1)
+            hit = (self.bench[pos_c] == uvals).astype(np.int64)
+        else:
+            hit = np.zeros(len(uvals), dtype=np.int64)
+        cs = np.r_[0, np.cumsum(hit)]
+        n_overlap = cs[uoffs[1:]] - cs[uoffs[:-1]]
+        n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
+        frac = np.divide(
+            n_overlap.astype(np.float64),
+            n_shingles.astype(np.float64),
+            out=np.zeros(len(n_shingles), dtype=np.float64),
+            where=n_shingles > 0,
+        )
+        contaminated = (frac >= self.frac_threshold).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": pa.array(n_shingles),
+                "n_overlap": pa.array(n_overlap.astype(np.int64)),
+                "overlap_frac": pa.array(round_half_away(frac, 6)),
+                "contaminated": pa.array(contaminated),
+            }
+        )
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 20, k: int = 3,
+                  frac_threshold: float = 0.2):
+    """Benchmark decontamination: for every TRAINING document (doc_id %
+    bench_mod != 0), the distinct-k-shingle overlap against the union
+    of all BENCHMARK documents' shingles (doc_id % bench_mod == 0 — in
+    production this is the held-out eval suite), with ``contaminated``
+    flagging overlap_frac >= frac_threshold (compared unrounded; only
+    the emitted column is rounded, the repo's WHERE-then-round order).
+
+    Scale shape: eval suites are fixed-size (MBs) while the corpus is
+    100 TB — the benchmark shingle union is the SMALL side by
+    construction, collected once and broadcast via ray.put; the corpus
+    streams through one vectorized membership kernel and never
+    shuffles.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+    from humid_ray.util import segment_unique
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d % bench_mod == 0))
+        if t.num_rows == 0:
+            return pa.table({"fp": pa.array([], type=pa.uint64())})
+        th, offs = tokenize_batch(t.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, k)
+        uvals, _ = segment_unique(sh, sh_offs)
+        return pa.table({"fp": u64col(np.unique(uvals))})
+
+    parts = []
+    for b in (
+        docs.map_batches(bench_shingles, batch_format="pyarrow")
+        .iter_batches(batch_size=262144, batch_format="pyarrow")
+    ):
+        # u64col stores bit patterns as int64 (Dataset-column rule);
+        # view back to uint64 so ordering matches the scorer's uvals
+        parts.append(
+            b.column("fp").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    bench = (
+        np.unique(np.concatenate(parts)) if parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+    train = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % bench_mod
+                != 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return train.map_batches(
+        _ContamScorer,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref, "k": k, "frac_threshold": frac_threshold,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
 # --- exact all-pairs n-gram Jaccard (prefix filtering) --------------------
 
 class ShinglePrefixIndex:

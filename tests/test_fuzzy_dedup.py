@@ -1,0 +1,111 @@
+"""Fuzzy-dedup cluster assignment + decontamination invariants.
+
+The SQL parity of minhash_cluster_docs / minhash_keep_docs /
+decontaminate_docs is pinned by test_driver_contract (DuckDB oracles);
+these tests pin the structural invariants and the broadcast/join
+branch equivalence on the real testdata, plus planted contamination
+on a tiny synthetic documents table.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clusters(ray_session):
+    from humid_ray.pipelines import dedup_text
+
+    return dedup_text.minhash_clusters(SF).to_pandas()
+
+
+def test_minhash_clusters_cover_every_doc_once(clusters):
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs.column("doc_id").to_numpy())
+    got = np.sort(clusters["doc_id"].to_numpy())
+    assert np.array_equal(ids, got)
+
+
+def test_minhash_clusters_label_is_min_member(clusters):
+    g = clusters.groupby("cluster_id")["doc_id"].min()
+    assert (g.index.to_numpy() == g.to_numpy()).all()
+
+
+def test_minhash_clusters_sizes_consistent(clusters):
+    sizes = clusters.groupby("cluster_id")["doc_id"].count()
+    m = clusters.merge(
+        sizes.rename("expect"), left_on="cluster_id", right_index=True
+    )
+    assert (m["cluster_size"] == m["expect"]).all()
+
+
+def test_minhash_pairs_are_coclustered(ray_session, clusters):
+    from humid_ray.pipelines import dedup_text
+
+    pairs = dedup_text.minhash_neardup_pairs(SF).to_pandas()
+    label = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert label[a] == label[b]
+
+
+def test_minhash_clusters_join_branch_equals_broadcast(ray_session, clusters):
+    from humid_ray.pipelines import dedup_text
+
+    joined = dedup_text.minhash_clusters(
+        SF, broadcast_max_members=0
+    ).to_pandas()
+    cols = ["doc_id", "cluster_id", "cluster_size"]
+    a = clusters[cols].sort_values(cols).reset_index(drop=True)
+    b = joined[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        b[c] = b[c].astype(a[c].dtype)
+    assert a.equals(b)
+
+
+def test_minhash_keep_one_rep_per_cluster(ray_session, clusters):
+    from humid_ray.pipelines import dedup_text
+
+    keep = dedup_text.minhash_dedup_keep(SF).to_pandas()
+    assert len(keep) == clusters["cluster_id"].nunique()
+    assert set(keep["doc_id"]) == set(clusters["cluster_id"].unique())
+    # kept sizes account for the full corpus
+    assert keep["cluster_size"].sum() == len(clusters)
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    from humid_ray.pipelines import dedup_text
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    bench_text,                       # benchmark (id % 20 == 0)
+                    bench_text,                       # exact copy -> frac 1.0
+                    "unrelated words entirely here",  # no overlap
+                    "",                               # zero shingles
+                ]
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        dedup_text.decontaminate(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]  # benchmark doc excluded
+    assert out.loc[1, "overlap_frac"] == 1.0 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_overlap"] == 0 and out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_shingles"] == 0 and out.loc[3, "overlap_frac"] == 0.0
+    assert out.loc[3, "contaminated"] == 0
