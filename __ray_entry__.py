@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_text,
         events,
         multimodal,
+        sampling,
         substring,
         textstats,
     )
@@ -447,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": textstats.quality_scores,
         "langid_docs": textstats.langid,
         "fingerprint_docs": textstats.fingerprints,
+        # intra-document repetition (Gopher-style duplicate-ngram
+        # fraction; SQL-oracled)
+        "repetition_stats_docs": textstats.repetition_stats,
+        # deterministic hash-based splitting / sampling (SQL-oracled)
+        "hash_split_docs": sampling.hash_split,
+        "hash_sample_docs": sampling.hash_sample,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
@@ -664,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_docs": _orc.minhash_cluster_sql(),
         "minhash_keep_docs": _orc.minhash_keep_sql(),
         "decontaminate_docs": _orc.decontaminate_sql(),
+        "repetition_stats_docs": _orc.repetition_stats_sql(),
+        "hash_split_docs": _orc.hash_split_sql(),
+        "hash_sample_docs": _orc.hash_sample_sql(),
         # FULL default flagship config (phash top-32 || caption-simhash
         # top-32): the caption SimHash being SQL-expressible makes the
         # composite-word uniq/edges phases oracle-able too (clustering

@@ -505,6 +505,51 @@ def decontaminate_sql(
     )
 
 
+def repetition_stats_sql(table: str = "documents") -> str:
+    """(doc_id, n_shingles_total, n_shingles_distinct, dup_frac) —
+    engine parity for pipelines.textstats.repetition_stats: COUNT vs
+    COUNT(DISTINCT) per doc over the k=3 shingle rows (one row per
+    window occurrence), dup_frac = 1 - distinct/total rounded to 6."""
+    return (
+        f"WITH {_shingle3_ctes(table)}, "
+        "agg AS (SELECT doc_id, COUNT(*) AS t, COUNT(DISTINCT fp) AS dct "
+        "FROM shfin GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(a.t, 0) AS BIGINT) AS n_shingles_total, "
+        "CAST(coalesce(a.dct, 0) AS BIGINT) AS n_shingles_distinct, "
+        "round(CASE WHEN coalesce(a.t, 0) > 0 THEN "
+        "1.0 - CAST(a.dct AS DOUBLE) / a.t ELSE 0 END, 6) AS dup_frac "
+        f"FROM {table} d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def hash_split_sql(
+    table: str = "documents", val_pct: int = 10, n_buckets: int = 100
+) -> str:
+    """(doc_id, bucket, split) — engine parity for pipelines.sampling
+    .hash_split: splitmix64(doc_id) % n_buckets in HUGEINT arithmetic."""
+    return (
+        f"WITH sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}) "
+        f"SELECT doc_id, CAST(z % {n_buckets} AS BIGINT) AS bucket, "
+        f"CASE WHEN z % {n_buckets} < {val_pct} THEN 'val' ELSE 'train' END "
+        "AS split FROM sm"
+    )
+
+
+def hash_sample_sql(
+    table: str = "documents", pct: int = 10, n_buckets: int = 100
+) -> str:
+    """Full rows of the deterministic pct% sample — engine parity for
+    pipelines.sampling.hash_sample."""
+    return (
+        f"WITH sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}) "
+        f"SELECT d.* FROM {table} d JOIN sm USING (doc_id) "
+        f"WHERE z % {n_buckets} < {pct}"
+    )
+
+
 def fingerprint_docs_sql(table: str = "documents") -> str:
     """(doc_id, fingerprint) — engine parity for pipelines.textstats
     .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the

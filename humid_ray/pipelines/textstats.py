@@ -211,6 +211,44 @@ def langid(sf_dir: str):
     )
 
 
+def repetition_stats(sf_dir: str, k: int = 3):
+    """(doc_id, n_shingles_total, n_shingles_distinct, dup_frac) —
+    intra-document repetition: the fraction of k-token shingle windows
+    that are repeats of an earlier window in the SAME document (the
+    Gopher-style "fraction of duplicate n-grams" quality signal; Rae
+    et al. 2021 §A1.1). dup_frac = 1 - distinct/total (0 for docs with
+    no shingles), rounded to 6 after the exact float64 division —
+    fully SQL-expressible (COUNT vs COUNT(DISTINCT) per doc over the
+    shingle CTEs)."""
+    from humid_ray.functions.simhash import shingle_hashes
+    from humid_ray.util import segment_unique
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        th, offs = tokenize_batch(batch.column("text"))
+        sh, sh_offs = shingle_hashes(th, offs, k)
+        total = (sh_offs[1:] - sh_offs[:-1]).astype(np.int64)
+        _, uoffs = segment_unique(sh, sh_offs)
+        distinct = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
+        frac = 1.0 - np.divide(
+            distinct.astype(np.float64),
+            total.astype(np.float64),
+            out=np.ones(len(total), dtype=np.float64),
+            where=total > 0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles_total": pa.array(total),
+                "n_shingles_distinct": pa.array(distinct),
+                "dup_frac": pa.array(round_half_away(frac, 6)),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def fingerprints(sf_dir: str):
     """(doc_id, fingerprint) — order-sensitive polynomial rolling hash
     over the token-hash sequence (winnowing-style document

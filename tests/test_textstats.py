@@ -133,3 +133,51 @@ def test_stopword_ratio(ray_session):
         assert r.n_stopwords == nsw
         if toks:
             assert abs(r.stopword_ratio - nsw / len(toks)) < 1e-6
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines import textstats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    # same 3-token shingle repeated 4x: 10 windows, 3 distinct
+                    "spam ham eggs spam ham eggs spam ham eggs spam ham eggs",
+                    "every token here is fully unique today",
+                    "",
+                ]
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        textstats.repetition_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_shingles_total"] == 10
+    assert out.loc[0, "n_shingles_distinct"] == 3
+    assert out.loc[0, "dup_frac"] == 0.7
+    assert out.loc[1, "dup_frac"] == 0.0
+    assert out.loc[2, "n_shingles_total"] == 0 and out.loc[2, "dup_frac"] == 0.0
+
+
+def test_hash_split_deterministic_and_partitioning(ray_session):
+    from humid_ray.pipelines import sampling
+
+    sf = "/root/testdata/sf0.001"
+    a = sampling.hash_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sampling.hash_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # pure function of doc_id
+    assert set(a["split"]) <= {"train", "val"}
+    assert ((a["bucket"] < 10) == (a["split"] == "val")).all()
+    # sample == the val side of the split, rows intact
+    s = sampling.hash_sample(sf).to_pandas()
+    assert set(s["doc_id"]) == set(a.loc[a["split"] == "val", "doc_id"])
+    assert {"text", "lang", "source", "n_chars"} <= set(s.columns)
