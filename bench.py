@@ -157,6 +157,9 @@ def run_bench() -> dict:
 
     timed("events_windowed", lambda: events.windowed_counts(SF_DIR))
     timed("events_sessions", lambda: events.sessionize(SF_DIR))
+    timed("minhash_cluster_docs", lambda: dedup_text.minhash_clusters(SF_DIR))
+    timed("decontaminate_docs", lambda: dedup_text.decontaminate(SF_DIR))
+    timed("repetition_stats_docs", lambda: textstats.repetition_stats(SF_DIR))
     timed("ngram_jaccard_docs", lambda: dedup_text.ngram_jaccard_exact(SF_DIR))
     timed("substring_dedup_docs", lambda: substring.substring_dedup_pairs(SF_DIR))
     timed("langid_docs", lambda: textstats.langid(SF_DIR))
