@@ -27,6 +27,18 @@ def read_corpus(corpus_dir: str, columns=None):
     return ray.data.read_parquet(corpus_files(corpus_dir), columns=columns)
 
 
+def decode_pool() -> tuple[int, int]:
+    """Fixed-size decode pool (~7/8 of the node) — the flagship
+    signature stage's sizing (stages/signatures.py:29). Every query in
+    this module has exactly one actor stage and it is the bottleneck
+    (pure-Python codec decode), so it gets the node; autoscaling pools
+    were measured to stay near their floor on short jobs ((1,8) and
+    (1,28) both ~11 s for 20k decode-stats rows vs 4.5 s fixed)."""
+    from humid_ray.stages.signatures import default_sig_concurrency
+
+    return default_sig_concurrency()
+
+
 class DecodeStats:
     """(image_id, ok, width, height, channels, mean_luma) per row.
 
@@ -68,7 +80,7 @@ class DecodeStats:
 def decode_stats(corpus_dir: str, batch_size: int = 1024):
     return read_corpus(corpus_dir, columns=["image_id", "bytes"]).map_batches(
         DecodeStats, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 8),
+        batch_size=batch_size, concurrency=decode_pool(),
     )
 
 
@@ -118,7 +130,7 @@ def thumbnails(corpus_dir: str, size: int = 8, batch_size: int = 512):
     return read_corpus(corpus_dir, columns=["image_id", "bytes"]).map_batches(
         Thumbnailer, fn_constructor_kwargs={"size": size},
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 8),
+        batch_size=batch_size, concurrency=decode_pool(),
     )
 
 
@@ -168,7 +180,7 @@ class AudioFeatureExtractor:
 def audio_feature_stats(corpus_dir: str, batch_size: int = 1024):
     return read_corpus(corpus_dir, columns=["audio_id", "bytes"]).map_batches(
         AudioFeatureExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 8),
+        batch_size=batch_size, concurrency=decode_pool(),
     )
 
 
@@ -250,7 +262,7 @@ class _VideoDims:
 def video_decode_dims(corpus_dir: str, batch_size: int = 256):
     return read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
         _VideoDims, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 8),
+        batch_size=batch_size, concurrency=decode_pool(),
     )
 
 
@@ -258,7 +270,7 @@ def video_frame_samples(corpus_dir: str, stride: int = 4, batch_size: int = 256)
     return read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
         VideoFrameSampler, fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 8),
+        batch_size=batch_size, concurrency=decode_pool(),
     )
 
 
@@ -642,7 +654,7 @@ def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
     sigs = read_corpus(corpus_dir, columns=["video_id", "bytes"]).map_batches(
         _VideoSignature, fn_constructor_kwargs={"n_perms": n_perms},
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=256, concurrency=(1, 8),
+        batch_size=256, concurrency=decode_pool(),
     )
     return set_neardup_pairs(sigs, threshold, n_perms, n_bands)
 
@@ -677,6 +689,6 @@ def audio_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
     sigs = read_corpus(corpus_dir, columns=["audio_id", "bytes"]).map_batches(
         _AudioSignature, fn_constructor_kwargs={"n_perms": n_perms},
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=512, concurrency=(1, 8),
+        batch_size=512, concurrency=decode_pool(),
     )
     return set_neardup_pairs(sigs, threshold, n_perms, n_bands)
