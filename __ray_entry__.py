@@ -435,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination (distinct-shingle overlap vs the
         # deterministic doc_id % 20 == 0 "eval suite"; SQL-oracled)
         "decontaminate_docs": dedup_text.decontaminate,
+        # the composed curation pipeline: quality gates + decontam ->
+        # fuzzy dedup among survivors -> keep list (SQL-oracled)
+        "curate_docs": dedup_text.curate_docs,
         # exact all-pairs shingle Jaccard via prefix filtering (SQL-oracled)
         "ngram_jaccard_docs": dedup_text.ngram_jaccard_exact,
         # MinHash-LSH candidates re-verified with exact n-gram Jaccard
@@ -671,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_docs": _orc.minhash_cluster_sql(),
         "minhash_keep_docs": _orc.minhash_keep_sql(),
         "decontaminate_docs": _orc.decontaminate_sql(),
+        "curate_docs": _orc.curate_docs_sql(),
         "repetition_stats_docs": _orc.repetition_stats_sql(),
         "hash_split_docs": _orc.hash_split_sql(),
         "hash_sample_docs": _orc.hash_sample_sql(),

@@ -158,6 +158,7 @@ def run_bench() -> dict:
     timed("events_windowed", lambda: events.windowed_counts(SF_DIR))
     timed("events_sessions", lambda: events.sessionize(SF_DIR))
     timed("minhash_cluster_docs", lambda: dedup_text.minhash_clusters(SF_DIR))
+    timed("curate_docs", lambda: dedup_text.curate_docs(SF_DIR))
     timed("decontaminate_docs", lambda: dedup_text.decontaminate(SF_DIR))
     timed("repetition_stats_docs", lambda: textstats.repetition_stats(SF_DIR))
     timed("ngram_jaccard_docs", lambda: dedup_text.ngram_jaccard_exact(SF_DIR))

@@ -505,6 +505,80 @@ def decontaminate_sql(
     )
 
 
+def curate_docs_sql(
+    table: str = "documents",
+    min_tokens: int = 30,
+    min_alpha: float = 0.8,
+    bench_mod: int = 20,
+    contam_frac: float = 0.2,
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_id, cluster_size) — engine parity for pipelines.dedup_text
+    .curate_docs: quality gates (unrounded token count + alpha ratio) +
+    benchmark exclusion + contamination gate, then MinHash-LSH fuzzy
+    dedup among the SURVIVORS (shingle rows reused from the full-table
+    CTEs, filtered to survivors) with a recursive-closure CC; one
+    min-id representative per cluster."""
+    r = n_perms // n_bands
+    alpha_expr = (
+        "(CASE WHEN length(coalesce(d.text, '')) > 0 THEN "
+        "CAST(length(regexp_replace(lower(coalesce(d.text, '')), "
+        "'[^a-z]', '', 'g')) AS DOUBLE) / length(coalesce(d.text, '')) "
+        "ELSE 0 END)"
+    )
+    frac_expr = (
+        "(CASE WHEN coalesce(c.n_shingles, 0) > 0 THEN "
+        "CAST(c.n_overlap AS DOUBLE) / c.n_shingles ELSE 0 END)"
+    )
+    return (
+        f"WITH RECURSIVE {_shingle3_ctes(table)}, "
+        "shu AS (SELECT DISTINCT doc_id, fp FROM shfin), "
+        f"bsh AS (SELECT DISTINCT fp FROM shu WHERE doc_id % {bench_mod} = 0), "
+        "cnt AS (SELECT s.doc_id, COUNT(*) AS n_shingles, "
+        "SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap "
+        f"FROM shu s LEFT JOIN bsh b ON b.fp = s.fp "
+        f"WHERE s.doc_id % {bench_mod} != 0 GROUP BY s.doc_id), "
+        f"surv AS (SELECT d.doc_id FROM {table} d "
+        "LEFT JOIN cnt c USING (doc_id) "
+        f"WHERE d.doc_id % {bench_mod} != 0 "
+        "AND len(regexp_extract_all(lower(coalesce(d.text, '')), "
+        f"'[0-9a-z]+')) >= {min_tokens} "
+        f"AND {alpha_expr} >= {min_alpha} "
+        f"AND {frac_expr} < {contam_frac}), "
+        f"perms(pid, pa, pb) AS (VALUES {_minhash_perm_values(n_perms)}), "
+        "mh0 AS (SELECT f.doc_id, pid, "
+        f"MIN((f.fp * pa + pb) % {TWO64}) AS v "
+        "FROM shfin f JOIN surv USING (doc_id), perms "
+        "GROUP BY f.doc_id, pid), "
+        f"mh AS (SELECT s.doc_id, p.pid, coalesce(m.v, {TWO64 - 1}) AS v "
+        "FROM surv s CROSS JOIN perms p "
+        "LEFT JOIN mh0 m ON m.doc_id = s.doc_id AND m.pid = p.pid), "
+        "lane AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"a.pid // {r} AS band, CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS eq "
+        "FROM mh a JOIN mh b ON a.pid = b.pid AND a.doc_id < b.doc_id), "
+        "bnd AS (SELECT da, db, band, SUM(eq) AS ne FROM lane "
+        "GROUP BY da, db, band), "
+        "mhagg AS (SELECT da, db, SUM(ne) AS neq, "
+        f"MAX(CASE WHEN ne = {r} THEN 1 ELSE 0 END) AS sb "
+        "FROM bnd GROUP BY da, db), "
+        "e AS (SELECT da, db FROM mhagg WHERE sb = 1 "
+        f"AND CAST(neq AS DOUBLE) / {n_perms} >= {threshold}), "
+        "ee AS (SELECT da AS a, db AS b FROM e "
+        "UNION SELECT db AS a, da AS b FROM e), "
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM surv UNION "
+        "SELECT r.src, ee.b FROM reach r JOIN ee ON ee.a = r.dst), "
+        "comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id "
+        "FROM reach GROUP BY src), "
+        "sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp "
+        "GROUP BY cluster_id) "
+        "SELECT c.doc_id, CAST(s.n AS BIGINT) AS cluster_size "
+        "FROM comp c JOIN sz s ON s.cluster_id = c.cluster_id "
+        "WHERE c.doc_id = c.cluster_id"
+    )
+
+
 def repetition_stats_sql(table: str = "documents") -> str:
     """(doc_id, n_shingles_total, n_shingles_distinct, dup_frac) —
     engine parity for pipelines.textstats.repetition_stats: COUNT vs

@@ -166,10 +166,10 @@ def _verify_minhash_group(threshold: float):
     return kernel
 
 
-def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.8):
-    """Candidate pairs from MinHash-LSH buckets, verified by estimated
-    Jaccard >= threshold; distinct (doc_a < doc_b) pairs."""
-    bands = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+def minhash_neardup_pairs_over(docs, threshold: float = 0.8):
+    """minhash_neardup_pairs over an arbitrary (doc_id, text) Dataset
+    (e.g. a gated survivor subset — see curate_docs)."""
+    bands = docs.map_batches(
         MinHashDocs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
     )
     pairs = bands.groupby(["band_id", "band_key"]).map_groups(
@@ -178,6 +178,14 @@ def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.8):
     # a pair can surface from several bands -> distinct
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("jaccard", alias_name="jaccard")
+    )
+
+
+def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.8):
+    """Candidate pairs from MinHash-LSH buckets, verified by estimated
+    Jaccard >= threshold; distinct (doc_a < doc_b) pairs."""
+    return minhash_neardup_pairs_over(
+        read_documents(sf_dir, columns=["doc_id", "text"]), threshold
     )
 
 
@@ -473,31 +481,18 @@ class _AssignDocCluster:
         )
 
 
-def minhash_clusters(sf_dir: str, threshold: float = 0.8,
-                     broadcast_max_members: int | None = None):
-    """Near-dup CLUSTER assignment over documents — the canonical
-    fuzzy-dedup composition (the flagship's uniq→edges→CC chain applied
-    to the documents table): MinHash-LSH pairs at estimated Jaccard >=
-    threshold become edges, connected components label every member
-    with the component's min doc_id, and every document gets
-    (doc_id, cluster_id, cluster_size); docs with no near-dup edge are
-    singletons of themselves.
-
-    Scale shape: the edge list and the component-member table are the
-    SMALL side (only near-duplicate docs appear — candidates are a
-    sketch, membership is verified); below ``broadcast_max_members``
-    the member->label map is broadcast once (ray.put) and the corpus
-    streams through one vectorized searchsorted kernel; above it the
-    assignment switches to a distributed left join + size groupby
-    (no driver-sized object anywhere).
-    """
+def minhash_clusters_over(docs, threshold: float = 0.8,
+                          broadcast_max_members: int | None = None):
+    """minhash_clusters over an arbitrary (doc_id, text) Dataset."""
     from humid_ray.config import HumidConfig
     from humid_ray.stages.components import connected_components
 
     if broadcast_max_members is None:
         broadcast_max_members = BROADCAST_MAX_COMPONENT_MEMBERS
-    docs = read_documents(sf_dir, columns=["doc_id"])
-    pairs = minhash_neardup_pairs(sf_dir, threshold=threshold).materialize()
+    # docs is consumed twice (bands, then assignment) — lineage
+    # re-execution keeps both passes streaming; never materialized
+    pairs = minhash_neardup_pairs_over(docs, threshold=threshold).materialize()
+    docs = docs.select_columns(["doc_id"])
     if pairs.count() == 0:
         return _singleton_clusters(docs)
     edges = pairs.map_batches(
@@ -530,6 +525,30 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
         fn_constructor_kwargs={"comp_ref": comp_ref},
         batch_format="pyarrow",
         concurrency=(1, 4),
+    )
+
+
+def minhash_clusters(sf_dir: str, threshold: float = 0.8,
+                     broadcast_max_members: int | None = None):
+    """Near-dup CLUSTER assignment over documents — the canonical
+    fuzzy-dedup composition (the flagship's uniq→edges→CC chain applied
+    to the documents table): MinHash-LSH pairs at estimated Jaccard >=
+    threshold become edges, connected components label every member
+    with the component's min doc_id, and every document gets
+    (doc_id, cluster_id, cluster_size); docs with no near-dup edge are
+    singletons of themselves.
+
+    Scale shape: the edge list and the component-member table are the
+    SMALL side (only near-duplicate docs appear — candidates are a
+    sketch, membership is verified); below ``broadcast_max_members``
+    the member->label map is broadcast once (ray.put) and the corpus
+    streams through one vectorized searchsorted kernel; above it the
+    assignment switches to a distributed left join + size groupby
+    (no driver-sized object anywhere).
+    """
+    return minhash_clusters_over(
+        read_documents(sf_dir, columns=["doc_id", "text"]),
+        threshold=threshold, broadcast_max_members=broadcast_max_members,
     )
 
 
@@ -644,27 +663,13 @@ class _ContamScorer:
         )
 
 
-def decontaminate(sf_dir: str, bench_mod: int = 20, k: int = 3,
-                  frac_threshold: float = 0.2):
-    """Benchmark decontamination: for every TRAINING document (doc_id %
-    bench_mod != 0), the distinct-k-shingle overlap against the union
-    of all BENCHMARK documents' shingles (doc_id % bench_mod == 0 — in
-    production this is the held-out eval suite), with ``contaminated``
-    flagging overlap_frac >= frac_threshold (compared unrounded; only
-    the emitted column is rounded, the repo's WHERE-then-round order).
-
-    Scale shape: eval suites are fixed-size (MBs) while the corpus is
-    100 TB — the benchmark shingle union is the SMALL side by
-    construction, collected once and broadcast via ray.put; the corpus
-    streams through one vectorized membership kernel and never
-    shuffles.
-    """
-    import pyarrow.compute as pc
-
+def bench_shingle_union(docs, bench_mod: int = 20, k: int = 3):
+    """ObjectRef of the sorted uint64 union of BENCHMARK documents'
+    (doc_id % bench_mod == 0) distinct k-shingle hashes. Eval suites
+    are fixed-size (MBs) while the corpus is 100 TB — the union is the
+    SMALL side by construction, collected once and broadcast."""
     import ray
     from humid_ray.util import segment_unique
-
-    docs = read_documents(sf_dir, columns=["doc_id", "text"])
 
     def bench_shingles(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -690,7 +695,24 @@ def decontaminate(sf_dir: str, bench_mod: int = 20, k: int = 3,
         np.unique(np.concatenate(parts)) if parts
         else np.empty(0, dtype=np.uint64)
     )
-    bench_ref = ray.put(bench)
+    return ray.put(bench)
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 20, k: int = 3,
+                  frac_threshold: float = 0.2):
+    """Benchmark decontamination: for every TRAINING document (doc_id %
+    bench_mod != 0), the distinct-k-shingle overlap against the union
+    of all BENCHMARK documents' shingles (doc_id % bench_mod == 0 — in
+    production this is the held-out eval suite), with ``contaminated``
+    flagging overlap_frac >= frac_threshold (compared unrounded; only
+    the emitted column is rounded, the repo's WHERE-then-round order).
+
+    Scale shape: the benchmark union broadcasts once via ray.put; the
+    corpus streams through one vectorized membership kernel and never
+    shuffles.
+    """
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    bench_ref = bench_shingle_union(docs, bench_mod, k)
     train = docs.map_batches(
         lambda t: t.filter(
             pa.array(
@@ -708,6 +730,107 @@ def decontaminate(sf_dir: str, bench_mod: int = 20, k: int = 3,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 4),
+    )
+
+
+# --- end-to-end curation (the composed training-data pipeline) ------------
+
+class _SurvivorGate:
+    """One streaming pass deciding which documents enter dedup:
+    quality gates (token count, alpha ratio — both UNROUNDED, the SQL
+    oracle's order) + benchmark exclusion + contamination gate against
+    the broadcast benchmark shingle union. Emits surviving
+    (doc_id, text) rows."""
+
+    def __init__(self, bench_ref, bench_mod: int, k: int,
+                 min_tokens: int, min_alpha: float, contam_frac: float):
+        import ray
+
+        self.bench: np.ndarray = ray.get(bench_ref)
+        self.bench_mod, self.k = bench_mod, k
+        self.min_tokens, self.min_alpha = min_tokens, min_alpha
+        self.contam_frac = contam_frac
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from humid_ray.util import segment_unique
+
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d % self.bench_mod != 0))
+        if t.num_rows == 0:
+            return t.select(["doc_id", "text"])
+        text = pc.fill_null(t.column("text"), "")
+        nchars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        lower = pc.utf8_lower(text)
+        nalpha = pc.utf8_length(
+            pc.replace_substring_regex(lower, "[^a-z]", "")
+        ).to_numpy(zero_copy_only=False)
+        alpha = np.where(nchars > 0, nalpha / np.maximum(nchars, 1), 0.0)
+        th, offs = tokenize_batch(t.column("text"))
+        ntok = (offs[1:] - offs[:-1]).astype(np.int64)
+        sh, sh_offs = shingle_hashes(th, offs, self.k)
+        uvals, uoffs = segment_unique(sh, sh_offs)
+        if len(self.bench):
+            pos = np.searchsorted(self.bench, uvals)
+            pos_c = np.minimum(pos, len(self.bench) - 1)
+            hit = (self.bench[pos_c] == uvals).astype(np.int64)
+        else:
+            hit = np.zeros(len(uvals), dtype=np.int64)
+        cs = np.r_[0, np.cumsum(hit)]
+        n_overlap = cs[uoffs[1:]] - cs[uoffs[:-1]]
+        n_sh = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
+        frac = np.divide(
+            n_overlap.astype(np.float64), n_sh.astype(np.float64),
+            out=np.zeros(len(n_sh), dtype=np.float64), where=n_sh > 0,
+        )
+        keep = (
+            (ntok >= self.min_tokens)
+            & (alpha >= self.min_alpha)
+            & (frac < self.contam_frac)
+        )
+        return t.select(["doc_id", "text"]).filter(pa.array(keep))
+
+
+def curate_docs(sf_dir: str, min_tokens: int = 30, min_alpha: float = 0.8,
+                bench_mod: int = 20, k: int = 3, contam_frac: float = 0.2,
+                threshold: float = 0.8,
+                broadcast_max_members: int | None = None):
+    """The composed curation pipeline a training-data team actually
+    runs: quality gates -> benchmark exclusion + decontamination ->
+    fuzzy dedup among the SURVIVORS (clusters are computed over the
+    gated subset, the production order — removing a bridge doc first
+    can split a near-dup component) -> keep list
+    (doc_id, cluster_size) of one min-id representative per cluster.
+
+    Every stage streams: the gate is one vectorized pass (benchmark
+    union broadcast once), dedup shuffles only MinHash band rows of
+    survivors, and CC runs over the (small) verified edge list.
+    """
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    bench_ref = bench_shingle_union(docs, bench_mod, k)
+    survivors = docs.map_batches(
+        _SurvivorGate,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref, "bench_mod": bench_mod, "k": k,
+            "min_tokens": min_tokens, "min_alpha": min_alpha,
+            "contam_frac": contam_frac,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    cl = minhash_clusters_over(
+        survivors, threshold=threshold,
+        broadcast_max_members=broadcast_max_members,
+    )
+    import pyarrow.compute as pc
+
+    return cl.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id", "cluster_size"]),
+        batch_format="pyarrow",
     )
 
 

@@ -109,3 +109,26 @@ def test_decontaminate_planted(ray_session, tmp_path):
     assert out.loc[2, "n_overlap"] == 0 and out.loc[2, "contaminated"] == 0
     assert out.loc[3, "n_shingles"] == 0 and out.loc[3, "overlap_frac"] == 0.0
     assert out.loc[3, "contaminated"] == 0
+
+
+def test_curate_docs_composition(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines import dedup_text
+
+    kept = dedup_text.curate_docs(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # gates really fire: strictly fewer kept than total, more than zero
+    assert 0 < len(kept) < len(docs)
+    # no benchmark doc survives
+    assert (kept["doc_id"] % 20 != 0).all()
+    # every kept doc passes the token gate (DuckDB recomputation)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    toks = con.execute(
+        "SELECT doc_id FROM docs WHERE len(regexp_extract_all("
+        "lower(coalesce(text,'')), '[0-9a-z]+')) >= 30"
+    ).df()
+    assert set(kept["doc_id"]) <= set(toks["doc_id"])
+    # kept ids are cluster representatives: pairwise-distinct, sizes >= 1
+    assert kept["doc_id"].is_unique and (kept["cluster_size"] >= 1).all()
