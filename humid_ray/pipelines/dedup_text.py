@@ -152,14 +152,27 @@ def _verify_minhash_group(threshold: float):
             return empty
         # vectorized FixedSizeList flatten (no per-row .as_py loop)
         mh = _minhash_of(group)[order]
-        sim = (mh[:, None, :] == mh[None, :, :]).mean(axis=2)
-        ii, jj = np.nonzero(sim >= threshold)
-        lt = ii < jj
+        n, n_perms = mh.shape
+        # hot-bucket safety: the n x n x n_perms lane-equality tensor
+        # is computed in row chunks so a pathological bucket (every doc
+        # sharing one band key) peaks at O(chunk * n * n_perms) memory
+        # instead of O(n^2 * n_perms); outputs are identical
+        chunk = max(1, min(n, 32_000_000 // max(n * n_perms, 1)))
+        out_a, out_b, out_j = [], [], []
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sim = (mh[s:e, None, :] == mh[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(sim >= threshold)
+            gi = ii + s
+            lt = gi < jj
+            out_a.append(doc[gi[lt]].astype(np.int64))
+            out_b.append(doc[jj[lt]].astype(np.int64))
+            out_j.append(sim[ii[lt], jj[lt]].astype(np.float64))
         return pa.table(
             {
-                "doc_a": pa.array(doc[ii[lt]].astype(np.int64)),
-                "doc_b": pa.array(doc[jj[lt]].astype(np.int64)),
-                "jaccard": pa.array(sim[ii[lt], jj[lt]].astype(np.float64)),
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "jaccard": pa.array(np.concatenate(out_j)),
             }
         )
 

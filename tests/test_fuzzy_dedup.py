@@ -132,3 +132,25 @@ def test_curate_docs_composition(ray_session):
     assert set(kept["doc_id"]) <= set(toks["doc_id"])
     # kept ids are cluster representatives: pairwise-distinct, sizes >= 1
     assert kept["doc_id"].is_unique and (kept["cluster_size"] >= 1).all()
+
+
+def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
+    """A pathological bucket (1k identical docs -> every band key
+    shared) must complete with bounded memory (chunked lane compare)
+    and emit exactly the full pair set."""
+    from humid_ray.pipelines import dedup_text
+
+    n = 1000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["identical text payload repeated verbatim"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    pairs = dedup_text.minhash_neardup_pairs(str(tmp_path)).to_pandas()
+    assert len(pairs) == n * (n - 1) // 2
+    assert (pairs["jaccard"] == 1.0).all()
+    # and the cluster view collapses them to ONE cluster of size n
+    cl = dedup_text.minhash_clusters(str(tmp_path)).to_pandas()
+    assert (cl["cluster_id"] == 0).all() and (cl["cluster_size"] == n).all()
