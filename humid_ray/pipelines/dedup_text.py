@@ -290,6 +290,23 @@ _EMPTY_JACCARD = {
 BROADCAST_MAX_CANDIDATE_IDS = 2_000_000
 
 
+def count_candidate_ids(cand) -> int:
+    """Exact DISTINCT doc-id count of a (doc_a, doc_b) pair table —
+    the quantity the broadcast/join switch actually bounds (the
+    broadcast dict holds one text per distinct id, not per pair: a
+    boilerplate cluster can have 10^6 pairs over 10^3 docs). One small
+    groupby over the already-materialized candidate table."""
+    from ray.data.aggregate import Count as _Count
+
+    a = cand.map_batches(
+        lambda t: pa.table({"i": t.column("doc_a")}), batch_format="pyarrow"
+    )
+    b = cand.map_batches(
+        lambda t: pa.table({"i": t.column("doc_b")}), batch_format="pyarrow"
+    )
+    return a.union(b).groupby("i").aggregate(_Count(alias_name="n")).count()
+
+
 def join_candidate_texts(ds, cand, id_col: str = "doc_id",
                          text_col: str = "text",
                          num_partitions: int | None = None):
@@ -338,10 +355,10 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
                         round6: bool = False,
                         broadcast_max_ids: int | None = None):
     """Re-verify candidate (doc_a, doc_b) pairs with EXACT n-gram
-    Jaccard and filter to >= threshold. Small candidate sets verify
+    Jaccard and filter to >= threshold. Small candidate ID sets verify
     against ONE broadcast text dict; past ``broadcast_max_ids``
-    (2 x pair count as the id-set bound) the texts are hash-joined to
-    the pairs instead — identical outputs, no driver-sized object."""
+    DISTINCT candidate ids the texts are hash-joined to the pairs
+    instead — identical outputs, no driver-sized object."""
     if broadcast_max_ids is None:
         broadcast_max_ids = BROADCAST_MAX_CANDIDATE_IDS
     cand = cand.materialize()
@@ -351,7 +368,7 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
         # hand back a typed empty table instead
         return pa.table(_EMPTY_JACCARD)
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    if 2 * n_pairs > broadcast_max_ids:
+    if count_candidate_ids(cand) > broadcast_max_ids:
         verified = join_candidate_texts(docs, cand).map_batches(
             NgramJaccardJoined, fn_constructor_kwargs={"k": k},
             batch_format="pyarrow", concurrency=(1, 4),

@@ -236,14 +236,17 @@ def substring_spans(ds, min_len: int = 32, k: int = 8,
     """Byte-verified duplicated spans (doc_a, doc_b, start_a, start_b,
     length >= min_len); one row per surviving seed (spans repeat when
     several seeds land inside them — aggregate downstream). Small
-    candidate sets extend against ONE broadcast text dict; past
-    ``broadcast_max_ids`` (2 x seed-pair count as the id-set bound)
-    texts are hash-joined to the seed pairs instead — identical
-    outputs, no driver-sized object."""
+    candidate ID sets extend against ONE broadcast text dict; past
+    ``broadcast_max_ids`` DISTINCT candidate ids texts are hash-joined
+    to the seed pairs instead — identical outputs, no driver-sized
+    object. (The switch counts distinct ids, not pairs: a boilerplate
+    cluster has quadratically many pairs over a small doc set, and the
+    broadcast dict holds one text per DOC.)"""
     import ray.data
 
     from humid_ray.pipelines.dedup_text import (
         BROADCAST_MAX_CANDIDATE_IDS,
+        count_candidate_ids,
         join_candidate_texts,
         pull_candidate_texts,
     )
@@ -260,7 +263,7 @@ def substring_spans(ds, min_len: int = 32, k: int = 8,
         # typed empty DATASET (a schema-less empty pipeline would lose
         # the doc_a/doc_b/... columns downstream)
         return ray.data.from_arrow(pa.table(_EMPTY_SPANS))
-    if 2 * n_pairs > broadcast_max_ids:
+    if count_candidate_ids(cand) > broadcast_max_ids:
         joined = join_candidate_texts(ds, cand, id_col, text_col)
         return joined.map_batches(
             SpanExtenderJoined,
