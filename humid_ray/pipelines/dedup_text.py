@@ -68,10 +68,11 @@ def dedup_stats(sf_dir: str):
 
     totals = ds.map_batches(partial, batch_format="pyarrow").sum(["total", "usable"])
     unique = exact_dedup(sf_dir).count()
+    # Dataset.sum yields None per column on an empty dataset
     return pa.table(
         {
-            "total": pa.array([int(totals["sum(total)"])], type=pa.int64()),
-            "usable": pa.array([int(totals["sum(usable)"])], type=pa.int64()),
+            "total": pa.array([int(totals["sum(total)"] or 0)], type=pa.int64()),
+            "usable": pa.array([int(totals["sum(usable)"] or 0)], type=pa.int64()),
             "unique": pa.array([int(unique)], type=pa.int64()),
         }
     )

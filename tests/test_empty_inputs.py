@@ -1,0 +1,80 @@
+"""Empty-input hardening: every table-backed driver query must run on
+an EMPTY sf dir without crashing (the failure class behind two
+round-2 ADVICE findings: kernels indexing into empty batches and
+driver-side np.stack on empty take_all results)."""
+
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+# corpus-backed queries read the synthetic image corpus path baked to
+# sf0.01 — they are exercised by the e2e suite, not this fixture
+CORPUS_QUERIES_PREFIXES = ("humid_", "multimodal_", "audio_", "video_")
+
+# scalar-summary queries legitimately emit ONE row of zero counts on
+# an empty input (their SQL oracles do the same)
+SCALAR_SUMMARIES = {"dedup_stats_docs", "events_session_stats"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_every_table_query_survives_empty_input(ray_session, empty_sf):
+    import __ray_entry__ as e
+
+    failures = []
+    for name, fn in e.queries().items():
+        if name.startswith(CORPUS_QUERIES_PREFIXES):
+            continue
+        try:
+            res = fn(empty_sf)
+            n = res.count() if hasattr(res, "count") else len(res)
+            expect = 1 if name in SCALAR_SUMMARIES else 0
+            assert n == expect, f"{name}: {n} rows from empty input"
+        except AssertionError:
+            raise
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
