@@ -78,3 +78,69 @@ def test_every_table_query_survives_empty_input(ray_session, empty_sf):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    """One-row tables: segment/offset kernels are most off-by-one-prone
+    at n=1 (no pairs, no windows, single groups)."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("tiny_sf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "text": pa.array(["one tiny document"]),
+                "lang": pa.array(["en"]),
+                "source": pa.array(["s0"]),
+                "n_chars": pa.array([17], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], type=pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2026, 1, 1)], type=pa.timestamp("us")
+                ),
+                "user_id": pa.array([3], type=pa.int64()),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([1.5], type=pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        d / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], type=pa.int64()),
+                "embedding": pa.array([[0.1, 0.2, 0.3, 0.4]],
+                                      type=pa.list_(pa.float32())),
+                "label": pa.array([1], type=pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_every_table_query_survives_single_row(ray_session, tiny_sf):
+    import __ray_entry__ as e
+
+    failures = []
+    for name, fn in e.queries().items():
+        if name.startswith(CORPUS_QUERIES_PREFIXES):
+            continue
+        try:
+            res = fn(tiny_sf)
+            n = res.count() if hasattr(res, "count") else len(res)
+            assert n >= 0
+        except AssertionError:
+            raise
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
