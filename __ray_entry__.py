@@ -470,6 +470,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF coarse-quantizer ANN (scale path; full-probe degenerate
         # case proven equal to brute force in tests/test_ann.py)
         "ann_ivf": ann.ann_ivf,
+        # degenerate IVF config (nprobe == n_centroids) is EXACTLY
+        # brute force, so the whole IVF machinery (kmeans training,
+        # inverted-list tagging, probe + partial top-k merge) gets the
+        # brute-force DuckDB oracle
+        "ann_ivf_fullprobe": lambda sf: ann.ann_ivf(
+            sf, n_centroids=16, nprobe=16
+        ),
         "embedding_neardup": ann.embedding_neardup,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
@@ -655,6 +662,22 @@ def _textstats_oracles() -> dict[str, str]:
     }
 
 
+_KNN_ORACLE_SQL = (
+    "WITH e AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 8), "
+    "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "list_inner_product(q.qv, e.v) / "
+    "(greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-12) * "
+    "greatest(sqrt(list_inner_product(e.v, e.v)), 1e-12)) AS cos "
+    "FROM q CROSS JOIN e) "
+    "SELECT query_id, neighbor_id, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) "
+    "AS BIGINT) AS \"rank\", round(cos, 6) AS cosine "
+    "FROM s QUALIFY \"rank\" <= 5"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
 
@@ -716,20 +739,10 @@ def oracle_sql() -> dict[str, str]:
             "NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0) AS jac "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jac >= 0.8"
         ),
-        "knn_bruteforce": (
-            "WITH e AS (SELECT vec_id, "
-            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
-            "q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 8), "
-            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "list_inner_product(q.qv, e.v) / "
-            "(greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-12) * "
-            "greatest(sqrt(list_inner_product(e.v, e.v)), 1e-12)) AS cos "
-            "FROM q CROSS JOIN e) "
-            "SELECT query_id, neighbor_id, "
-            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) "
-            "AS BIGINT) AS \"rank\", round(cos, 6) AS cosine "
-            "FROM s QUALIFY \"rank\" <= 5"
-        ),
+        "knn_bruteforce": _KNN_ORACLE_SQL,
+        # full-probe IVF == brute force exactly (equality pinned in
+        # tests/test_ann.py) -> same oracle
+        "ann_ivf_fullprobe": _KNN_ORACLE_SQL,
         "events_windowed": (
             "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, "
             "event_type, COUNT(*) AS n, round(SUM(value), 6) AS total "
