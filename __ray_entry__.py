@@ -478,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n_centroids=16, nprobe=16
         ),
         "embedding_neardup": ann.embedding_neardup,
+        # exact all-pairs baseline behind the LSH near-dup (SQL-oracled)
+        "embedding_neardup_exact": ann.embedding_neardup_exact,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
         "multimodal_decode_dims": corpus_decode_dims,
@@ -740,6 +742,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jac >= 0.8"
         ),
         "knn_bruteforce": _KNN_ORACLE_SQL,
+        "embedding_neardup_exact": (
+            "WITH e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "list_inner_product(a.v, b.v) / "
+            "(greatest(sqrt(list_inner_product(a.v, a.v)), 1e-12) * "
+            "greatest(sqrt(list_inner_product(b.v, b.v)), 1e-12)) AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM s "
+            "WHERE cos >= 0.4"
+        ),
         # full-probe IVF == brute force exactly (equality pinned in
         # tests/test_ann.py) -> same oracle
         "ann_ivf_fullprobe": _KNN_ORACLE_SQL,

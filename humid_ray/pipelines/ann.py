@@ -381,6 +381,64 @@ def _pairs_in_bucket(threshold: float):
     return kernel
 
 
+def embedding_neardup_exact(sf_dir: str, threshold: float = 0.4, ds=None):
+    """ALL embedding pairs (vec_a < vec_b) with cosine >= threshold —
+    the exact brute-force baseline behind ``embedding_neardup`` (the
+    hyperplane-LSH variant is the scale path). The normalized matrix
+    broadcasts once (the model-sized side at baseline scale — the same
+    ceiling as knn_bruteforce's query broadcast, documented); the
+    corpus streams through one blocked matmul kernel, each unordered
+    pair produced exactly once (batch row u pairs with global v > u).
+    Filter on the UNROUNDED cosine, round only the output (oracle
+    WHERE-then-round order)."""
+    if ds is None:
+        ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    ids_l, m_l = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        ids_b, m_b = _to_matrix(b)
+        ids_l.append(ids_b)
+        m_l.append(m_b)
+    empty = pa.table(
+        {"vec_a": pa.array([], type=pa.int64()),
+         "vec_b": pa.array([], type=pa.int64()),
+         "cosine": pa.array([], type=pa.float64())}
+    )
+    if not ids_l:
+        return empty
+    all_ids = np.concatenate(ids_l).astype(np.int64)
+    mat = _normalize(np.concatenate(m_l))
+    mat_ref = ray.put((all_ids, mat))
+
+    class PairScan:
+        def __init__(self):
+            self.ids, self.m = ray.get(mat_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty
+            ids_b, m_b = _to_matrix(batch)
+            sims = _normalize(m_b) @ self.m.T
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids_b[:, None] < self.ids[None, :])
+            )
+            from humid_ray.util import round_half_away
+
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids_b[ii].astype(np.int64)),
+                    "vec_b": pa.array(self.ids[jj].astype(np.int64)),
+                    "cosine": pa.array(round_half_away(sims[ii, jj], 6)),
+                }
+            )
+
+    return ds.map_batches(
+        PairScan, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
                       n_tables: int = 4, ds=None):
     """Near-duplicate embedding pairs (cosine >= threshold) via multiple

@@ -174,3 +174,37 @@ def test_ivf_hash_sample_spans_blocks(ray_session):
     # deterministic: same seed -> same sample
     ids2, _ = _hash_sample(ds, sample=100)
     assert np.array_equal(np.sort(ids), np.sort(ids2))
+
+
+def test_embedding_neardup_exact_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines import ann
+    from humid_ray.util import round_half_away
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ann.embedding_neardup_exact(sf)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    ii, jj = np.nonzero((sims >= 0.4) & (ids[:, None] < ids[None, :]))
+    import pandas as pd
+
+    want = pd.DataFrame(
+        {
+            "vec_a": ids[ii],
+            "vec_b": ids[jj],
+            "cosine": round_half_away(sims[ii, jj], 6),
+        }
+    ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
