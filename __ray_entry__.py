@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_ratio_docs": textstats.stopword_ratio,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
         "events_windowed": events.windowed_counts,
+        # hopping (sliding) windows: in-kernel event fan-out, partials
+        # shuffle (SQL-oracled)
+        "events_hopping": events.hopping_counts,
         "events_sessions": events.sessionize,
         "events_session_stats": events.session_stats,
         # embeddings: similarity search + near-dup
@@ -760,6 +763,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, "
             "event_type, COUNT(*) AS n, round(SUM(value), 6) AS total "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            "WITH x AS (SELECT time_bucket(INTERVAL 15 minute, ts) "
+            "- to_minutes(15*i) AS ws, event_type, value "
+            "FROM events, range(0, 4) t(i)) "
+            "SELECT ws AS window_start, event_type, COUNT(*) AS n, "
+            "round(SUM(value), 6) AS total FROM x GROUP BY ws, event_type"
         ),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, value, "

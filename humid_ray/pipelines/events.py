@@ -41,6 +41,45 @@ def _ts_us(col) -> np.ndarray:
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
+_EMPTY_WINDOW_PARTIAL = {
+    "window_us": pa.array([], type=pa.int64()),
+    "event_type": pa.array([], type=pa.string()),
+    "n": pa.array([], type=pa.int64()),
+    "total": pa.array([], type=pa.float64()),
+}
+
+
+def _combine_window_rows(win: np.ndarray, et, val: np.ndarray) -> pa.Table:
+    """Per-batch combiner: collapse (window, type, value) rows to one
+    partial row per (window, type) — shuffle volume becomes
+    |windows x types|, not |events|."""
+    import pyarrow.compute as pc
+
+    t = pa.table(
+        {"window_us": pa.array(win), "event_type": et,
+         "n": pa.array(np.ones(len(win), dtype=np.int64)),
+         "total": pa.array(val)}
+    )
+    keys = pa.table({"window_us": t.column("window_us"),
+                     "event_type": t.column("event_type")})
+    idx = pc.sort_indices(keys, sort_keys=[("window_us", "ascending"),
+                                           ("event_type", "ascending")])
+    s = t.take(idx)
+    w = s.column("window_us").to_numpy(zero_copy_only=False)
+    e = np.asarray(s.column("event_type").to_pylist(), dtype=object)
+    new = np.r_[True, (w[1:] != w[:-1]) | (e[1:] != e[:-1])]
+    starts = np.flatnonzero(new)
+    v = s.column("total").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "window_us": pa.array(w[starts]),
+            "event_type": pa.array(e[starts].tolist(), type=pa.string()),
+            "n": pa.array(np.diff(np.r_[starts, len(w)]).astype(np.int64)),
+            "total": pa.array(np.add.reduceat(v, starts)),
+        }
+    )
+
+
 def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
     """(window_start, event_type, n, total): tumbling-window count and
     value sum. Oracle: GROUP BY date_trunc/time_bucket in SQL."""
@@ -49,42 +88,67 @@ def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
         if batch.num_rows == 0:
             # empty blocks (empty events table / all-filtered split)
             # would break the reduceat segment indexing below
-            return pa.table(
-                {"window_us": pa.array([], type=pa.int64()),
-                 "event_type": pa.array([], type=pa.string()),
-                 "n": pa.array([], type=pa.int64()),
-                 "total": pa.array([], type=pa.float64())}
-            )
+            return pa.table(_EMPTY_WINDOW_PARTIAL)
         ts = _ts_us(batch.column("ts"))
         win = (ts // window_us) * window_us
-        et = batch.column("event_type")
-        val = batch.column("value").to_numpy(zero_copy_only=False)
-        t = pa.table(
-            {"window_us": pa.array(win), "event_type": et,
-             "n": pa.array(np.ones(len(win), dtype=np.int64)),
-             "total": pa.array(val)}
+        return _combine_window_rows(
+            win, batch.column("event_type"),
+            batch.column("value").to_numpy(zero_copy_only=False),
         )
-        # per-batch combiner: collapse to one row per (window, type)
-        import pyarrow.compute as pc
 
-        keys = pa.table({"window_us": t.column("window_us"),
-                         "event_type": t.column("event_type")})
-        idx = pc.sort_indices(keys, sort_keys=[("window_us", "ascending"),
-                                               ("event_type", "ascending")])
-        s = t.take(idx)
-        w = s.column("window_us").to_numpy(zero_copy_only=False)
-        e = np.asarray(s.column("event_type").to_pylist(), dtype=object)
-        new = np.r_[True, (w[1:] != w[:-1]) | (e[1:] != e[:-1])]
-        starts = np.flatnonzero(new)
-        v = s.column("total").to_numpy(zero_copy_only=False)
+    agg = (
+        read_events(sf_dir, columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        win = t.column("window_us").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "window_us": pa.array(w[starts]),
-                "event_type": pa.array(e[starts].tolist(), type=pa.string()),
-                "n": pa.array(np.diff(np.r_[starts, len(w)]).astype(np.int64)),
-                "total": pa.array(np.add.reduceat(v, starts)),
+                "window_start": pa.array(win, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "total": pa.array(
+                    round_half_away(
+                        t.column("total").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
             }
         )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def hopping_counts(sf_dir: str, window_us: int = HOUR_US,
+                   hop_us: int = HOUR_US // 4):
+    """(window_start, event_type, n, total) for HOPPING (sliding)
+    windows of ``window_us`` advancing every ``hop_us`` — each event
+    lands in window_us/hop_us overlapping windows. Same per-batch
+    combiner + small groupby shape as the tumbling variant (the event
+    fan-out happens INSIDE the kernel; only combined partials shuffle).
+    Requires hop_us | window_us, which also makes every one of the k
+    hop-aligned starts at or before ts valid (ts - start < window)."""
+    if window_us % hop_us:
+        raise ValueError("hop_us must divide window_us")
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_WINDOW_PARTIAL)
+        ts = _ts_us(batch.column("ts"))
+        last = (ts // hop_us) * hop_us
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        win = (last[:, None] - offs).reshape(-1)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), k))
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return _combine_window_rows(win, et.take(idx), np.repeat(val, k))
 
     agg = (
         read_events(sf_dir, columns=["ts", "event_type", "value"])

@@ -100,3 +100,21 @@ def test_windowed_counts_empty_input(ray_session, tmp_path):
     pq_.write_table(schema.empty_table(), d / "events.parquet")
     assert windowed_counts(str(d)).count() == 0
     assert sessionize(str(d)).count() == 0
+
+
+def test_hopping_hour_aligned_windows_equal_tumbling(ray_session):
+    """A hopping window whose start is hour-aligned covers exactly the
+    tumbling hour, so the hour-aligned slice of hopping_counts must
+    equal windowed_counts row-for-row."""
+    import pandas as pd
+
+    from humid_ray.pipelines import events
+
+    sf = "/root/testdata/sf0.001"
+    hop = events.hopping_counts(sf).to_pandas()
+    tum = events.windowed_counts(sf).to_pandas()
+    aligned = hop[hop["window_start"].dt.minute == 0]
+    cols = ["window_start", "event_type", "n", "total"]
+    a = aligned[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = tum[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
