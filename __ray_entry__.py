@@ -457,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash-based splitting / sampling (SQL-oracled)
         "hash_split_docs": sampling.hash_split,
         "hash_sample_docs": sampling.hash_sample,
+        # distributed top-k-per-key (partial top-k -> tiny final; SQL-oracled)
+        "top_docs_per_lang": sampling.top_docs_per_lang,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
@@ -706,6 +708,12 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_docs": _orc.repetition_stats_sql(),
         "hash_split_docs": _orc.hash_split_sql(),
         "hash_sample_docs": _orc.hash_sample_sql(),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS \"rank\" "
+            "FROM documents QUALIFY \"rank\" <= 10"
+        ),
         # FULL default flagship config (phash top-32 || caption-simhash
         # top-32): the caption SimHash being SQL-expressible makes the
         # composite-word uniq/edges phases oracle-able too (clustering
