@@ -85,6 +85,11 @@ class HumidConfig:
     # -1 = auto (shingle_k + 2 * max_distance: one char edit touches
     # <= 2 tokens, each in <= shingle_k shingles)
     edit_short_tokens: int = -1
+    # the fallback's length buckets are salted into S*(S+1)/2 block
+    # pairs (each caption replicated S times per bucket) so one length
+    # class corpus-wide never funnels into a single verify task;
+    # exhaustiveness is preserved (a pair meets in exactly one block)
+    edit_short_salt: int = 4
     # exact mode prefilters pairs with estimated Jaccard >=
     # threshold - slack before exact verification (3-sigma of the
     # k=128 estimator at J=0.5 is ~0.13); widen for tiny perm counts.

@@ -52,12 +52,17 @@ def _sm64_cols(x: str, p: str) -> str:
     )
 
 
-def _pow_list(base: int, n: int) -> str:
-    vals, acc = [], 1
-    for _ in range(n):
-        vals.append(acc)
-        acc = (acc * base) % TWO64
-    return "CAST([" + ", ".join(map(str, vals)) + "] AS HUGEINT[])"
+def _horner_fold(list_expr: str) -> str:
+    """``fold acc = (acc*B + x) mod 2^64`` over a HUGEINT list via
+    list_reduce — equals ``sum(x_j * B^(n-1-j)) mod 2^64`` for ANY
+    sequence length (a fixed precomputed power list silently NULLs out
+    terms past its cap: DuckDB out-of-range list indexing returns NULL
+    and SUM drops the row)."""
+    step = _mulmod_const("acc", _B)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), {list_expr}), "
+        f"(acc, xx) -> ({step} + xx) % {TWO64})"
+    )
 
 
 def _pow2_list() -> str:
@@ -81,19 +86,18 @@ def _token_hash_ctes(table: str) -> str:
     splitmix64-finalized. Tokens = maximal [0-9a-z]+ runs of the
     lowercased text, exactly the engine's split-and-drop-empties.
     """
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(encode(tok)) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(encode(tok)), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
     return (
-        f"powt AS (SELECT {_pow_list(_B, 128)} AS p), "
         f"toks AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), "
         f"'[0-9a-z]+') AS t FROM {table}), "
         "trows AS (SELECT doc_id, len(t) AS n_toks, "
         "unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok FROM toks), "
-        "brows AS (SELECT doc_id, n_toks, pos, "
-        "octet_length(encode(tok)) AS blen, hex(encode(tok)) AS hx, "
-        "unnest(range(1, octet_length(encode(tok))+1)) AS j FROM trows), "
-        "thraw AS (SELECT doc_id, ANY_VALUE(n_toks) AS n_toks, pos, "
-        "SUM(CAST(CAST('0x' || substr(hx, CAST(2*j-1 AS INTEGER), 2) AS UBIGINT) "
-        "AS HUGEINT) * p[CAST(blen-j+1 AS INTEGER)]) % " + str(TWO64) + " AS hraw "
-        "FROM brows, powt GROUP BY doc_id, pos), "
+        "thraw AS (SELECT doc_id, n_toks, pos, "
+        f"{_horner_fold(byte_list)} AS hraw FROM trows), "
         f"th AS (SELECT doc_id, n_toks, pos, {_sm64_cols('hraw', 'h')} FROM thraw)"
     )
 
@@ -628,17 +632,10 @@ def fingerprint_docs_sql(table: str = "documents") -> str:
     """(doc_id, fingerprint) — engine parity for pipelines.textstats
     .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the
     token-hash sequence; zero-token docs -> 0."""
-    mulmod_var = (
-        f"((h % {TWO32}) * (pw % {TWO32}) + "
-        f"(((h % {TWO32}) * (pw // {TWO32}) + (h // {TWO32}) * (pw % {TWO32}))"
-        f" % {TWO32}) * {TWO32}) % {TWO64}"
-    )
     return (
         f"WITH {_token_hash_ctes(table)}, "
-        "terms AS (SELECT doc_id, h, p[CAST(n_toks - pos + 1 AS INTEGER)] AS pw "
-        "FROM th, powt), "
-        f"fraw AS (SELECT doc_id, SUM({mulmod_var}) % {TWO64} AS fr "
-        "FROM terms GROUP BY doc_id), "
+        f"fraw AS (SELECT doc_id, {_horner_fold('list(h ORDER BY pos)')} AS fr "
+        "FROM th GROUP BY doc_id), "
         f"ffin AS (SELECT doc_id, {_sm64_cols('fr', 'f')} FROM fraw) "
         f"SELECT d.doc_id, {_to_int64('x.f')} AS fingerprint "
         f"FROM {table} d LEFT JOIN ffin x USING (doc_id)"

@@ -240,10 +240,12 @@ def _hash_sample(ds, sample: int, seed: int = 2026) -> tuple[np.ndarray, np.ndar
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # Column order must match the non-empty branch (vec_id,
+            # embedding, _h) or concat_tables raises on mixed blocks.
             return pa.table(
-                {"_h": pa.array([], type=pa.int64()),
-                 "vec_id": pa.array([], type=pa.int64()),
-                 "embedding": t.column("embedding")}
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "embedding": t.column("embedding"),
+                 "_h": pa.array([], type=pa.int64())}
             )
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         h = splitmix64(ids.astype(np.int64).view(UINT64) + UINT64(seed))

@@ -369,7 +369,11 @@ def _verify_pairs_exact(cand, sf_dir: str, threshold: float, k: int,
         # hand back a typed empty table instead
         return pa.table(_EMPTY_JACCARD)
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    if count_candidate_ids(cand) > broadcast_max_ids:
+    # distinct ids <= 2 * n_pairs, so a small pair count already proves
+    # the broadcast path safe — only pay the distinct-count shuffle
+    # near the switch point
+    if (n_pairs * 2 > broadcast_max_ids
+            and count_candidate_ids(cand) > broadcast_max_ids):
         verified = join_candidate_texts(docs, cand).map_batches(
             NgramJaccardJoined, fn_constructor_kwargs={"k": k},
             batch_format="pyarrow", concurrency=(1, 4),
@@ -639,6 +643,35 @@ def minhash_dedup_keep(sf_dir: str, threshold: float = 0.8,
 
 # --- decontamination against a benchmark shingle set ----------------------
 
+def _bench_overlap(bench: np.ndarray, text_col, k: int):
+    """(n_shingles, n_overlap, frac, token_offsets) of each doc's
+    DISTINCT k-shingles against the sorted benchmark union — the ONE
+    membership/cumsum implementation shared by the decontamination
+    scorer and the curation survivor gate (they must agree on what
+    counts as contaminated)."""
+    from humid_ray.util import segment_unique
+
+    th, offs = tokenize_batch(text_col)
+    sh, sh_offs = shingle_hashes(th, offs, k)
+    uvals, uoffs = segment_unique(sh, sh_offs)
+    if len(bench):
+        pos = np.searchsorted(bench, uvals)
+        pos_c = np.minimum(pos, len(bench) - 1)
+        hit = (bench[pos_c] == uvals).astype(np.int64)
+    else:
+        hit = np.zeros(len(uvals), dtype=np.int64)
+    cs = np.r_[0, np.cumsum(hit)]
+    n_overlap = (cs[uoffs[1:]] - cs[uoffs[:-1]]).astype(np.int64)
+    n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
+    frac = np.divide(
+        n_overlap.astype(np.float64),
+        n_shingles.astype(np.float64),
+        out=np.zeros(len(n_shingles), dtype=np.float64),
+        where=n_shingles > 0,
+    )
+    return n_shingles, n_overlap, frac, offs
+
+
 class _ContamScorer:
     """Per-batch kernel: distinct k-shingle overlap of each training
     doc against the broadcast benchmark shingle union (sorted array +
@@ -652,7 +685,7 @@ class _ContamScorer:
         self.k, self.frac_threshold = k, frac_threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from humid_ray.util import round_half_away, segment_unique
+        from humid_ray.util import round_half_away
 
         if t.num_rows == 0:
             return pa.table(
@@ -664,30 +697,15 @@ class _ContamScorer:
                     "contaminated": pa.array([], type=pa.int64()),
                 }
             )
-        th, offs = tokenize_batch(t.column("text"))
-        sh, sh_offs = shingle_hashes(th, offs, self.k)
-        uvals, uoffs = segment_unique(sh, sh_offs)
-        if len(self.bench):
-            pos = np.searchsorted(self.bench, uvals)
-            pos_c = np.minimum(pos, len(self.bench) - 1)
-            hit = (self.bench[pos_c] == uvals).astype(np.int64)
-        else:
-            hit = np.zeros(len(uvals), dtype=np.int64)
-        cs = np.r_[0, np.cumsum(hit)]
-        n_overlap = cs[uoffs[1:]] - cs[uoffs[:-1]]
-        n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
-        frac = np.divide(
-            n_overlap.astype(np.float64),
-            n_shingles.astype(np.float64),
-            out=np.zeros(len(n_shingles), dtype=np.float64),
-            where=n_shingles > 0,
+        n_shingles, n_overlap, frac, _ = _bench_overlap(
+            self.bench, t.column("text"), self.k
         )
         contaminated = (frac >= self.frac_threshold).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_shingles": pa.array(n_shingles),
-                "n_overlap": pa.array(n_overlap.astype(np.int64)),
+                "n_overlap": pa.array(n_overlap),
                 "overlap_frac": pa.array(round_half_away(frac, 6)),
                 "contaminated": pa.array(contaminated),
             }
@@ -785,8 +803,6 @@ class _SurvivorGate:
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from humid_ray.util import segment_unique
-
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(d % self.bench_mod != 0))
         if t.num_rows == 0:
@@ -798,23 +814,8 @@ class _SurvivorGate:
             pc.replace_substring_regex(lower, "[^a-z]", "")
         ).to_numpy(zero_copy_only=False)
         alpha = np.where(nchars > 0, nalpha / np.maximum(nchars, 1), 0.0)
-        th, offs = tokenize_batch(t.column("text"))
+        _, _, frac, offs = _bench_overlap(self.bench, t.column("text"), self.k)
         ntok = (offs[1:] - offs[:-1]).astype(np.int64)
-        sh, sh_offs = shingle_hashes(th, offs, self.k)
-        uvals, uoffs = segment_unique(sh, sh_offs)
-        if len(self.bench):
-            pos = np.searchsorted(self.bench, uvals)
-            pos_c = np.minimum(pos, len(self.bench) - 1)
-            hit = (self.bench[pos_c] == uvals).astype(np.int64)
-        else:
-            hit = np.zeros(len(uvals), dtype=np.int64)
-        cs = np.r_[0, np.cumsum(hit)]
-        n_overlap = cs[uoffs[1:]] - cs[uoffs[:-1]]
-        n_sh = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
-        frac = np.divide(
-            n_overlap.astype(np.float64), n_sh.astype(np.float64),
-            out=np.zeros(len(n_sh), dtype=np.float64), where=n_sh > 0,
-        )
         keep = (
             (ntok >= self.min_tokens)
             & (alpha >= self.min_alpha)

@@ -80,22 +80,11 @@ def _combine_window_rows(win: np.ndarray, et, val: np.ndarray) -> pa.Table:
     )
 
 
-def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
-    """(window_start, event_type, n, total): tumbling-window count and
-    value sum. Oracle: GROUP BY date_trunc/time_bucket in SQL."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            # empty blocks (empty events table / all-filtered split)
-            # would break the reduceat segment indexing below
-            return pa.table(_EMPTY_WINDOW_PARTIAL)
-        ts = _ts_us(batch.column("ts"))
-        win = (ts // window_us) * window_us
-        return _combine_window_rows(
-            win, batch.column("event_type"),
-            batch.column("value").to_numpy(zero_copy_only=False),
-        )
-
+def _window_aggregate(sf_dir: str, partial):
+    """Shared tail of every window operator: per-batch combined
+    partials -> small (window, type) groupby -> timestamp cast +
+    rounded-total finalize. One copy, so tumbling and hopping windows
+    can never diverge on rounding or timestamp handling."""
     agg = (
         read_events(sf_dir, columns=["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -121,6 +110,25 @@ def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def windowed_counts(sf_dir: str, window_us: int = HOUR_US):
+    """(window_start, event_type, n, total): tumbling-window count and
+    value sum. Oracle: GROUP BY date_trunc/time_bucket in SQL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks (empty events table / all-filtered split)
+            # would break the reduceat segment indexing below
+            return pa.table(_EMPTY_WINDOW_PARTIAL)
+        ts = _ts_us(batch.column("ts"))
+        win = (ts // window_us) * window_us
+        return _combine_window_rows(
+            win, batch.column("event_type"),
+            batch.column("value").to_numpy(zero_copy_only=False),
+        )
+
+    return _window_aggregate(sf_dir, partial)
 
 
 def hopping_counts(sf_dir: str, window_us: int = HOUR_US,
@@ -150,31 +158,7 @@ def hopping_counts(sf_dir: str, window_us: int = HOUR_US,
         val = batch.column("value").to_numpy(zero_copy_only=False)
         return _combine_window_rows(win, et.take(idx), np.repeat(val, k))
 
-    agg = (
-        read_events(sf_dir, columns=["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_us", "event_type"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        win = t.column("window_us").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "window_start": pa.array(win, type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "event_type": t.column("event_type"),
-                "n": t.column("n"),
-                "total": pa.array(
-                    round_half_away(
-                        t.column("total").to_numpy(zero_copy_only=False), 6
-                    )
-                ),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return _window_aggregate(sf_dir, partial)
 
 
 def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):

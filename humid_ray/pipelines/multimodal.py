@@ -383,6 +383,20 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int,
         # run twice (signature-shaped rows only — no payload)
         sigs = sigs.materialize()
     hot_keys = _set_band_counts(sigs, n_bands, hot_bucket_threshold)
+    if n_bands == 1:
+        # no other band exists to salt into — salting would silently
+        # drop every hot row. Fall back to plain (cold) emission; the
+        # chunked verify still bounds per-chunk memory.
+        hot_keys = set()
+    # per-band int64 key arrays for vectorized membership (a Python
+    # set probe per row x band would dominate the banding stage once
+    # any hot bucket exists)
+    _no_hot = np.empty(0, dtype=np.int64)
+    hot_by_band = {}
+    for b, key in hot_keys:
+        hot_by_band.setdefault(b, []).append(key)
+    hot_by_band = {b: np.sort(np.asarray(v, dtype=np.int64))
+                   for b, v in hot_by_band.items()}
 
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -404,11 +418,9 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int,
         take_idx, bids, bkeys, sids, skeys = [], [], [], [], []
         for band in range(n_bands):
             k = keys[:, band]
-            if hot_keys:
-                hot_mask = np.fromiter(
-                    ((band, int(v.view(np.int64))) in hot_keys for v in k),
-                    dtype=bool, count=n,
-                )
+            band_hot = hot_by_band.get(band, _no_hot)
+            if len(band_hot):
+                hot_mask = np.isin(k.view(np.int64), band_hot)
             else:
                 hot_mask = np.zeros(n, dtype=bool)
             cold = np.flatnonzero(~hot_mask)

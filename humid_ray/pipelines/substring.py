@@ -263,7 +263,10 @@ def substring_spans(ds, min_len: int = 32, k: int = 8,
         # typed empty DATASET (a schema-less empty pipeline would lose
         # the doc_a/doc_b/... columns downstream)
         return ray.data.from_arrow(pa.table(_EMPTY_SPANS))
-    if count_candidate_ids(cand) > broadcast_max_ids:
+    # distinct ids <= 2 * n_pairs: a small pair count proves broadcast
+    # safe without paying the distinct-count shuffle
+    if (n_pairs * 2 > broadcast_max_ids
+            and count_candidate_ids(cand) > broadcast_max_ids):
         joined = join_candidate_texts(ds, cand, id_col, text_col)
         return joined.map_batches(
             SpanExtenderJoined,

@@ -326,6 +326,25 @@ def _short_token_cutoff(cfg: HumidConfig) -> int:
     return cfg.shingle_k + 2 * cfg.max_distance
 
 
+def _caption_salts(caps, n_salts: int) -> np.ndarray:
+    """Deterministic salt in [0, n_salts) per caption string — the SAME
+    vectorized byte hash in the band expander and the verifier, so both
+    agree on which block pair owns a short-caption pair."""
+    import pyarrow.compute as pc
+
+    from humid_ray.util import hash_bytes_segments
+
+    lb = pc.cast(caps, pa.large_binary())
+    if isinstance(lb, pa.ChunkedArray):
+        lb = lb.combine_chunks()
+    offs = np.frombuffer(lb.buffers()[1], dtype=np.int64)[
+        lb.offset : lb.offset + len(lb) + 1
+    ]
+    data = np.frombuffer(lb.buffers()[2] or b"", dtype=np.uint8)
+    h = hash_bytes_segments(data, offs)
+    return (h % UINT64(n_salts)).astype(np.int64)
+
+
 def _caption_token_counts(captions) -> np.ndarray:
     """Token count per caption (null -> 0), vectorized."""
     from humid_ray.functions.text import tokenize_batch
@@ -404,8 +423,20 @@ def expand_minhash_bands(cfg: HumidConfig):
         sidx = np.flatnonzero(short)
         clen = pc.utf8_length(filled).to_numpy(zero_copy_only=False)[sidx]
         q = (clen // (cfg.max_distance + 1)).astype(np.int64)
-        rows2 = pa.array(np.repeat(sidx, 2))
-        keys2 = np.stack([q, q + 1], axis=1).reshape(-1)
+        # Salted block-pair decomposition: a bare q bucket funnels every
+        # short caption of one length class corpus-wide into ONE verify
+        # task. Each caption gets salt s = hash(caption) % S and lands
+        # in the S blocks (min(s,t), max(s,t)); a pair meets in exactly
+        # block (min(s_a,s_b), max(s_a,s_b)) of its owner q bucket, so
+        # exhaustiveness holds while per-task size drops to ~2n/S.
+        S = max(1, cfg.edit_short_salt)
+        salt = _caption_salts(filled.take(pa.array(sidx)), S)
+        tt = np.arange(S, dtype=np.int64)
+        blk = (np.minimum(salt[:, None], tt[None, :]) * S
+               + np.maximum(salt[:, None], tt[None, :]))       # (ns, S)
+        qq = np.stack([q, q + 1], axis=1)                      # (ns, 2)
+        keys2 = (qq[:, :, None] * (S * S) + blk[:, None, :]).reshape(-1)
+        rows2 = pa.array(np.repeat(sidx, 2 * S))
         extra = pa.table(
             {
                 "band_id": pa.array(
@@ -413,11 +444,11 @@ def expand_minhash_bands(cfg: HumidConfig):
                 ),
                 "band_key": pa.array(keys2, type=pa.int64()),
                 "sig": pa.array(
-                    np.repeat(sig.view(np.int64)[sidx], 2), type=pa.int64()
+                    np.repeat(sig.view(np.int64)[sidx], 2 * S), type=pa.int64()
                 ),
                 "minhash": pa.FixedSizeListArray.from_arrays(
                     pa.array(
-                        np.repeat(mh[sidx], 2, axis=0).reshape(-1),
+                        np.repeat(mh[sidx], 2 * S, axis=0).reshape(-1),
                         type=pa.int64(),
                     ),
                     mh.shape[1],
@@ -537,8 +568,14 @@ def make_minhash_verifier(cfg: HumidConfig):
                 pa.array(ucaps.tolist(), type=pa.string())
             ) <= short_cut
             if band == SHORT_BAND:
-                bucket_q = int(group.column("band_key")[0].as_py())
+                S = max(1, cfg.edit_short_salt)
+                key0 = int(group.column("band_key")[0].as_py())
+                bucket_q, blk0 = key0 // (S * S), key0 % (S * S)
+                bucket_i, bucket_j = blk0 // S, blk0 % S
                 uq = ulens // (max_dist + 1)
+                usalt = _caption_salts(
+                    pa.array(ucaps.tolist(), type=pa.string()), S
+                )
             order_u = np.argsort(ulens, kind="stable")
             ul = ulens[order_u]
             nu = len(ul)
@@ -561,12 +598,16 @@ def make_minhash_verifier(cfg: HumidConfig):
 
             def _pair_here(u: int, v: int) -> bool:
                 """Emission ownership: SHORT buckets own both-short
-                pairs (at bucket max(q_a, q_b) only), regular bands
-                own the rest."""
+                pairs (at bucket max(q_a, q_b), salt block
+                (min(s_a,s_b), max(s_a,s_b)) only), regular bands own
+                the rest."""
                 a, b = order_u[u], order_u[v]
                 both_short = bool(ushort[a] and ushort[b])
                 if band == SHORT_BAND:
-                    return both_short and max(int(uq[a]), int(uq[b])) == bucket_q
+                    if not both_short or max(int(uq[a]), int(uq[b])) != bucket_q:
+                        return False
+                    sa, sb = int(usalt[a]), int(usalt[b])
+                    return (min(sa, sb), max(sa, sb)) == (bucket_i, bucket_j)
                 return not both_short
 
             matched = [(int(u), int(u)) for u in range(nu)

@@ -194,3 +194,27 @@ def test_set_neardup_hot_bucket_salted(ray_session):
     assert len(ones) == 600 * 599 // 2 + 400 * 399 // 2
     assert len(cross) == 600 * 400
     assert np.allclose(cross.jaccard, round(35 / 45, 6))
+
+
+def test_set_neardup_single_band_hot_bucket(ray_session):
+    """n_bands=1 leaves no other band to salt hot rows into; the stage
+    must fall back to plain emission instead of silently dropping every
+    row of a hot bucket (which returned zero pairs)."""
+    import ray.data
+
+    from humid_ray.pipelines.multimodal import (
+        _set_signature_table,
+        set_neardup_pairs,
+    )
+
+    items = list(range(50))
+    ids, flat, counts = [], [], []
+    for i in range(400):  # 400 identical sets >> hot_bucket_threshold
+        ids.append(f"clip{i:06d}")
+        flat.extend(items)
+        counts.append(len(items))
+    sigs = ray.data.from_arrow(_set_signature_table(ids, flat, counts, 64))
+    out = set_neardup_pairs(sigs, 0.6, 64, 1, hot_bucket_threshold=64)
+    t = out.to_pandas()
+    assert len(t) == 400 * 399 // 2
+    assert (t.jaccard == 1.0).all()

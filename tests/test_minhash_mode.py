@@ -381,3 +381,75 @@ def test_edit_mode_short_caption_exhaustive_fallback(ray_session, tmp_path):
     }
     assert set(pairs) == expected      # full adversarial recall + soundness
     assert len(pairs) == len(expected)  # exactly once each (q-rule dedupe)
+
+
+def test_short_fallback_salted_blocks(ray_session, tmp_path):
+    """A single length class of many short captions must spread across
+    salted SHORT_BAND block buckets (one bare q bucket = one unbounded
+    corpus-wide verify task) while keeping exhaustive exactly-once
+    recall vs a brute-force edit-distance oracle."""
+    import string
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_w
+
+    from humid_ray.functions.text import edit_distance_within
+    from humid_ray.stages.lsh import SHORT_BAND, expand_minhash_bands
+    from humid_ray.synth import SCHEMA
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list(string.ascii_lowercase))
+    caps = set()
+    while len(caps) < 60:  # distinct 5-char "xy zw" captions, one class
+        caps.add("".join(rng.choice(letters, 2)) + " "
+                 + "".join(rng.choice(letters, 2)))
+    captions = sorted(caps) + ["qq ww"] * 3  # plus an identical clique
+
+    cfg = HumidConfig(workdir="/tmp/unused", distance="minhash-jaccard",
+                      minhash_verify="edit", max_distance=1)
+    n, P = len(captions), cfg.minhash_perms
+    batch = pa.table({
+        "sig": pa.array([(i + 1) << 40 for i in range(n)], type=pa.int64()),
+        "minhash": pa.FixedSizeListArray.from_arrays(
+            pa.array(rng.integers(0, 1 << 50, n * P), type=pa.int64()), P),
+        "caption": pa.array(captions, type=pa.string()),
+    })
+    expanded = expand_minhash_bands(cfg)(batch)
+    skeys = expanded.filter(
+        pc.equal(expanded.column("band_id"), SHORT_BAND)
+    ).column("band_key").to_pandas()
+    # old behavior: exactly 2 keys (q, q+1); salted: many block buckets,
+    # none holding more than ~2/S of the class (+ the q/q+1 double)
+    assert skeys.nunique() > 2
+    assert skeys.value_counts().max() < n
+
+    # full-pipeline exhaustiveness: every <=1-edit pair exactly once
+    rows = [
+        {"image_id": f"img{i:03d}", "bytes": b"", "w": 8, "h": 8,
+         "fmt": "png", "caption": c, "phash": (i + 1) << 40}
+        for i, c in enumerate(captions)
+    ]
+    corpus = tmp_path / "saltcorpus"
+    corpus.mkdir()
+    pq_w.write_table(pa.Table.from_pylist(rows, schema=SCHEMA),
+                     str(corpus / "part0.parquet"))
+    wd = tmp_path / "run_salt"
+    cfg2 = HumidConfig(workdir=str(wd), distance="minhash-jaccard",
+                       minhash_verify="edit", max_distance=1, resume=False,
+                       clustering="maximum",
+                       write_annotated=False, write_stats=False)
+    HumidPipeline(cfg2).run(str(corpus))
+    sig = pq.read_table(os.path.join(str(wd), "01_signatures")).to_pandas()
+    by_sig = sig.set_index(sig.sig.to_numpy().view(U))["image_id"].to_dict()
+    edges = pq.read_table(os.path.join(str(wd), "03_edges")).to_pandas()
+    got = [tuple(sorted((by_sig[int(a)], by_sig[int(b)])))
+           for a, b in zip(edges.sig_a.to_numpy().view(U).tolist(),
+                           edges.sig_b.to_numpy().view(U).tolist())]
+    expected = {
+        (f"img{i:03d}", f"img{j:03d}")
+        for i in range(n) for j in range(i + 1, n)
+        if edit_distance_within(captions[i], captions[j], 1)
+    }
+    assert set(got) == expected
+    assert len(got) == len(expected)

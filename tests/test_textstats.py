@@ -168,6 +168,47 @@ def test_repetition_stats_planted(ray_session, tmp_path):
     assert out.loc[2, "n_shingles_total"] == 0 and out.loc[2, "dup_frac"] == 0.0
 
 
+def test_hash_oracles_uncapped_lengths(ray_session, tmp_path):
+    """fingerprint/simhash SQL oracles must agree with the engine on
+    docs longer than any fixed power-list cap (>128 tokens) and tokens
+    longer than 128 bytes — the Horner list_reduce fold has no cap."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray import oracles
+    from humid_ray.pipelines import dedup_text, textstats
+
+    texts = [
+        "hello world this is a normal short doc",
+        " ".join(f"tok{i}" for i in range(300)),   # 300 tokens
+        "a" * 256 + " " + "b" * 200,               # 256-byte token
+        "",
+        None,
+        " ".join(f"w{i % 7}" for i in range(129)),  # boundary + dups
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for res, sql in [
+        (textstats.fingerprints(str(tmp_path)), oracles.fingerprint_docs_sql()),
+        (dedup_text.simhash_docs(str(tmp_path)), oracles.simhash_docs_sql()),
+    ]:
+        df = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        odf = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            df[sorted(df.columns)], odf[sorted(odf.columns)], check_dtype=False
+        )
+
+
 def test_hash_split_deterministic_and_partitioning(ray_session):
     from humid_ray.pipelines import sampling
 
