@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_text,
         events,
         multimodal,
+        relational,
         sampling,
         substring,
         textstats,
@@ -468,6 +469,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events.hopping_counts,
         "events_sessions": events.sessionize,
         "events_session_stats": events.session_stats,
+        # relational shapes over the fact/dimension tables (all three
+        # SQL-oracled; money summed as int64 cents so the aggregate is
+        # bit-exact under any reduction order)
+        "lineitem_pricing_summary": relational.pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "top_parts_by_revenue": relational.top_parts_by_revenue,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -778,6 +785,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, range(0, 4) t(i)) "
             "SELECT ws AS window_start, event_type, COUNT(*) AS n, "
             "round(SUM(value), 6) AS total FROM x GROUP BY ws, event_type"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_base_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_disc_cents, "
+            "COUNT(*) AS count_order, "
+            "round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6) "
+            "AS avg_qty, "
+            "round(CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE) "
+            "/ 100 / COUNT(*), 6) AS avg_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "top_parts_by_revenue": (
+            "WITH r AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents FROM lineitem GROUP BY l_partkey) "
+            "SELECT p.p_partkey, p.p_name, r.revenue_cents, "
+            "CAST(row_number() OVER (ORDER BY r.revenue_cents DESC, p.p_partkey) "
+            "AS BIGINT) AS \"rank\" "
+            "FROM r JOIN part p ON p.p_partkey = r.l_partkey "
+            "QUALIFY \"rank\" <= 10"
         ),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, value, "

@@ -174,6 +174,12 @@ def run_bench() -> dict:
     video_corpus = make_video_corpus(CORPUS_BASE, max(100, n_rows // 20))
     timed("audio_features", lambda: multimodal.audio_feature_stats(audio_corpus))
     timed("video_frame_samples", lambda: multimodal.video_frame_samples(video_corpus))
+    from humid_ray.pipelines import relational
+
+    timed("lineitem_pricing_summary", lambda: relational.pricing_summary(SF_DIR))
+    timed("orders_by_nation", lambda: relational.orders_by_nation(SF_DIR))
+    timed("top_parts_by_revenue",
+          lambda: relational.top_parts_by_revenue(SF_DIR), consume=None)
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

@@ -8,19 +8,23 @@ gap-based sessionization, expressed Ray-Data-first.
   row function, so it is a per-batch partial aggregate (combiner)
   plus one small groupby: shuffle volume = |windows x types|, not
   |events|.
-* Sessionization needs per-user time order. Users are hashed into a
-  bounded number of buckets (ONE shuffle, no per-user groups); each
-  bucket kernel lexsorts (user, ts, event_id) once and derives every
-  session with numpy segment ops — no per-event or per-user Python.
-  Partitioning assumption: one user's events fit one bucket task —
-  true at any realistic skew (a single user's event count), the same
-  assumption the SQL window-function formulation makes.
+* Sessionization needs per-user time order. Events are hashed into
+  (user-bucket, time-chunk) groups — ONE shuffle, no per-user groups;
+  each group kernel lexsorts (user, ts, event_id) once and derives
+  every session with numpy segment ops — no per-event or per-user
+  Python. Sessions that touch a chunk boundary (within gap_us of it)
+  are merged in a SECOND tiny pass over boundary sessions only
+  (<= 2 per user per chunk, never raw events), so NO single user —
+  however pathological — can concentrate an unbounded event count in
+  one task; the residual assumption is one user's CHUNK count fits a
+  task (years of continuous activity = a few thousand rows).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -161,10 +165,22 @@ def hopping_counts(sf_dir: str, window_us: int = HOUR_US,
     return _window_aggregate(sf_dir, partial)
 
 
-def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
+def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000,
+               chunk_us: int | None = None):
     """(user_id, session_start, session_end, n_events, total_value):
     gap-based sessions (a new session starts when the inter-event gap
-    exceeds ``gap_us``)."""
+    exceeds ``gap_us``).
+
+    Two-phase chunked shape: phase 1 sessionizes within (user-bucket,
+    time-chunk) groups, so even ONE user's events split across chunk
+    tasks; sessions within ``gap_us`` of a chunk boundary (<= 2 per
+    user per chunk) go to phase 2, which merges boundary chains per
+    user over SESSIONS, never events. Merging adjacent sessions iff
+    next_start - prev_end <= gap reproduces global sessionization
+    exactly (every inter-event gap is either inside a phase-1 session
+    or is one of these session-to-session gaps)."""
+    if chunk_us is None:
+        chunk_us = 256 * gap_us  # boundary sessions ~1/256 of chunks
 
     def bucket(batch: pa.Table) -> pa.Table:
         from humid_ray.util import UINT64, splitmix64
@@ -173,53 +189,145 @@ def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
         # hash before bucketing: raw `uid % N` assumes well-distributed
         # ids (stride-N id assignment would hammer one bucket)
         h = splitmix64(uid.astype(np.int64).view(UINT64))
+        ts = _ts_us(batch.column("ts"))
         return batch.append_column(
             "bucket", pa.array((h % N_SESSION_BUCKETS).astype(np.int64))
+        ).append_column(
+            "chunk", pa.array(np.floor_divide(ts, chunk_us))
         )
 
+    _empty_raw = {
+        "user_id": pa.array([], type=pa.int64()),
+        "start_us": pa.array([], type=pa.int64()),
+        "end_us": pa.array([], type=pa.int64()),
+        "n_events": pa.array([], type=pa.int64()),
+        "raw_total": pa.array([], type=pa.float64()),
+        "boundary": pa.array([], type=pa.bool_()),
+    }
+
     def kernel(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"user_id": pa.array([], type=pa.int64()),
-             "session_start": pa.array([], type=pa.timestamp("us")),
-             "session_end": pa.array([], type=pa.timestamp("us")),
-             "n_events": pa.array([], type=pa.int64()),
-             "total_value": pa.array([], type=pa.float64())}
-        )
         if group.num_rows == 0:
-            return empty
+            return pa.table(_empty_raw)
         uid = group.column("user_id").to_numpy(zero_copy_only=False)
         ts = _ts_us(group.column("ts"))
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
         val = group.column("value").to_numpy(zero_copy_only=False)
+        chunk = int(group.column("chunk")[0].as_py())
+        lo, hi = chunk * chunk_us, (chunk + 1) * chunk_us
         order = np.lexsort((eid, ts, uid))
         uid, ts, val = uid[order], ts[order], val[order]
         new_sess = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)]
         starts = np.flatnonzero(new_sess)
         ends = np.r_[starts[1:], len(uid)] - 1
+        s_us, e_us = ts[starts], ts[ends]
+        # a session can merge across the chunk boundary only if it is
+        # its user's FIRST session in the chunk and starts within gap
+        # of the lower edge, or the LAST and ends within gap of the
+        # upper edge (any other session has a > gap gap on both sides)
+        su = uid[starts]
+        first = np.r_[True, su[1:] != su[:-1]]
+        last = np.r_[su[1:] != su[:-1], True]
+        boundary = (first & (s_us - lo <= gap_us)) | (last & (hi - e_us <= gap_us))
         return pa.table(
             {
-                "user_id": pa.array(uid[starts].astype(np.int64)),
-                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "session_end": pa.array(ts[ends], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
+                "user_id": pa.array(su.astype(np.int64)),
+                "start_us": pa.array(s_us.astype(np.int64)),
+                "end_us": pa.array(e_us.astype(np.int64)),
                 "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "raw_total": pa.array(np.add.reduceat(val, starts)),
+                "boundary": pa.array(boundary),
+            }
+        )
+
+    def merge_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({k: _empty_raw[k] for k in list(_empty_raw)[:5]})
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        s_us = group.column("start_us").to_numpy(zero_copy_only=False)
+        e_us = group.column("end_us").to_numpy(zero_copy_only=False)
+        ne = group.column("n_events").to_numpy(zero_copy_only=False)
+        tot = group.column("raw_total").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s_us, uid))
+        uid, s_us, e_us, ne, tot = (
+            uid[order], s_us[order], e_us[order], ne[order], tot[order]
+        )
+        # per-user sessions are disjoint and chunk-ordered, so sorted
+        # by start their ends are sorted too: chain-merge adjacent
+        # pairs with next_start - prev_end <= gap
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | (s_us[1:] - e_us[:-1] > gap_us)]
+        st = np.flatnonzero(brk)
+        en = np.r_[st[1:], len(uid)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[st].astype(np.int64)),
+                "start_us": pa.array(s_us[st].astype(np.int64)),
+                "end_us": pa.array(e_us[en].astype(np.int64)),
+                "n_events": pa.array(np.add.reduceat(ne, st).astype(np.int64)),
+                "raw_total": pa.array(np.add.reduceat(tot, st)),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "session_start": pa.array([], type=pa.timestamp("us")),
+                 "session_end": pa.array([], type=pa.timestamp("us")),
+                 "n_events": pa.array([], type=pa.int64()),
+                 "total_value": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_start": t.column("start_us").cast(pa.timestamp("us")),
+                "session_end": t.column("end_us").cast(pa.timestamp("us")),
+                "n_events": t.column("n_events"),
                 "total_value": pa.array(
                     round_half_away(
-                        np.add.reduceat(val, starts), 6
+                        t.column("raw_total").to_numpy(zero_copy_only=False), 6
                     )
                 ),
             }
         )
 
-    return (
+    raw = (
         read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
         .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .groupby(["bucket", "chunk"])
         .map_groups(kernel, batch_format="pyarrow")
+        .materialize()
     )
+    interior = raw.map_batches(
+        lambda t: t.filter(pc.invert(t.column("boundary"))).drop_columns(
+            ["boundary"]
+        ),
+        batch_format="pyarrow",
+    )
+    def boundary_only(t: pa.Table) -> pa.Table:
+        b = t.filter(t.column("boundary")).drop_columns(["boundary"])
+        return b.append_column(
+            "bucket", pa.array(_user_buckets(b), type=pa.int64())
+        )
+
+    merged = (
+        raw.map_batches(boundary_only, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: merge_kernel(
+                g.drop_columns(["bucket"]) if "bucket" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return interior.union(merged).map_batches(finalize, batch_format="pyarrow")
+
+
+def _user_buckets(t: pa.Table) -> np.ndarray:
+    from humid_ray.util import UINT64, splitmix64
+
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    return (splitmix64(uid.astype(np.int64).view(UINT64))
+            % UINT64(N_SESSION_BUCKETS)).astype(np.int64)
 
 
 def session_stats(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):

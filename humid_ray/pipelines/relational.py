@@ -1,0 +1,305 @@
+"""Relational operators over the TPC-H-ish fact/dimension tables.
+
+The engine's general query side, in the three shapes every warehouse
+workload reduces to, each expressed scale-first:
+
+* ``pricing_summary`` — full-fact-table aggregate with a HANDFUL of
+  groups: a per-batch combiner collapses every batch to <= |flag x
+  status| partial rows, so the shuffle carries group partials, never
+  line items (the same partial-then-tiny-groupby shape as the flagship
+  histogram stages, stages/outputs.py).
+* ``orders_by_nation`` — fact x dimension broadcast join: the
+  customer->nation mapping is collected once, ``ray.put`` once, and
+  probed per batch with vectorized ``searchsorted``; the orders fact
+  table streams and only 25 nation partials shuffle. Partitioning
+  assumption: DIMENSION tables fit one worker's heap (TPC-H customer
+  is ~1e-4 of lineitem bytes; at a scale where it doesn't, swap the
+  probe stage for ``Dataset.join`` — the same switch the dedup verify
+  path makes, pipelines/dedup_text.py).
+* ``top_parts_by_revenue`` — aggregate + distributed top-k + small
+  join-back: per-part partials shuffle once, each result block yields
+  its local top-k, the driver merges <= k x n_blocks candidate rows,
+  and only the k winners' names are fetched (``pc.is_in`` pruned scan
+  of the part table).
+
+All money is summed as INTEGER CENTS (each line item rounds
+half-away-from-zero once, exactly like the DuckDB oracle) so the
+aggregate is associative and bit-exact regardless of reduction order —
+a double sum over 1e12 rows differs between any two plans in the 6th
+decimal; an int64 sum never does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from humid_ray.util import round_half_away
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Dollars (double) -> int64 cents, half-away rounding (DuckDB
+    ``round(x*100, 0)`` parity)."""
+    return round_half_away(x * 100.0, 0).astype(np.int64)
+
+
+# --- pricing summary (few-group full-table aggregate) ----------------------
+
+_PRICING_PARTIAL_EMPTY = {
+    "l_returnflag": pa.array([], type=pa.string()),
+    "l_linestatus": pa.array([], type=pa.string()),
+    "sum_qty": pa.array([], type=pa.int64()),
+    "sum_base_cents": pa.array([], type=pa.int64()),
+    "sum_disc_cents": pa.array([], type=pa.int64()),
+    "count_order": pa.array([], type=pa.int64()),
+}
+
+
+def pricing_summary(sf_dir: str):
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_cents, count_order, avg_qty, avg_price): the TPC-H-Q1
+    pricing rollup over lineitem."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_PRICING_PARTIAL_EMPTY)
+        flag = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        stat = np.asarray(t.column("l_linestatus").to_pylist(), dtype=object)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        uf, fi = np.unique(flag, return_inverse=True)
+        us, si = np.unique(stat, return_inverse=True)
+        ukey, inv = np.unique(fi * len(us) + si, return_inverse=True)
+        g = len(ukey)
+        base_c = _cents(price)
+        disc_c = _cents(price * (1.0 - disc))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    uf[ukey // len(us)].tolist(), type=pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    us[ukey % len(us)].tolist(), type=pa.string()
+                ),
+                "sum_qty": pa.array(
+                    _bincount_i64(inv, qty.astype(np.int64), g)
+                ),
+                "sum_base_cents": pa.array(_bincount_i64(inv, base_c, g)),
+                "sum_disc_cents": pa.array(_bincount_i64(inv, disc_c, g)),
+                "count_order": pa.array(np.bincount(inv, minlength=g).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                dict(_PRICING_PARTIAL_EMPTY,
+                     avg_qty=pa.array([], type=pa.float64()),
+                     avg_price=pa.array([], type=pa.float64()))
+            )
+        n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("sum_qty").to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = t.column("sum_base_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg_qty = round_half_away(sq / n, 6)
+            avg_price = round_half_away(sb / 100.0 / n, 6)
+        return t.append_column("avg_qty", pa.array(avg_qty)).append_column(
+            "avg_price", pa.array(avg_price)
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _bincount_i64(inv: np.ndarray, vals: np.ndarray, g: int) -> np.ndarray:
+    """Exact int64 segment sums (np.bincount's float weights would
+    round above 2^53)."""
+    out = np.zeros(g, dtype=np.int64)
+    np.add.at(out, inv, vals)
+    return out
+
+
+# --- orders by nation (fact x dimension broadcast join) --------------------
+
+def orders_by_nation(sf_dir: str):
+    """(n_name, n_orders, total_cents): order count and total order
+    value per customer nation — orders ⋈ customer ⋈ nation."""
+    chunks = list(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .iter_batches(batch_size=262144, batch_format="pyarrow")
+    )
+    if chunks:
+        cust = pa.concat_tables(chunks)
+        ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    else:
+        ck = nk = np.empty(0, dtype=np.int64)
+    order_c = np.argsort(ck, kind="stable")
+    dim_ref = ray.put((ck[order_c], nk[order_c]))
+
+    class Probe:
+        def __init__(self, dim_ref):
+            self.ck, self.nk = ray.get(dim_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(self.ck) == 0:
+                return pa.table(
+                    {"c_nationkey": pa.array([], type=pa.int64()),
+                     "n_orders": pa.array([], type=pa.int64()),
+                     "total_cents": pa.array([], type=pa.int64())}
+                )
+            oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ck, oc)
+            # every order references an existing customer (FK); clip
+            # guards an out-of-range probe from crashing on bad input
+            pos = np.minimum(pos, len(self.ck) - 1)
+            nat = self.nk[pos]
+            tot = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+            unat, inv = np.unique(nat, return_inverse=True)
+            g = len(unat)
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(unat.astype(np.int64)),
+                    "n_orders": pa.array(np.bincount(inv, minlength=g).astype(np.int64)),
+                    "total_cents": pa.array(_bincount_i64(inv, tot, g)),
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(Probe, fn_constructor_kwargs={"dim_ref": dim_ref},
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+    nchunks = list(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .iter_batches(batch_size=4096, batch_format="pyarrow")
+    )
+    names = (pa.concat_tables(nchunks) if nchunks
+             else pa.table({"n_nationkey": pa.array([], type=pa.int64()),
+                            "n_name": pa.array([], type=pa.string())}))
+    nmap = dict(zip(names.column("n_nationkey").to_pylist(),
+                    names.column("n_name").to_pylist()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], type=pa.string()),
+                 "n_orders": pa.array([], type=pa.int64()),
+                 "total_cents": pa.array([], type=pa.int64())}
+            )
+        keys = t.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[k] for k in keys], type=pa.string()),
+                "n_orders": t.column("n_orders"),
+                "total_cents": t.column("total_cents"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# --- top parts by revenue (aggregate + distributed top-k + join-back) ------
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10):
+    """(p_partkey, p_name, revenue_cents, rank): the k parts with the
+    highest discounted revenue, tie-broken by part key ascending."""
+    rev = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(_part_revenue_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((pk, -rc))[:k]
+        return t.take(pa.array(np.sort(sel)))
+
+    chunks = list(
+        rev.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    if not chunks or (cands := pa.concat_tables(chunks)).num_rows == 0:
+        return pa.table(
+            {"p_partkey": pa.array([], type=pa.int64()),
+             "p_name": pa.array([], type=pa.string()),
+             "revenue_cents": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+    pk = cands.column("l_partkey").to_numpy(zero_copy_only=False)
+    rc = cands.column("revenue_cents").to_numpy(zero_copy_only=False)
+    win = np.lexsort((pk, -rc))[:k]
+    pk, rc = pk[win], rc[win]
+    pk_arr = pa.array(pk.astype(np.int64))
+    nchunks = list(
+        _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("p_partkey"), value_set=pk_arr)),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    nmap = {}
+    for b in nchunks:
+        nmap.update(zip(b.column("p_partkey").to_pylist(),
+                        b.column("p_name").to_pylist()))
+    return pa.table(
+        {
+            "p_partkey": pa.array(pk.astype(np.int64)),
+            "p_name": pa.array([nmap.get(int(p)) for p in pk], type=pa.string()),
+            "revenue_cents": pa.array(rc.astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(pk) + 1, dtype=np.int64)),
+        }
+    )
+
+
+def _part_revenue_partial(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"l_partkey": pa.array([], type=pa.int64()),
+             "revenue_cents": pa.array([], type=pa.int64())}
+        )
+    pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+    price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+    rev = _cents(price * (1.0 - disc))
+    upk, inv = np.unique(pk, return_inverse=True)
+    return pa.table(
+        {
+            "l_partkey": pa.array(upk.astype(np.int64)),
+            "revenue_cents": pa.array(_bincount_i64(inv, rev, len(upk))),
+        }
+    )

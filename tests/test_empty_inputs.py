@@ -58,7 +58,88 @@ def empty_sf(tmp_path_factory):
         ),
         d / "embeddings.parquet",
     )
+    _write_relational_tables(d, rows=0)
     return str(d)
+
+
+def _write_relational_tables(d, rows: int):
+    """Empty or single-row TPC-H-ish fact/dimension tables for the
+    relational queries (lineitem/orders/customer/nation/part)."""
+    import datetime
+
+    def arr(vals, typ):
+        return pa.array(vals[:rows], type=typ)
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": arr([1], pa.int64()),
+                "l_partkey": arr([5], pa.int64()),
+                "l_suppkey": arr([2], pa.int64()),
+                "l_linenumber": arr([1], pa.int32()),
+                "l_quantity": arr([4.0], pa.float64()),
+                "l_extendedprice": arr([1000.5], pa.float64()),
+                "l_discount": arr([0.05], pa.float64()),
+                "l_tax": arr([0.02], pa.float64()),
+                "l_returnflag": arr(["N"], pa.string()),
+                "l_linestatus": arr(["O"], pa.string()),
+                "l_shipdate": arr(
+                    [datetime.datetime(2026, 1, 2)], pa.timestamp("us")
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": arr([1], pa.int64()),
+                "o_custkey": arr([9], pa.int64()),
+                "o_orderstatus": arr(["O"], pa.string()),
+                "o_totalprice": arr([1020.51], pa.float64()),
+                "o_orderdate": arr(
+                    [datetime.datetime(2026, 1, 1)], pa.timestamp("us")
+                ),
+                "o_orderpriority": arr(["1-URGENT"], pa.string()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": arr([9], pa.int64()),
+                "c_name": arr(["cust9"], pa.string()),
+                "c_nationkey": arr([3], pa.int64()),
+                "c_acctbal": arr([10.0], pa.float64()),
+                "c_mktsegment": arr(["BUILDING"], pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": arr([3], pa.int64()),
+                "n_name": arr(["NATION_3"], pa.string()),
+                "n_regionkey": arr([0], pa.int64()),
+            }
+        ),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": arr([5], pa.int64()),
+                "p_name": arr(["blue rod"], pa.string()),
+                "p_brand": arr(["B1"], pa.string()),
+                "p_type": arr(["rod"], pa.string()),
+                "p_size": arr([3], pa.int64()),
+                "p_retailprice": arr([99.99], pa.float64()),
+            }
+        ),
+        d / "part.parquet",
+    )
 
 
 def test_every_table_query_survives_empty_input(ray_session, empty_sf):
@@ -125,6 +206,7 @@ def tiny_sf(tmp_path_factory):
         ),
         d / "embeddings.parquet",
     )
+    _write_relational_tables(d, rows=1)
     return str(d)
 
 

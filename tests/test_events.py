@@ -72,6 +72,24 @@ def test_sessionize(ray_session):
     assert (by_user >= 1).all()
 
 
+def test_sessionize_chunked_equals_default(ray_session):
+    """Forcing tiny time chunks (2 x gap) makes nearly every session
+    cross chunk boundaries; the two-phase boundary merge must still
+    reproduce the single-pass result exactly."""
+    from humid_ray.pipelines.events import sessionize
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    base = (sessionize(SF).to_pandas()
+            .sort_values(cols[:2]).reset_index(drop=True))
+    tiny = (sessionize(SF, chunk_us=2 * GAP_US).to_pandas()
+            .sort_values(cols[:2]).reset_index(drop=True))
+    assert len(base) == len(tiny)
+    for c in cols:
+        assert (base[c].to_numpy() == tiny[c].to_numpy()).all(), c
+    assert np.allclose(base.total_value.to_numpy(),
+                       tiny.total_value.to_numpy(), atol=1e-5)
+
+
 def test_session_stats(ray_session):
     from humid_ray.pipelines.events import session_stats, sessionize
 

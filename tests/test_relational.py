@@ -1,0 +1,81 @@
+"""Planted-input checks for the relational operators (oracle parity is
+covered by tests/test_driver_contract.py; these pin the semantics the
+hash compare can't localize: cents rounding, tie-breaks, join mapping)."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(d, name, table):
+    pq.write_table(table, d / f"{name}.parquet")
+
+
+def test_top_parts_tie_break_and_cents(ray_session, tmp_path):
+    """Equal revenues must tie-break by part key ascending, and each
+    line item rounds to cents ONCE before the integer sum (2 x 0.005
+    rounds to 2 cents, not 1)."""
+    from humid_ray.pipelines.relational import top_parts_by_revenue
+
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([2, 1, 1, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0, 5.0, 5.0, 0.005], type=pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], type=pa.float64()),
+    }))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_name": pa.array(["p1", "p2", "p3"], type=pa.string()),
+    }))
+    out = top_parts_by_revenue(str(tmp_path), k=3).to_pandas()
+    # parts 1 and 2 both have 1000 cents -> part 1 ranks first
+    assert out.p_partkey.tolist() == [1, 2, 3]
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out.revenue_cents.tolist() == [1000, 1000, 1]  # 0.005 -> 1 cent
+    assert out.p_name.tolist() == ["p1", "p2", "p3"]
+
+
+def test_orders_by_nation_broadcast_mapping(ray_session, tmp_path):
+    """Every order lands in its customer's nation through the
+    searchsorted probe, including unsorted dimension input."""
+    from humid_ray.pipelines.relational import orders_by_nation
+
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([30, 10, 20], type=pa.int64()),  # unsorted
+        "c_nationkey": pa.array([1, 0, 1], type=pa.int64()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([10, 20, 30, 20], type=pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64()),
+    }))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["A", "B"], type=pa.string()),
+    }))
+    out = (orders_by_nation(str(tmp_path)).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    assert out.n_name.tolist() == ["A", "B"]
+    assert out.n_orders.tolist() == [1, 3]
+    assert out.total_cents.tolist() == [100, 900]
+
+
+def test_pricing_summary_groups_and_averages(ray_session, tmp_path):
+    from humid_ray.pipelines.relational import pricing_summary
+
+    _write(tmp_path, "lineitem", pa.table({
+        "l_returnflag": pa.array(["A", "A", "N"], type=pa.string()),
+        "l_linestatus": pa.array(["F", "F", "O"], type=pa.string()),
+        "l_quantity": pa.array([2.0, 4.0, 10.0], type=pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 20.0], type=pa.float64()),
+        "l_discount": pa.array([0.5, 0.0, 0.1], type=pa.float64()),
+    }))
+    out = (pricing_summary(str(tmp_path)).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    af = out.iloc[0]
+    assert (af.l_returnflag, af.l_linestatus) == ("A", "F")
+    assert af.sum_qty == 6 and af.count_order == 2
+    assert af.sum_base_cents == 15000
+    assert af.sum_disc_cents == 10000  # 100*0.5 + 50
+    assert af.avg_qty == 3.0 and af.avg_price == 75.0
+    no = out.iloc[1]
+    assert no.sum_disc_cents == 1800 and no.avg_qty == 10.0
