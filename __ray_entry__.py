@@ -469,6 +469,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events.hopping_counts,
         "events_sessions": events.sessionize,
         "events_session_stats": events.session_stats,
+        # exact distinct-count: salted two-level dedupe (SQL-oracled)
+        "events_distinct_users": events.distinct_users,
+        # as-of join: last click at-or-before each purchase (SQL-oracled
+        # via IGNORE NULLS window fill, deterministic tie-breaks)
+        "events_asof_join": events.asof_join,
+        # unbounded-preceding window function in int64 cents (SQL-oracled)
+        "events_running_totals": events.running_totals,
+        # exact distributed quantiles via value-histogram combiner
+        "length_quantiles_docs": textstats.length_quantiles,
         # relational shapes over the fact/dimension tables (all three
         # SQL-oracled; money summed as int64 cents so the aggregate is
         # bit-exact under any reduction order)
@@ -838,6 +847,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(MAX(n_events) AS BIGINT) AS max_session_events FROM g"
+        ),
+        "events_distinct_users": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_asof_join": (
+            # sort clicks (side 0) before a same-ts purchase so a click
+            # AT the purchase timestamp counts as "at or before",
+            # matching the engine's (ts, side, event_id) lexsort
+            "WITH u AS ("
+            "SELECT user_id, ts, event_id, 0 AS side FROM events "
+            "WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT user_id, ts, event_id, 1 AS side FROM events "
+            "WHERE event_type = 'purchase'), "
+            "w AS (SELECT *, "
+            "last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS click_ts, "
+            "last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS click_id FROM u) "
+            "SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, "
+            "click_id, click_ts, "
+            "CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS wait_us "
+            "FROM w WHERE side = 1"
+        ),
+        "events_running_totals": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
+            "FROM events"
+        ),
+        "length_quantiles_docs": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
+            "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+            "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75, "
+            "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90, "
+            "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 "
+            "FROM documents GROUP BY lang"
         ),
         "langid_docs": (
             f"WITH s AS (SELECT doc_id, {_langid_score_sql('en')} AS s_en, "

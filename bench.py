@@ -157,6 +157,10 @@ def run_bench() -> dict:
 
     timed("events_windowed", lambda: events.windowed_counts(SF_DIR))
     timed("events_sessions", lambda: events.sessionize(SF_DIR))
+    timed("events_distinct_users", lambda: events.distinct_users(SF_DIR))
+    timed("events_asof_join", lambda: events.asof_join(SF_DIR))
+    timed("events_running_totals", lambda: events.running_totals(SF_DIR))
+    timed("length_quantiles_docs", lambda: textstats.length_quantiles(SF_DIR))
     timed("minhash_cluster_docs", lambda: dedup_text.minhash_clusters(SF_DIR))
     timed("curate_docs", lambda: dedup_text.curate_docs(SF_DIR))
     timed("decontaminate_docs", lambda: dedup_text.decontaminate(SF_DIR))

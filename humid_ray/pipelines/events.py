@@ -330,6 +330,225 @@ def _user_buckets(t: pa.Table) -> np.ndarray:
             % UINT64(N_SESSION_BUCKETS)).astype(np.int64)
 
 
+DAY_US = 86_400_000_000
+N_DISTINCT_SALTS = 16
+
+
+def distinct_users(sf_dir: str):
+    """(day, event_type, n_users): EXACT daily distinct-user counts.
+
+    Scale shape: COUNT(DISTINCT) cannot pre-aggregate to a scalar, so
+    the per-batch combiner dedupes (day, type, salt, user) tuples —
+    shuffle volume is unique tuples per batch, not events — and the
+    groupby key includes a user-hash SALT so one hot day/type never
+    lands its whole user set in a single task. Each salted group
+    counts its (disjoint) unique users; a second, tiny groupby
+    (|days x types x salts| rows) sums the partial counts."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"day_us": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "salt": pa.array([], type=pa.int64()),
+                 "user_id": pa.array([], type=pa.int64())}
+            )
+        from humid_ray.util import UINT64, splitmix64
+
+        day = (_ts_us(t.column("ts")) // DAY_US) * DAY_US
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        salt = (splitmix64(uid.astype(np.int64).view(UINT64))
+                % UINT64(N_DISTINCT_SALTS)).astype(np.int64)
+        # dedupe within the batch before anything shuffles
+        order = np.lexsort((uid, et, day))
+        day, et, salt, uid = day[order], et[order], salt[order], uid[order]
+        keep = np.r_[True, (day[1:] != day[:-1]) | (et[1:] != et[:-1])
+                     | (uid[1:] != uid[:-1])]
+        return pa.table(
+            {"day_us": pa.array(day[keep]),
+             "event_type": pa.array(et[keep].tolist(), type=pa.string()),
+             "salt": pa.array(salt[keep]),
+             "user_id": pa.array(uid[keep])}
+        )
+
+    def count_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"day_us": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "n_users": pa.array([], type=pa.int64())}
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day_us": g.column("day_us").slice(0, 1),
+             "event_type": g.column("event_type").slice(0, 1),
+             "n_users": pa.array([int(len(np.unique(uid)))],
+                                 type=pa.int64())}
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": t.column("day_us").cast(pa.timestamp("us")),
+             "event_type": t.column("event_type"),
+             "n_users": t.column("n_users")}
+        )
+
+    return (
+        read_events(sf_dir, columns=["ts", "event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day_us", "event_type", "salt"])
+        .map_groups(count_group, batch_format="pyarrow")
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click"):
+    """(user_id, purchase_id, purchase_ts, click_id, click_ts,
+    wait_us): for every ``left_type`` event, the user's most recent
+    ``right_type`` event AT OR BEFORE it (null columns when none) —
+    the as-of join Ray Data lacks.
+
+    One shuffle: both sides filter at the read and hash into user
+    buckets; each bucket kernel lexsorts (ts, side, event_id) once and
+    resolves every probe with a segment-reset running argmax — no
+    per-row Python, no sort-merge across tasks. Partitioning
+    assumption: one user's click+purchase rows fit one task (the
+    pre-chunk sessionize assumption; the same two-phase boundary
+    split applies if a user ever exceeds a task)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        b = batch.filter(keep)
+        side = pc.equal(b.column("event_type"), left_type).cast(pa.int8())
+        b = b.drop_columns(["event_type"]).append_column("side", side)
+        return b.append_column(
+            "bucket", pa.array(_user_buckets(b), type=pa.int64())
+        )
+
+    _empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "purchase_id": pa.array([], type=pa.int64()),
+        "purchase_ts": pa.array([], type=pa.timestamp("us")),
+        "click_id": pa.array([], type=pa.int64()),
+        "click_ts": pa.array([], type=pa.timestamp("us")),
+        "wait_us": pa.array([], type=pa.int64()),
+    }
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_empty)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        # clicks sort BEFORE a same-timestamp purchase => "at or before"
+        order = np.lexsort((eid, side, ts, uid))
+        uid, ts, eid, side = uid[order], ts[order], eid[order], side[order]
+        n = len(uid)
+        pos = np.arange(n, dtype=np.int64)
+        last_click = np.maximum.accumulate(np.where(side == 0, pos, -1))
+        seg_start = pos[np.r_[True, uid[1:] != uid[:-1]]]
+        seg_id = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        valid = last_click >= seg_start[seg_id]
+        is_left = side == 1
+        lc, ok = last_click[is_left], valid[is_left]
+        cid = np.where(ok, eid[np.maximum(lc, 0)], 0)
+        cts = np.where(ok, ts[np.maximum(lc, 0)], 0)
+        mask = pa.array(ok)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[is_left].astype(np.int64)),
+                "purchase_id": pa.array(eid[is_left].astype(np.int64)),
+                "purchase_ts": pa.array(ts[is_left].astype(np.int64)).cast(
+                    pa.timestamp("us")
+                ),
+                "click_id": pc.if_else(mask, pa.array(cid.astype(np.int64)),
+                                       pa.scalar(None, type=pa.int64())),
+                "click_ts": pc.if_else(
+                    mask,
+                    pa.array(cts.astype(np.int64)).cast(pa.timestamp("us")),
+                    pa.scalar(None, type=pa.timestamp("us")),
+                ),
+                "wait_us": pc.if_else(
+                    mask, pa.array((ts[is_left] - cts).astype(np.int64)),
+                    pa.scalar(None, type=pa.int64()),
+                ),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["bucket"])
+                             if "bucket" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def running_totals(sf_dir: str):
+    """(event_id, user_id, ts, running_cents): per-user cumulative
+    spend ordered by (ts, event_id) — the unbounded-preceding window
+    function. Value is summed as int64 CENTS (each event rounds once,
+    half-away) so the running sum is exact and order-independent in
+    its partials. One shuffle into user buckets; each kernel is one
+    lexsort + a segment-reset cumsum."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(_user_buckets(batch), type=pa.int64())
+        )
+
+    _empty = {
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "running_cents": pa.array([], type=pa.int64()),
+    }
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_empty)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val = uid[order], ts[order], eid[order], val[order]
+        cents = round_half_away(val * 100.0, 0).astype(np.int64)
+        cum = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, len(uid)])
+        base = np.repeat(cum[starts] - cents[starts], counts)
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+                "running_cents": pa.array(cum - base),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["bucket"])
+                             if "bucket" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def session_stats(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
     """One-row summary: sessions, max session length, users."""
     sess = sessionize(sf_dir, gap_us).materialize()

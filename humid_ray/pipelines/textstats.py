@@ -271,3 +271,75 @@ def fingerprints(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(sf_dir: str):
+    """(lang, n_docs, p25, p50, p75, p90, p99): EXACT per-language
+    discrete quantiles of document length.
+
+    Scale shape: a distributed exact quantile normally needs a full
+    sort, but the value domain (n_chars) is small-cardinality, so the
+    per-batch combiner collapses each batch to (lang, n_chars, count)
+    rows — a VALUE HISTOGRAM. Shuffle volume is distinct (lang, len)
+    pairs, never documents; the per-lang kernel walks cumulative
+    counts with searchsorted. Index math is ceil(q*n)-1 in double
+    precision, bit-matching DuckDB's quantile_disc."""
+    import math
+
+    _empty = {
+        "lang": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_empty)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, lang))
+        lang, ln = lang[order], ln[order]
+        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
+             "n_chars": pa.array(ln[starts].astype(np.int64)),
+             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
+        )
+
+    cols = ["p25", "p50", "p75", "p90", "p99"]
+
+    def quantile_group(g: pa.Table) -> pa.Table:
+        empty = {"lang": pa.array([], type=pa.string()),
+                 "n_docs": pa.array([], type=pa.int64()),
+                 **{c: pa.array([], type=pa.int64()) for c in cols}}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ln, kind="stable")
+        ln, cnt = ln[order], cnt[order]
+        # partials from different batches repeat values: re-aggregate
+        keep = np.r_[True, ln[1:] != ln[:-1]]
+        starts = np.flatnonzero(keep)
+        ln = ln[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {"lang": g.column("lang").slice(0, 1),
+               "n_docs": pa.array([n], type=pa.int64())}
+        for c, q in zip(cols, QUANTILES):
+            idx = math.ceil(q * n) - 1
+            out[c] = pa.array([int(ln[np.searchsorted(cum, idx + 1)])],
+                              type=pa.int64())
+        return pa.table(out)
+
+    return (
+        read_documents(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(quantile_group, batch_format="pyarrow")
+    )

@@ -136,3 +136,82 @@ def test_hopping_hour_aligned_windows_equal_tumbling(ray_session):
     a = aligned[cols].sort_values(cols[:2]).reset_index(drop=True)
     b = tum[cols].sort_values(cols[:2]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_distinct_users(ray_session):
+    from humid_ray.pipelines.events import distinct_users
+
+    got = (distinct_users(SF).to_pandas()
+           .sort_values(["day", "event_type"]).reset_index(drop=True))
+    ev = _events()
+    ev["day"] = ev.ts.dt.floor("D")
+    exp = (ev.groupby(["day", "event_type"]).user_id.nunique()
+           .rename("n_users").reset_index()
+           .sort_values(["day", "event_type"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got.day.to_numpy() == exp.day.to_numpy()).all()
+    assert (got.event_type.to_numpy() == exp.event_type.to_numpy()).all()
+    assert (got.n_users.to_numpy() == exp.n_users.to_numpy()).all()
+
+
+def test_asof_join(ray_session):
+    """Every purchase maps to the user's latest click at-or-before it;
+    purchases with no prior click keep nulls."""
+    from humid_ray.pipelines.events import asof_join
+
+    got = asof_join(SF).to_pandas().sort_values("purchase_id").reset_index(
+        drop=True)
+    ev = _events()
+    purchases = ev[ev.event_type == "purchase"]
+    clicks = ev[ev.event_type == "click"]
+    assert len(got) == len(purchases)
+    by_user = {u: g.sort_values(["ts", "event_id"])
+               for u, g in clicks.groupby("user_id")}
+    for row in got.itertuples():
+        cand = by_user.get(row.user_id)
+        cand = None if cand is None else cand[cand.ts <= row.purchase_ts]
+        if cand is None or len(cand) == 0:
+            assert pd.isna(row.click_id), row
+        else:
+            last = cand.iloc[-1]
+            assert row.click_id == last.event_id, row
+            assert row.click_ts == last.ts
+            assert row.wait_us == (row.purchase_ts - last.ts).value // 1000
+
+
+def test_running_totals(ray_session):
+    from humid_ray.pipelines.events import running_totals
+
+    got = (running_totals(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    cents = np.floor(np.abs(ev.value.to_numpy()) * 100.0 + 0.5).astype(
+        np.int64) * np.sign(ev.value.to_numpy()).astype(np.int64)
+    ev = ev.assign(cents=cents)
+    ev["running_cents"] = ev.groupby("user_id").cents.cumsum()
+    exp = ev.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got.event_id.to_numpy() == exp.event_id.to_numpy()).all()
+    assert (got.running_cents.to_numpy() == exp.running_cents.to_numpy()).all()
+    # final running value per user equals the user's exact total
+    tail = got.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id").running_cents.last()
+    tot = ev.groupby("user_id").cents.sum()
+    assert (tail.to_numpy() == tot.to_numpy()).all()
+
+
+def test_length_quantiles(ray_session):
+    import math
+
+    from humid_ray.pipelines.textstats import length_quantiles
+
+    got = (length_quantiles(SF).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for row in got.itertuples():
+        vals = np.sort(docs[docs.lang == row.lang].n_chars.to_numpy())
+        assert row.n_docs == len(vals)
+        for col, q in zip(("p25", "p50", "p75", "p90", "p99"),
+                          (0.25, 0.5, 0.75, 0.9, 0.99)):
+            assert getattr(row, col) == vals[math.ceil(q * len(vals)) - 1], (
+                row.lang, col)
