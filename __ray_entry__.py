@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "top_parts_by_revenue": relational.top_parts_by_revenue,
+        # fact x fact distributed hash join: neither side broadcastable
+        "priority_revenue": relational.priority_revenue,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -847,6 +849,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(MAX(n_events) AS BIGINT) AS max_session_events FROM g"
+        ),
+        "priority_revenue": (
+            "WITH r AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(r.revenue_cents) AS BIGINT) AS revenue_cents "
+            "FROM r JOIN orders ON o_orderkey = r.l_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "events_distinct_users": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "

@@ -303,3 +303,86 @@ def _part_revenue_partial(t: pa.Table) -> pa.Table:
             "revenue_cents": pa.array(_bincount_i64(inv, rev, len(upk))),
         }
     )
+
+
+# --- fact x fact distributed hash join -------------------------------------
+
+_PRIORITY_PARTIAL_EMPTY = {
+    "o_orderpriority": pa.array([], type=pa.string()),
+    "n_orders": pa.array([], type=pa.int64()),
+    "revenue_cents": pa.array([], type=pa.int64()),
+}
+
+
+def priority_revenue(sf_dir: str):
+    """(o_orderpriority, n_orders, revenue_cents): discounted lineitem
+    revenue rolled up to order priority — the FACT x FACT join shape
+    (`orders_by_nation` broadcasts its small dimension; here BOTH
+    sides are fact tables, so neither may be collected).
+
+    Scale shape: lineitem first collapses to one row per order (a
+    per-batch combiner, then a groupby carrying only (orderkey,
+    cents) partials — never line items), then a distributed hash
+    `Dataset.join` against orders co-partitions the two fact tables
+    on the order key, and a second per-batch combiner reduces the
+    joined stream to |priorities| partials. Revenue is int64 cents
+    throughout, so every reduction order gives the same bits."""
+    import ray as _ray
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], type=pa.int64()),
+                 "revenue_cents": pa.array([], type=pa.int64())}
+            )
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = _cents(price * (1.0 - disc))
+        uok, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {"l_orderkey": pa.array(uok.astype(np.int64)),
+             "revenue_cents": pa.array(_bincount_i64(inv, rev, len(uok)))}
+        )
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    # parquet-metadata counts (no scan): an empty side loses its
+    # schema through groupby/join, so short-circuit the inner join
+    if lineitem.count() == 0 or orders.count() == 0:
+        return ray.data.from_arrow(pa.table(_PRIORITY_PARTIAL_EMPTY))
+    per_order = (
+        lineitem
+        .map_batches(order_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    joined = per_order.join(
+        orders,
+        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=max(2, min(64, cpus // 2)),
+    )
+
+    def priority_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_PRIORITY_PARTIAL_EMPTY)
+        pr = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        up, inv = np.unique(pr, return_inverse=True)
+        return pa.table(
+            {"o_orderpriority": pa.array(up.tolist(), type=pa.string()),
+             "n_orders": pa.array(np.bincount(inv, minlength=len(up))
+                                  .astype(np.int64)),
+             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(up)))}
+        )
+
+    return (
+        joined.map_batches(priority_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )

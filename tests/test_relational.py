@@ -79,3 +79,26 @@ def test_pricing_summary_groups_and_averages(ray_session, tmp_path):
     assert af.avg_qty == 3.0 and af.avg_price == 75.0
     no = out.iloc[1]
     assert no.sum_disc_cents == 1800 and no.avg_qty == 10.0
+
+
+def test_priority_revenue_join(ray_session, tmp_path):
+    """Fact x fact join: per-order rollup joins orders on the key;
+    orders with no lineitems drop (inner), revenue lands on the
+    right priority."""
+    from humid_ray.pipelines.relational import priority_revenue
+
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0, 5.0, 7.0, 2.0], type=pa.float64()),
+        "l_discount": pa.array([0.0, 0.2, 0.5, 0.0], type=pa.float64()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),  # 4: no items
+        "o_orderpriority": pa.array(["HI", "LO", "HI", "HI"],
+                                    type=pa.string()),
+    }))
+    out = (priority_revenue(str(tmp_path)).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert out.o_orderpriority.tolist() == ["HI", "LO"]
+    assert out.n_orders.tolist() == [2, 1]  # order 4 has no lineitems
+    assert out.revenue_cents.tolist() == [1000 + 400 + 200, 350]
