@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         sampling,
+        shards,
         substring,
         textstats,
     )
@@ -462,6 +463,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": sampling.top_docs_per_lang,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
+        # global vocabulary: corpus-wide token + document frequency
+        # (hot-key-proof per-batch combiner; SQL-oracled)
+        "vocab_docs": textstats.vocab,
+        # token-aware shard packing: distributed prefix-sum scan over
+        # doc_id order + shard-level manifest (both SQL-oracled)
+        "pack_shards_docs": shards.pack_shards,
+        "shard_manifest_docs": shards.shard_manifest,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
         "events_windowed": events.windowed_counts,
         # hopping (sliding) windows: in-kernel event fan-out, partials
@@ -948,6 +956,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "
             "length(coalesce(text,'')) AS n_chars FROM documents"
+        ),
+        "vocab_docs": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(coalesce(text,'')), '[0-9a-z]+')) AS token FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM toks GROUP BY token"
+        ),
+        "pack_shards_docs": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "lower(coalesce(text,'')), '[0-9a-z]+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard_id FROM c"
+        ),
+        "shard_manifest_docs": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "lower(coalesce(text,'')), '[0-9a-z]+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum FROM t), "
+            "p AS (SELECT n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) "
+            "AS shard_id FROM c) "
+            "SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens "
+            "FROM p GROUP BY shard_id"
         ),
         "quality_docs": (
             "SELECT doc_id, length(coalesce(text,'')) AS n_chars, "

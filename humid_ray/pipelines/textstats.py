@@ -343,3 +343,85 @@ def length_quantiles(sf_dir: str):
         .groupby("lang")
         .map_groups(quantile_group, batch_format="pyarrow")
     )
+
+
+def _flat_tokens(texts) -> tuple[pa.Array, np.ndarray]:
+    """Lowercase word tokens of each text as a flat Arrow string array
+    plus int64 row offsets (the string twin of
+    ``functions.text.tokenize_batch``, same token rule: [0-9a-z]+ runs
+    of lower(text); null/empty texts yield zero tokens)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(pc.cast(texts, pa.string()), "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^0-9a-z]+")
+    flat = toks.flatten()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+                if len(flat) else np.empty(0, dtype=bool))
+    lens = offs[1:] - offs[:-1]
+    keep_per_row = np.zeros(len(offs) - 1, dtype=np.int64)
+    has = lens > 0
+    if has.any() and len(nonempty):
+        keep_per_row[has] = np.add.reduceat(
+            nonempty.astype(np.int64), offs[:-1][has]
+        )
+    new_offs = np.zeros(len(offs), dtype=np.int64)
+    np.cumsum(keep_per_row, out=new_offs[1:])
+    kept = flat.filter(pa.array(nonempty)) if len(flat) else flat
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    return kept, new_offs
+
+
+_EMPTY_VOCAB_PARTIAL = {
+    "token": pa.array([], type=pa.string()),
+    "n_occurrences": pa.array([], type=pa.int64()),
+    "n_docs": pa.array([], type=pa.int64()),
+}
+
+
+def vocab(sf_dir: str):
+    """(token, n_occurrences, n_docs): global vocabulary — corpus-wide
+    token frequency plus document frequency (the TF/DF table a
+    tokenizer-training or TF-IDF stage consumes).
+
+    The canonical hot-key shuffle ("the" appears in every document):
+    the per-batch combiner collapses each batch to one row per
+    DISTINCT token (Arrow C-speed group_by, no Python per token), so
+    the shuffle carries |batch vocab| partials, never token
+    occurrences, and a hot token costs one int64 add per batch in the
+    final groupby — skew-proof by construction. Document frequency
+    dedupes (row, token) pairs inside the same kernel before counting.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_VOCAB_PARTIAL)
+        kept, offs = _flat_tokens(batch.column("text"))
+        if len(kept) == 0:
+            return pa.table(_EMPTY_VOCAB_PARTIAL)
+        rows = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        pairs = pa.table({"token": kept, "row": pa.array(rows)})
+        occ = pairs.group_by("token").aggregate([("row", "count")])
+        dist = pairs.group_by(["token", "row"]).aggregate([])
+        docs = dist.group_by("token").aggregate([("row", "count")])
+        merged = occ.join(docs, keys="token", right_suffix="_d")
+        return pa.table(
+            {
+                "token": merged.column("token"),
+                "n_occurrences": merged.column("row_count").cast(pa.int64()),
+                "n_docs": merged.column("row_count_d").cast(pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"),
+                   Sum("n_docs", alias_name="n_docs"))
+    )
