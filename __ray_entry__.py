@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_id order + shard-level manifest (both SQL-oracled)
         "pack_shards_docs": shards.pack_shards,
         "shard_manifest_docs": shards.shard_manifest,
+        # deterministic global permutation rank (seeded training
+        # shuffle; scan instance with key=splitmix64(doc_id), SQL-oracled)
+        "shuffle_rank_docs": shards.global_shuffle,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
         "events_windowed": events.windowed_counts,
         # hopping (sliding) windows: in-kernel event fan-out, partials
@@ -974,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard_id FROM c"
         ),
+        "shuffle_rank_docs": _orc.shuffle_rank_sql(),
         "shard_manifest_docs": (
             "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
             "lower(coalesce(text,'')), '[0-9a-z]+')) AS BIGINT) AS n_tokens "

@@ -628,6 +628,18 @@ def hash_sample_sql(
     )
 
 
+def shuffle_rank_sql(table: str = "documents") -> str:
+    """(doc_id, rank) — engine parity for pipelines.shards
+    .global_shuffle: 1-based row_number over ascending
+    (splitmix64(doc_id), doc_id)."""
+    return (
+        f"WITH sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY z, doc_id) "
+        'AS BIGINT) AS "rank" FROM sm'
+    )
+
+
 def fingerprint_docs_sql(table: str = "documents") -> str:
     """(doc_id, fingerprint) — engine parity for pipelines.textstats
     .fingerprints: splitmix64(sum(h_j * B^(n-1-j)) mod 2^64) over the

@@ -108,3 +108,25 @@ def test_vocab_empty_and_null_texts(ray_session, tmp_path):
     got = vocab(sf).to_pandas().set_index("token")
     assert sorted(got.index) == ["a", "b"]
     assert got.loc["a"].n_occurrences == 2 and got.loc["a"].n_docs == 1
+
+
+def test_global_shuffle_is_permutation_and_stable(ray_session, tmp_path):
+    from humid_ray.pipelines.shards import global_shuffle
+
+    ids = [i * 7 + 1 for i in range(300)]
+    sf = _write_docs(tmp_path, ["x"] * 300, ids)
+    a = global_shuffle(sf, n_buckets=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = global_shuffle(sf, n_buckets=17).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # ranks are a permutation of 1..n and independent of partitioning
+    assert sorted(a["rank"]) == list(range(1, 301))
+    assert a.equals(b)
+    # matches the serial rule: ascending (splitmix64(doc_id), doc_id)
+    from humid_ray.util import UINT64, splitmix64
+
+    h = splitmix64(np.array(ids, dtype=np.int64).view(UINT64))
+    order = np.lexsort((np.array(ids), h))
+    want = {int(np.array(ids)[order][r]): r + 1 for r in range(300)}
+    for row in a.itertuples():
+        assert want[row.doc_id] == row.rank
