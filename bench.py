@@ -184,6 +184,12 @@ def run_bench() -> dict:
     timed("orders_by_nation", lambda: relational.orders_by_nation(SF_DIR))
     timed("top_parts_by_revenue",
           lambda: relational.top_parts_by_revenue(SF_DIR), consume=None)
+    timed("priority_revenue", lambda: relational.priority_revenue(SF_DIR))
+    from humid_ray.pipelines import shards
+
+    timed("vocab_docs", lambda: textstats.vocab(SF_DIR))
+    timed("pack_shards_docs", lambda: shards.pack_shards(SF_DIR))
+    timed("shuffle_rank_docs", lambda: shards.global_shuffle(SF_DIR))
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",
