@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         sampling,
+        segdedup,
         shards,
         substring,
         textstats,
@@ -447,6 +448,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring-level dedup (winnowed-fingerprint suffix-array
         # analog; LCS-oracle-pinned in tests/test_substring.py)
         "substring_dedup_docs": substring.substring_dedup_pairs,
+        # cross-document segment dedup (C4 boilerplate rule): count
+        # segments with a skew-proof combiner, broadcast the hot set,
+        # one streaming membership+reassembly pass (both SQL-oracled)
+        "line_dedup_docs": segdedup.line_dedup,
+        "chunk_dedup_docs": segdedup.chunk_dedup,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -716,6 +722,7 @@ _KNN_ORACLE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
+    from humid_ray.pipelines import segdedup as _segdedup
 
     return {
         **_phash_flagship_oracles(),
@@ -955,6 +962,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_hist_docs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "line_dedup_docs": _segdedup.line_dedup_sql(),
+        "chunk_dedup_docs": _segdedup.chunk_dedup_sql(),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

@@ -94,9 +94,10 @@ def test_distributed_cc_vectorized_at_scale(ray_session):
     want = dict(zip(truth_sigs.tolist(), truth_comp.tolist()))
     assert got == want
     # loose bound: vectorized rounds, not per-node groups (the per-node
-    # version took ~13 min here; the bucketed one ~40-60 s on 4-8 CPUs);
-    # generous to absorb CI noise
-    assert t_dist < max(120.0, 100 * t_local), (t_dist, t_local)
+    # version took ~13 min here; the bucketed one ~40-60 s on 4-8 CPUs,
+    # up to ~150 s when the host is contended) — the bound only needs to
+    # catch the order-of-magnitude regression it documents
+    assert t_dist < max(300.0, 100 * t_local), (t_dist, t_local)
 
 
 def test_simhash_neardup_matches_bruteforce(ray_session):
