@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": sampling.top_docs_per_lang,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
+        # PII scrub: email-then-long-number RE2 redaction (SQL-oracled;
+        # planted-PII parity pinned in tests/test_textstats.py)
+        "redact_pii_docs": textstats.redact_pii,
         # global vocabulary: corpus-wide token + document frequency
         # (hot-key-proof per-batch combiner; SQL-oracled)
         "vocab_docs": textstats.vocab,
@@ -488,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": events.session_stats,
         # exact distinct-count: salted two-level dedupe (SQL-oracled)
         "events_distinct_users": events.distinct_users,
+        # structured-field extraction from raw JSON payloads (SQL-oracled)
+        "events_props_extract": events.props_extract,
         # as-of join: last click at-or-before each purchase (SQL-oracled
         # via IGNORE NULLS window fill, deterministic tie-breaks)
         "events_asof_join": events.asof_join,
@@ -722,7 +727,9 @@ _KNN_ORACLE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
+    from humid_ray.pipelines import events as _events_mod
     from humid_ray.pipelines import segdedup as _segdedup
+    from humid_ray.pipelines import textstats as _textstats_mod
 
     return {
         **_phash_flagship_oracles(),
@@ -964,6 +971,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_hist_docs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "line_dedup_docs": _segdedup.line_dedup_sql(),
         "chunk_dedup_docs": _segdedup.chunk_dedup_sql(),
+        "redact_pii_docs": _textstats_mod.redact_pii_sql(),
+        "events_props_extract": _events_mod.props_extract_sql(),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

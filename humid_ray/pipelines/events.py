@@ -562,3 +562,38 @@ def session_stats(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
             "max_session_events": pa.array([int(mx)], type=pa.int64()),
         }
     )
+
+
+# --- structured-field extraction from raw payloads -------------------------
+
+PROPS_K_PATTERN = '"k": (?P<k>[0-9]+)'
+
+
+def props_extract(sf_dir: str):
+    """(event_id, k): pull the integer ``k`` field out of the raw JSON
+    ``props`` payload with one RE2 kernel (``pc.extract_regex``) — the
+    log-parsing shape every ingest pipeline starts with (a full JSON
+    decode would go through an actor-pool stage; a single scalar field
+    doesn't need one). Rows whose payload lacks the field yield null.
+
+    Scale shape: streaming map over pruned columns, no shuffle."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        props = pc.fill_null(pc.cast(batch.column("props"), pa.string()), "")
+        m = pc.extract_regex(props, pattern=PROPS_K_PATTERN)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k": k})
+
+    return read_events(sf_dir, columns=["event_id", "props"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def props_extract_sql() -> str:
+    """DuckDB oracle for ``props_extract`` (same RE2 pattern; DuckDB
+    needs an unnamed group + nullif since regexp_extract returns ''
+    on no-match)."""
+    return (
+        "SELECT event_id, CAST(nullif(regexp_extract(coalesce(props,''), "
+        "'\"k\": ([0-9]+)', 1), '') AS BIGINT) AS k FROM events"
+    )

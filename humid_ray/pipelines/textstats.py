@@ -425,3 +425,63 @@ def vocab(sf_dir: str):
         .aggregate(Sum("n_occurrences", alias_name="n_occurrences"),
                    Sum("n_docs", alias_name="n_docs"))
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# RE2 patterns, portable verbatim to DuckDB's regexp_* (also RE2):
+# tests/test_textstats.py pins engine/oracle parity on planted PII.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{9,}"
+
+
+def redact_pii(sf_dir: str):
+    """(doc_id, redacted_text, n_emails, n_long_numbers): mask email
+    addresses then 9+-digit runs (phone/account/SSN-class) — the
+    standard pre-training scrub pass. Number counting runs AFTER email
+    redaction (a digit run inside an address is one email, not two
+    findings), the same composition order as the SQL oracle.
+
+    Scale shape: one streaming ``map_batches`` over pruned columns;
+    RE2 kernels (`pc.replace_substring_regex` / `count_substring_regex`)
+    at C speed, no shuffle, no state."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        n_emails = pc.count_substring_regex(text, EMAIL_PATTERN)
+        no_email = pc.replace_substring_regex(
+            text, pattern=EMAIL_PATTERN, replacement="<EMAIL>"
+        )
+        n_nums = pc.count_substring_regex(no_email, LONG_NUMBER_PATTERN)
+        redacted = pc.replace_substring_regex(
+            no_email, pattern=LONG_NUMBER_PATTERN, replacement="<NUMBER>"
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted_text": redacted,
+                "n_emails": n_emails.cast(pa.int64()),
+                "n_long_numbers": n_nums.cast(pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def redact_pii_sql() -> str:
+    """DuckDB oracle for ``redact_pii`` (same RE2 patterns, same
+    email-then-number composition order)."""
+    return (
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(coalesce(text,''), '{EMAIL_PATTERN}', "
+        f"'<EMAIL>', 'g'), '{LONG_NUMBER_PATTERN}', '<NUMBER>', 'g') "
+        "AS redacted_text, "
+        f"CAST(len(regexp_extract_all(coalesce(text,''), '{EMAIL_PATTERN}')) "
+        "AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(regexp_replace(coalesce(text,''), "
+        f"'{EMAIL_PATTERN}', '<EMAIL>', 'g'), '{LONG_NUMBER_PATTERN}')) "
+        "AS BIGINT) AS n_long_numbers "
+        "FROM documents"
+    )

@@ -215,3 +215,32 @@ def test_length_quantiles(ray_session):
                           (0.25, 0.5, 0.75, 0.9, 0.99)):
             assert getattr(row, col) == vals[math.ceil(q * len(vals)) - 1], (
                 row.lang, col)
+
+
+def test_props_extract_matches_python(ray_session, tmp_path):
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.events import props_extract
+
+    props = ['{"k": 69}', '{"k": 0}', "not json", None, '{"j": 5}', '{"k": 123456}']
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(props)), type=pa.int64()),
+            "ts": pa.array([0] * len(props), type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(props), type=pa.int64()),
+            "event_type": pa.array(["x"] * len(props), type=pa.string()),
+            "value": pa.array([0.0] * len(props), type=pa.float64()),
+            "props": pa.array(props, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    res = props_extract(str(tmp_path)).to_pandas().sort_values("event_id")
+    for (_, row), p in zip(res.iterrows(), props):
+        m = re.search(r'"k": ([0-9]+)', p or "")
+        if m:
+            assert row.k == int(m.group(1))
+        else:
+            assert row.isna().k

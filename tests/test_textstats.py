@@ -222,3 +222,65 @@ def test_hash_split_deterministic_and_partitioning(ray_session):
     s = sampling.hash_sample(sf).to_pandas()
     assert set(s["doc_id"]) == set(a.loc[a["split"] == "val", "doc_id"])
     assert {"text", "lang", "source", "n_chars"} <= set(s.columns)
+
+
+def test_redact_pii_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.textstats import redact_pii
+
+    texts = [
+        "mail jane.doe+x@mail.example.co or call 123456789012 today",
+        "two mails a@b.io c@d.org and 987654321",
+        "account 123456789@digits.com embedded digits stay one email",
+        "short digits 12345678 survive",
+        None,
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    res = redact_pii(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(res.redacted_text) == [
+        "mail <EMAIL> or call <NUMBER> today",
+        "two mails <EMAIL> <EMAIL> and <NUMBER>",
+        "account <EMAIL> embedded digits stay one email",
+        "short digits 12345678 survive",
+        "",
+        "",
+    ]
+    assert list(res.n_emails) == [1, 2, 1, 0, 0, 0]
+    assert list(res.n_long_numbers) == [1, 1, 0, 0, 0, 0]
+
+
+def test_redact_pii_matches_duckdb_on_planted(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.textstats import redact_pii, redact_pii_sql
+
+    texts = [f"user{i}.name@host{i}.example.com id {100000000+i}0 t" for i in range(40)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    eng = (
+        redact_pii(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    orc = con.execute(redact_pii_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert eng.equals(orc[list(eng.columns)])
+    assert (eng.n_emails == 1).all() and (eng.n_long_numbers == 1).all()
