@@ -508,6 +508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         # fact x fact distributed hash join: neither side broadcastable
         "priority_revenue": relational.priority_revenue,
+        # 3-fact-table chained hash join with per-key collapse before
+        # each shuffle (SQL-oracled)
+        "segment_revenue": relational.segment_revenue,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -728,6 +731,7 @@ _KNN_ORACLE_SQL = (
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
     from humid_ray.pipelines import events as _events_mod
+    from humid_ray.pipelines import relational as _relational_mod
     from humid_ray.pipelines import segdedup as _segdedup
     from humid_ray.pipelines import textstats as _textstats_mod
 
@@ -973,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_docs": _segdedup.chunk_dedup_sql(),
         "redact_pii_docs": _textstats_mod.redact_pii_sql(),
         "events_props_extract": _events_mod.props_extract_sql(),
+        "segment_revenue": _relational_mod.segment_revenue_sql(),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

@@ -386,3 +386,133 @@ def priority_revenue(sf_dir: str):
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+# --- 3-table chained distributed hash join ---------------------------------
+
+_SEGMENT_PARTIAL_EMPTY = {
+    "c_mktsegment": pa.array([], type=pa.string()),
+    "n_orders": pa.array([], type=pa.int64()),
+    "revenue_cents": pa.array([], type=pa.int64()),
+}
+
+
+def segment_revenue(sf_dir: str):
+    """(c_mktsegment, n_orders, revenue_cents): discounted lineitem
+    revenue rolled up through orders to the customer market segment —
+    the THREE-fact-table join chain (lineitem |><| orders |><| customer;
+    none of the three is broadcastable at scale).
+
+    Scale shape: each join is preceded by a collapse so the smallest
+    possible row set transits the shuffle — lineitem folds to one row
+    per ORDER before join #1 (the priority_revenue combiner), the
+    joined stream folds to one row per CUSTOMER before join #2 (orders
+    per customer collapse in-batch, then a groupby carries (custkey,
+    n_orders, cents) partials), and the final segment rollup is a
+    |segments|-row combiner. Two distributed ``Dataset.join``s
+    co-partition the fact tables; revenue stays int64 cents end to
+    end, so every reduction order gives the same bits."""
+    import ray as _ray
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], type=pa.int64()),
+                 "revenue_cents": pa.array([], type=pa.int64())}
+            )
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = _cents(price * (1.0 - disc))
+        uok, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {"l_orderkey": pa.array(uok.astype(np.int64)),
+             "revenue_cents": pa.array(_bincount_i64(inv, rev, len(uok)))}
+        )
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"])
+    if lineitem.count() == 0 or orders.count() == 0 or customer.count() == 0:
+        return ray.data.from_arrow(pa.table(_SEGMENT_PARTIAL_EMPTY))
+    per_order = (
+        lineitem
+        .map_batches(order_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(64, cpus // 2))
+    with_cust = per_order.join(
+        orders,
+        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=nparts,
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], type=pa.int64()),
+                 "n_orders": pa.array([], type=pa.int64()),
+                 "revenue_cents": pa.array([], type=pa.int64())}
+            )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        uck, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {"o_custkey": pa.array(uck.astype(np.int64)),
+             "n_orders": pa.array(np.bincount(inv, minlength=len(uck))
+                                  .astype(np.int64)),
+             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(uck)))}
+        )
+
+    per_cust = (
+        with_cust
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    with_seg = per_cust.join(
+        customer,
+        join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=nparts,
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_SEGMENT_PARTIAL_EMPTY)
+        seg = np.asarray(t.column("c_mktsegment").to_pylist(), dtype=object)
+        no = t.column("n_orders").to_numpy(zero_copy_only=False)
+        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        useg, inv = np.unique(seg, return_inverse=True)
+        return pa.table(
+            {"c_mktsegment": pa.array(useg.tolist(), type=pa.string()),
+             "n_orders": pa.array(_bincount_i64(inv, no, len(useg))),
+             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(useg)))}
+        )
+
+    return (
+        with_seg.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def segment_revenue_sql() -> str:
+    """DuckDB oracle for ``segment_revenue``."""
+    return (
+        "WITH r AS (SELECT l_orderkey, "
+        "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem GROUP BY l_orderkey) "
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(r.revenue_cents) AS BIGINT) AS revenue_cents "
+        "FROM r JOIN orders ON o_orderkey = r.l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "GROUP BY c_mktsegment"
+    )

@@ -102,3 +102,35 @@ def test_priority_revenue_join(ray_session, tmp_path):
     assert out.o_orderpriority.tolist() == ["HI", "LO"]
     assert out.n_orders.tolist() == [2, 1]  # order 4 has no lineitems
     assert out.revenue_cents.tolist() == [1000 + 400 + 200, 350]
+
+
+def test_segment_revenue_three_table_chain(ray_session, tmp_path):
+    """lineitem |><| orders |><| customer: per-order collapse before join
+    #1, per-customer collapse before join #2, inner joins drop childless
+    orders and customer-less orders."""
+    from humid_ray.pipelines.relational import segment_revenue
+
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 5], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0, 5.0, 7.0, 2.0, 9.0],
+                                    type=pa.float64()),
+        "l_discount": pa.array([0.0, 0.2, 0.5, 0.0, 0.0],
+                               type=pa.float64()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        # order 4: no lineitems (drops); order 5's customer is missing
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "o_custkey": pa.array([100, 100, 200, 200, 999], type=pa.int64()),
+    }))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([100, 200, 300], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTO", "AUTO"],
+                                 type=pa.string()),
+    }))
+    out = (segment_revenue(str(tmp_path)).to_pandas()
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    assert out.c_mktsegment.tolist() == ["AUTO", "BUILDING"]
+    # AUTO: order 3 only (order 4 childless) -> 200 cents
+    # BUILDING: orders 1 (1000+400) + 2 (350) -> 1750 cents
+    assert out.n_orders.tolist() == [1, 2]
+    assert out.revenue_cents.tolist() == [200, 1750]
