@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         dedup_text,
         events,
+        images,
         multimodal,
         relational,
         sampling,
@@ -453,6 +454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one streaming membership+reassembly pass (both SQL-oracled)
         "line_dedup_docs": segdedup.line_dedup,
         "chunk_dedup_docs": segdedup.chunk_dedup,
+        # incremental dedup: new arrivals (deterministic hash shard)
+        # scored against the base corpus's collapsed (text, rep) index
+        # via one distributed left-outer join (SQL-oracled)
+        "incremental_dedup_docs": dedup_text.incremental_exact_dedup,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -467,6 +472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_docs": sampling.hash_sample,
         # distributed top-k-per-key (partial top-k -> tiny final; SQL-oracled)
         "top_docs_per_lang": sampling.top_docs_per_lang,
+        # per-language quota sample: bottom-k by doc hash (SQL-oracled)
+        "stratified_sample_docs": sampling.stratified_sample,
+        # training-mixture rebalancing to uniform language mix
+        # (|langs|-row count pass + streaming hash-rate filter; SQL-oracled)
+        "mixture_rebalance_docs": sampling.mixture_rebalance,
+        # per-language length-quantile quality band (SQL-oracled)
+        "quantile_filter_docs": textstats.quantile_filter,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
         # PII scrub: email-then-long-number RE2 redaction (SQL-oracled;
@@ -545,6 +557,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MinHash candidates)
         "video_neardup": lambda sf: multimodal.video_neardup_pairs(_video_corpus_for(sf)),
         "audio_neardup": lambda sf: multimodal.audio_neardup_pairs(_audio_corpus_for(sf)),
+        # image-side curation: byte-identical dedup (payload hashed
+        # in-batch, bytes never shuffle) and the composed usable ->
+        # exact-dedup -> pHash-cluster keep list (both SQL-oracled
+        # against raw-bytes windows + a recursive Hamming closure)
+        "image_exact_dedup": lambda sf: images.image_exact_dedup(_corpus_for(sf)),
+        "curate_images": lambda sf: images.curate_images(_corpus_for(sf)),
     }
 
 
@@ -730,7 +748,9 @@ _KNN_ORACLE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
+    from humid_ray.pipelines import dedup_text as _dedup_mod
     from humid_ray.pipelines import events as _events_mod
+    from humid_ray.pipelines import images as _images_mod
     from humid_ray.pipelines import relational as _relational_mod
     from humid_ray.pipelines import segdedup as _segdedup
     from humid_ray.pipelines import textstats as _textstats_mod
@@ -978,6 +998,16 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _textstats_mod.redact_pii_sql(),
         "events_props_extract": _events_mod.props_extract_sql(),
         "segment_revenue": _relational_mod.segment_revenue_sql(),
+        "stratified_sample_docs": _orc.stratified_sample_sql(),
+        "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),
+        "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),
+        "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
+        "image_exact_dedup": _images_mod.image_exact_dedup_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "curate_images": _images_mod.curate_images_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

@@ -190,6 +190,16 @@ def run_bench() -> dict:
     timed("vocab_docs", lambda: textstats.vocab(SF_DIR))
     timed("pack_shards_docs", lambda: shards.pack_shards(SF_DIR))
     timed("shuffle_rank_docs", lambda: shards.global_shuffle(SF_DIR))
+    from humid_ray.pipelines import images, sampling, segdedup
+
+    timed("segment_revenue", lambda: relational.segment_revenue(SF_DIR))
+    timed("line_dedup_docs", lambda: segdedup.line_dedup(SF_DIR))
+    timed("incremental_dedup_docs",
+          lambda: dedup_text.incremental_exact_dedup(SF_DIR))
+    timed("quantile_filter_docs", lambda: textstats.quantile_filter(SF_DIR))
+    timed("mixture_rebalance_docs", lambda: sampling.mixture_rebalance(SF_DIR))
+    timed("image_exact_dedup", lambda: images.image_exact_dedup(corpus))
+    timed("curate_images", lambda: images.curate_images(corpus))
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

@@ -652,3 +652,34 @@ def fingerprint_docs_sql(table: str = "documents") -> str:
         f"SELECT d.doc_id, {_to_int64('x.f')} AS fingerprint "
         f"FROM {table} d LEFT JOIN ffin x USING (doc_id)"
     )
+
+
+def stratified_sample_sql(table: str = "documents", k: int = 20) -> str:
+    """(lang, doc_id) — engine parity for pipelines.sampling
+    .stratified_sample: per-lang bottom-k by (splitmix64(doc_id),
+    doc_id)."""
+    return (
+        f"WITH sm AS (SELECT doc_id, lang, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}), "
+        "r AS (SELECT lang, doc_id, "
+        "row_number() OVER (PARTITION BY lang ORDER BY z, doc_id) AS rn "
+        "FROM sm) "
+        f"SELECT lang, doc_id FROM r WHERE rn <= {k}"
+    )
+
+
+def mixture_rebalance_sql(
+    table: str = "documents", n_buckets: int = 1000
+) -> str:
+    """(doc_id, lang) — engine parity for pipelines.sampling
+    .mixture_rebalance: keep iff splitmix64(doc_id) % n_buckets <
+    (min_count * n_buckets) // count_lang."""
+    return (
+        f"WITH c AS (SELECT lang, count(*) AS cnt FROM {table} "
+        "GROUP BY lang), "
+        "m AS (SELECT min(cnt) AS mn FROM c), "
+        f"sm AS (SELECT doc_id, lang, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}) "
+        "SELECT sm.doc_id, sm.lang FROM sm JOIN c USING (lang), m "
+        f"WHERE z % {n_buckets} < (m.mn * {n_buckets}) // c.cnt"
+    )

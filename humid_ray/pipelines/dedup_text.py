@@ -976,3 +976,103 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3,
     cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Count(alias_name="_n"))
     return _verify_pairs_exact(cand, sf_dir, threshold, k, round6=True,
                                broadcast_max_ids=broadcast_max_ids)
+
+
+# --- incremental dedup (new shard vs existing corpus) ----------------------
+
+def incremental_exact_dedup(sf_dir: str, new_pct: int = 20,
+                            n_buckets: int = 100):
+    """(doc_id, is_dup, base_rep): dedup NEW arrivals against the
+    EXISTING corpus — the daily-crawl shape (a shard arrives; only its
+    rows are scored, the base is touched as an index). The base/new
+    split here is the deterministic hash split (splitmix64(doc_id) %
+    n_buckets < new_pct -> new), standing in for yesterday's corpus vs
+    today's shard. A new doc is a dup iff its exact text occurs in the
+    base; base_rep is the smallest base doc_id with that text (null
+    when novel).
+
+    Scale shape: the base collapses to one (text, rep) row per
+    DISTINCT text before anything transits (at scale this is the
+    already-checkpointed uniq table — pass 1 of the flagship — so the
+    daily run reuses it instead of rescanning the base). Then ONE
+    distributed left-outer ``Dataset.join`` co-partitions new rows
+    with base reps by text; neither side is collected."""
+    from humid_ray.util import splitmix64
+
+    def split_kernel(new_side: bool):
+        def kernel(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            b = splitmix64(d.astype(np.int64).view(UINT64)) % UINT64(n_buckets)
+            mask = b < new_pct if new_side else b >= new_pct
+            return batch.filter(pa.array(mask))
+        return kernel
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "is_dup": pa.array([], type=pa.bool_()),
+         "base_rep": pa.array([], type=pa.int64())}
+    )
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    new = docs.map_batches(split_kernel(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    n_new = new.count()
+    if n_new == 0:
+        return ray.data.from_arrow(_empty)
+    base = docs.map_batches(split_kernel(False), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_base = base.count()
+    if n_base == 0:
+        def novel(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "is_dup": pa.array([False] * batch.num_rows),
+                 "base_rep": pa.nulls(batch.num_rows, type=pa.int64())}
+            )
+        return new.map_batches(novel, batch_format="pyarrow")
+    base_reps = base.groupby("text").aggregate(
+        Min("doc_id", alias_name="base_rep")
+    )
+    from humid_ray.stages.joins import join_partitions
+
+    joined = new.join(
+        base_reps,
+        join_type="left_outer", on=("text",),
+        num_partitions=join_partitions(n_new, n_base),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        rep = batch.column("base_rep")
+        import pyarrow.compute as pc
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "is_dup": pc.is_valid(rep.combine_chunks()
+                                   if isinstance(rep, pa.ChunkedArray)
+                                   else rep),
+             "base_rep": rep}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_exact_dedup_sql(table: str = "documents",
+                                new_pct: int = 20,
+                                n_buckets: int = 100) -> str:
+    """DuckDB oracle for ``incremental_exact_dedup`` (splitmix64 split
+    in HUGEINT arithmetic + text-equality left join)."""
+    from humid_ray.oracles import _sm64_cols
+
+    return (
+        f"WITH sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}), "
+        f"split AS (SELECT d.doc_id, d.text, "
+        f"(z % {n_buckets} < {new_pct}) AS is_new "
+        f"FROM {table} d JOIN sm USING (doc_id)), "
+        "base AS (SELECT text, min(doc_id) AS base_rep FROM split "
+        "WHERE NOT is_new GROUP BY text) "
+        "SELECT s.doc_id, b.base_rep IS NOT NULL AS is_dup, b.base_rep "
+        "FROM split s LEFT JOIN base b USING (text) WHERE s.is_new"
+    )

@@ -1,0 +1,317 @@
+"""Image-corpus curation operators over the flagship image+caption
+corpus (input_hint schema: image_id, bytes, w, h, fmt, caption,
+phash).
+
+Two operators compose the flagship machinery into the image-side
+keep-list a training pipeline actually consumes:
+
+- ``image_exact_dedup``: byte-identical dedup (re-crawled / mirrored
+  files) — the cheap first gate before any perceptual pass.
+- ``curate_images``: the composed curation run — usable gate ->
+  exact-byte dedup -> pHash Hamming clustering (the flagship's
+  banded-LSH + connected components, reference src/humid.cc neighbor
+  walk re-expressed) -> one keep row per near-dup cluster.
+
+Payload bytes NEVER transit a shuffle: the only stage that touches
+``bytes`` hashes it in-batch to a (h1, h2, len) triple; everything
+downstream moves 8-byte columns. Exact-byte identity is asserted on
+the 128-bit+length composite — two INDEPENDENT polynomial hashes over
+the payload (the second over a bitwise-rotated view), collision
+probability ~n^2 / 2^129 corpus-wide (zero at any feasible corpus
+size); the DuckDB oracle groups by the raw bytes, so the compare
+would catch a composite collision at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from humid_ray.config import HumidConfig
+from humid_ray.pipelines.multimodal import read_corpus
+from humid_ray.stages.components import connected_components
+from humid_ray.stages.lsh import band_bucket_counts, find_edges
+from humid_ray.util import UINT64, hash_bytes_segments, u64col
+
+
+def _flat_binary(col) -> tuple[np.ndarray, np.ndarray]:
+    """Binary column -> (flat uint8 buffer, absolute int64 offsets).
+
+    Zero-copy views of the Arrow buffers; ``hash_bytes_segments``
+    consumes absolute offsets directly.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data, offs
+
+
+_HASH_COLS = ("h1", "h2", "ln")
+
+
+def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
+    """map_batches kernel: (image_id, bytes, *extra) ->
+    (image_id, h1, h2, ln, *extra) — the payload stays in this task."""
+
+    out_schema = {
+        "image_id": pa.string(),
+        "h1": pa.int64(),
+        "h2": pa.int64(),
+        "ln": pa.int64(),
+        **{c: pa.int64() for c in extra_cols},
+    }
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({k: pa.array([], type=t)
+                             for k, t in out_schema.items()})
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1 = hash_bytes_segments(data, offs)
+        # independent second hash: same polynomial over a rotated view
+        # of every byte (x -> (x<<3 | x>>5) & 0xFF), so simultaneous
+        # collision needs two unrelated zero-sums
+        rot = ((data << np.uint8(3)) | (data >> np.uint8(5))).astype(np.uint8)
+        h2 = hash_bytes_segments(rot, offs)
+        cols = {
+            "image_id": batch.column("image_id"),
+            "h1": u64col(h1),
+            "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return kernel
+
+
+def _canonical_group(extra_cols: tuple[str, ...] = ()):
+    """map_groups kernel over a (h1, h2, ln) group: every row of the
+    group is byte-identical; canonical = min image_id."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        out = {
+            "image_id": pa.array([], type=pa.string()),
+            "canonical_id": pa.array([], type=pa.string()),
+            **{c: pa.array([], type=pa.int64()) for c in extra_cols},
+        }
+        if g.num_rows == 0:
+            return pa.table(out)
+        ids = g.column("image_id")
+        canon = pc.min_max(ids)["min"].as_py()
+        cols = {
+            "image_id": ids,
+            "canonical_id": pa.array([canon] * g.num_rows, type=pa.string()),
+        }
+        for c in extra_cols:
+            cols[c] = g.column(c)
+        return pa.table(cols)
+
+    return kernel
+
+
+def image_exact_dedup(corpus_dir: str):
+    """(image_id, canonical_id, keep): byte-identical image dedup —
+    canonical_id = min image_id among byte-equal rows, keep iff the
+    row IS its group's canonical.
+
+    Scale shape: bytes are hashed in-batch to (h1, h2, len) and never
+    shuffle; the groupby moves three int64 columns + the id. Identity
+    is the 128-bit+length composite (module docstring); the oracle
+    partitions by the raw bytes."""
+    rows = read_corpus(corpus_dir, columns=["image_id", "bytes"]).map_batches(
+        _byte_identity_kernel(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    canon = rows.groupby(list(_HASH_COLS)).map_groups(
+        _canonical_group(), batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "canonical_id": pa.array([], type=pa.string()),
+                             "keep": pa.array([], type=pa.bool_())})
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "canonical_id": t.column("canonical_id"),
+            "keep": pc.equal(t.column("image_id"), t.column("canonical_id")),
+        })
+
+    return canon.map_batches(finish, batch_format="pyarrow")
+
+
+def image_exact_dedup_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``image_exact_dedup``: partition by raw bytes."""
+    return (
+        "SELECT image_id, "
+        "min(image_id) OVER (PARTITION BY bytes) AS canonical_id, "
+        "image_id = min(image_id) OVER (PARTITION BY bytes) AS \"keep\" "
+        f"FROM read_parquet('{corpus_glob}')"
+    )
+
+
+def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
+    """(image_id, canonical_id, cluster_rep, keep): the composed image
+    curation keep-list — usable gate (non-NULL stored phash, the
+    flagship's stored-mode filter) -> exact-byte canonical -> pHash
+    Hamming<=1 near-dup clusters (the flagship's counting pre-pass +
+    salted banded LSH + distributed connected components, phash-only
+    config) -> cluster_rep = min image_id per cluster, keep one row
+    per cluster.
+
+    Scale shape: the payload never shuffles (byte identity via the
+    in-batch 128-bit hash); the cluster graph is built over DISTINCT
+    phash values only (the flagship uniq collapse); the phash->cluster
+    label map is edge-bounded and broadcast once via ``ray.put`` below
+    ``broadcast_max_labels``, else applied with a distributed
+    left-outer ``Dataset.join`` — the same auto-switch as the flagship
+    annotate stage (stages/outputs.py)."""
+    cfg = HumidConfig(sources=("phash",), clustering="maximum")
+
+    def usable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.is_valid(batch.column("phash")))
+
+    rows = read_corpus(
+        corpus_dir, columns=["image_id", "bytes", "phash"]
+    ).map_batches(usable, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = rows.map_batches(
+        _byte_identity_kernel(extra_cols=("phash",)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    canon = hashed.groupby(list(_HASH_COLS)).map_groups(
+        _canonical_group(extra_cols=("phash",)), batch_format="pyarrow"
+    )
+
+    # cluster graph over DISTINCT phash values (uniq collapse)
+    uniq_ds = (
+        canon.groupby("phash")
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    )
+    bc = band_bucket_counts(uniq_ds, cfg)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
+
+    hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+    comp = connected_components(edges, cfg)  # (sig, comp); edge-touched only
+
+    n_labels = comp.count()
+    if n_labels <= broadcast_max_labels:
+        parts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("comp").to_numpy(zero_copy_only=False))
+            for b in comp.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        ]
+        if parts:
+            sig_arr = np.concatenate([p[0] for p in parts])
+            lab_arr = np.concatenate([p[1] for p in parts])
+            order = np.argsort(sig_arr, kind="stable")
+            sig_arr, lab_arr = sig_arr[order], lab_arr[order]
+        else:
+            sig_arr = np.empty(0, dtype=np.int64)
+            lab_arr = np.empty(0, dtype=np.int64)
+        ref = ray.put((sig_arr, lab_arr))
+
+        def label_kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"image_id": pa.array([], type=pa.string()),
+                                 "canonical_id": pa.array([], type=pa.string()),
+                                 "label": pa.array([], type=pa.int64())})
+            keys, labs = ray.get(ref)
+            ph = t.column("phash").to_numpy(zero_copy_only=False)
+            lab = ph.astype(np.int64).copy()
+            if len(keys):
+                pos = np.searchsorted(keys, lab)
+                pos[pos == len(keys)] = 0
+                hit = keys[pos] == lab
+                lab[hit] = labs[pos[hit]]
+            return pa.table({"image_id": t.column("image_id"),
+                             "canonical_id": t.column("canonical_id"),
+                             "label": pa.array(lab)})
+
+        labeled = canon.map_batches(label_kernel, batch_format="pyarrow")
+    else:
+        from humid_ray.stages.joins import join_partitions
+
+        # comp is the smaller side (edge-touched distinct sigs only)
+        joined = canon.join(comp, join_type="left_outer", on=("phash",),
+                            right_on=("sig",),
+                            num_partitions=join_partitions(n_labels))
+
+        def fill(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"image_id": pa.array([], type=pa.string()),
+                                 "canonical_id": pa.array([], type=pa.string()),
+                                 "label": pa.array([], type=pa.int64())})
+            lab = pc.coalesce(t.column("comp"), t.column("phash"))
+            return pa.table({"image_id": t.column("image_id"),
+                             "canonical_id": t.column("canonical_id"),
+                             "label": lab})
+
+        labeled = joined.map_batches(fill, batch_format="pyarrow")
+
+    def rep_group(g: pa.Table) -> pa.Table:
+        out = {"image_id": pa.array([], type=pa.string()),
+               "canonical_id": pa.array([], type=pa.string()),
+               "cluster_rep": pa.array([], type=pa.string()),
+               "keep": pa.array([], type=pa.bool_())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        ids = g.column("image_id")
+        rep = pc.min_max(ids)["min"].as_py()
+        rep_col = pa.array([rep] * g.num_rows, type=pa.string())
+        return pa.table({"image_id": ids,
+                         "canonical_id": g.column("canonical_id"),
+                         "cluster_rep": rep_col,
+                         "keep": pc.equal(ids, rep_col)})
+
+    return labeled.groupby("label").map_groups(
+        rep_group, batch_format="pyarrow"
+    )
+
+
+_SB = "-9223372036854775808"  # sign-flip for unsigned int64 ordering
+
+
+def curate_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """DuckDB oracle for ``curate_images``: window-min canonical over
+    raw bytes + recursive Hamming closure over distinct phash."""
+    return (
+        "WITH RECURSIVE u AS (SELECT image_id, bytes, phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "canon AS (SELECT image_id, "
+        "min(image_id) OVER (PARTITION BY bytes) AS canonical_id, phash "
+        "FROM u), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT c.image_id, c.canonical_id, m.label "
+        "FROM canon c JOIN comp m ON m.sig = c.phash) "
+        "SELECT image_id, canonical_id, "
+        "min(image_id) OVER (PARTITION BY label) AS cluster_rep, "
+        "image_id = min(image_id) OVER (PARTITION BY label) AS \"keep\" "
+        "FROM lab"
+    )

@@ -39,6 +39,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from humid_ray.stages.joins import join_partitions
 from humid_ray.util import round_half_away
 
 
@@ -327,8 +328,6 @@ def priority_revenue(sf_dir: str):
     on the order key, and a second per-batch combiner reduces the
     joined stream to |priorities| partials. Revenue is int64 cents
     throughout, so every reduction order gives the same bits."""
-    import ray as _ray
-
     def order_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
@@ -351,7 +350,8 @@ def priority_revenue(sf_dir: str):
                    columns=["o_orderkey", "o_orderpriority"])
     # parquet-metadata counts (no scan): an empty side loses its
     # schema through groupby/join, so short-circuit the inner join
-    if lineitem.count() == 0 or orders.count() == 0:
+    n_li, n_ord = lineitem.count(), orders.count()
+    if n_li == 0 or n_ord == 0:
         return ray.data.from_arrow(pa.table(_PRIORITY_PARTIAL_EMPTY))
     per_order = (
         lineitem
@@ -360,11 +360,10 @@ def priority_revenue(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
     joined = per_order.join(
         orders,
         join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=max(2, min(64, cpus // 2)),
+        num_partitions=join_partitions(n_li, n_ord),
     )
 
     def priority_partial(t: pa.Table) -> pa.Table:
@@ -412,8 +411,6 @@ def segment_revenue(sf_dir: str):
     |segments|-row combiner. Two distributed ``Dataset.join``s
     co-partition the fact tables; revenue stays int64 cents end to
     end, so every reduction order gives the same bits."""
-    import ray as _ray
-
     def order_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
@@ -435,7 +432,9 @@ def segment_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     customer = _read(sf_dir, "customer",
                      columns=["c_custkey", "c_mktsegment"])
-    if lineitem.count() == 0 or orders.count() == 0 or customer.count() == 0:
+    n_li, n_ord, n_cust = (lineitem.count(), orders.count(),
+                           customer.count())
+    if n_li == 0 or n_ord == 0 or n_cust == 0:
         return ray.data.from_arrow(pa.table(_SEGMENT_PARTIAL_EMPTY))
     per_order = (
         lineitem
@@ -444,12 +443,10 @@ def segment_revenue(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
-    nparts = max(2, min(64, cpus // 2))
     with_cust = per_order.join(
         orders,
         join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=nparts,
+        num_partitions=join_partitions(n_li, n_ord),
     )
 
     def cust_partial(t: pa.Table) -> pa.Table:
@@ -479,7 +476,7 @@ def segment_revenue(sf_dir: str):
     with_seg = per_cust.join(
         customer,
         join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
-        num_partitions=nparts,
+        num_partitions=join_partitions(n_ord, n_cust),
     )
 
     def seg_partial(t: pa.Table) -> pa.Table:

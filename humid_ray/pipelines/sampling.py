@@ -140,3 +140,107 @@ def hash_sample(sf_dir: str, pct: int = 10, n_buckets: int = N_BUCKETS,
     return read_documents(sf_dir, columns=columns).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _bottomk_by_hash_kernel(k: int):
+    """Bottom-k rows per lang by (splitmix64(doc_id), doc_id) — the
+    ascending-hash twin of ``_topk_per_lang_kernel``; bottom-k is the
+    same semigroup, so it serves as both the per-batch partial and the
+    per-group final."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(doc.astype(np.int64).view(UINT64))
+        codes = np.unique(lang, return_inverse=True)[1]
+        order = np.lexsort((doc, h, codes))
+        lang, doc, codes = lang[order], doc[order], codes[order]
+        new = np.r_[True, codes[1:] != codes[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(codes)), 0)
+        )
+        keep = (np.arange(len(codes)) - seg_start) < k
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep].tolist(), type=pa.string()),
+                "doc_id": pa.array(doc[keep].astype(np.int64)),
+            }
+        )
+
+    return kernel
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """(lang, doc_id): a deterministic k-document quota sample per
+    language — the balanced evaluation-set / inspection-set draw. The
+    sample is the k docs with the smallest (splitmix64(doc_id),
+    doc_id) per lang, so it is uniform-at-random in hash order yet
+    reproducible with no RNG state and STABLE under corpus growth
+    limited to higher hashes.
+
+    Scale shape: distributed bottom-k-per-key — the per-batch partial
+    caps each batch's contribution at k rows per lang, the final is a
+    tiny groupby(lang) over ≤ k·|batches| collapsed rows. No full
+    shuffle, no sort of the corpus."""
+    partial = _bottomk_by_hash_kernel(k)
+    final = _bottomk_by_hash_kernel(k)
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def mixture_rebalance(sf_dir: str, n_buckets: int = 1000):
+    """(doc_id, lang): the largest deterministic subset of the corpus
+    with a (near-)uniform language mixture — the training-mixture
+    rebalancing pass. Pass 1 computes per-lang counts (a |langs|-row
+    groupby); every language keeps rate = (min_count * n_buckets) //
+    count_lang hash buckets, so each surviving slice has ~min_count
+    docs. Pass 2 is one streaming filter: keep iff
+    splitmix64(doc_id) % n_buckets < rate[lang].
+
+    Scale shape: the shuffle is the |langs|-row count groupby; the
+    keep decision is a pure row-local function of (doc_id, lang) and a
+    broadcast dict of |langs| rates — growth-stable and
+    coordination-free like hash_split."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        read_documents(sf_dir, columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )
+    if not counts:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "lang": pa.array([], type=pa.string())})
+        )
+    mn = min(r["cnt"] for r in counts)
+    rate = {r["lang"]: (mn * n_buckets) // r["cnt"] for r in counts}
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        b = (splitmix64(d.astype(np.int64).view(UINT64))
+             % UINT64(n_buckets)).astype(np.int64)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        lim = np.array([rate.get(v, 0) for v in uniq], dtype=np.int64)
+        return batch.filter(pa.array(b < lim[inv]))
+
+    return read_documents(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -485,3 +485,97 @@ def redact_pii_sql() -> str:
         "AS BIGINT) AS n_long_numbers "
         "FROM documents"
     )
+
+
+def quantile_filter(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """(doc_id, lang, n_chars): documents whose length lies inside the
+    per-language [lo, hi] discrete-quantile band — the
+    percentile-based quality gate (drop per-language outliers: empty
+    shells below p05, concatenation blobs above p95).
+
+    Scale shape: the thresholds come from the same value-histogram
+    combiner as ``length_quantiles`` (shuffle = distinct (lang, len)
+    pairs, never rows; a |langs|-row driver pull), then one streaming
+    vectorized filter with a broadcast |langs|-dict. Index math is
+    ceil(q*n)-1, bit-matching DuckDB quantile_disc."""
+    import math
+
+    _empty = {
+        "lang": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_empty)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, lang))
+        lang, ln = lang[order], ln[order]
+        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
+             "n_chars": pa.array(ln[starts].astype(np.int64)),
+             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
+        )
+
+    def band_group(g: pa.Table) -> pa.Table:
+        empty = {"lang": pa.array([], type=pa.string()),
+                 "ql": pa.array([], type=pa.int64()),
+                 "qh": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ln, kind="stable")
+        ln, cnt = ln[order], cnt[order]
+        keep = np.r_[True, ln[1:] != ln[:-1]]
+        starts = np.flatnonzero(keep)
+        ln = ln[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        vals = []
+        for q in (lo, hi):
+            idx = math.ceil(q * n) - 1
+            vals.append(int(ln[np.searchsorted(cum, idx + 1)]))
+        return pa.table({"lang": g.column("lang").slice(0, 1),
+                         "ql": pa.array([vals[0]], type=pa.int64()),
+                         "qh": pa.array([vals[1]], type=pa.int64())})
+
+    bands = (
+        read_documents(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(band_group, batch_format="pyarrow")
+        .take_all()
+    )
+    band = {r["lang"]: (r["ql"], r["qh"]) for r in bands}
+
+    def keep_kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        ln = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        ql = np.array([band.get(v, (1, 0))[0] for v in uniq], dtype=np.int64)
+        qh = np.array([band.get(v, (1, 0))[1] for v in uniq], dtype=np.int64)
+        return batch.filter(pa.array((ln >= ql[inv]) & (ln <= qh[inv])))
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(keep_kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_filter_sql(table: str = "documents",
+                        lo: float = 0.05, hi: float = 0.95) -> str:
+    """DuckDB oracle for ``quantile_filter``."""
+    return (
+        f"WITH t AS (SELECT lang, "
+        f"quantile_disc(n_chars, {lo}) AS ql, "
+        f"quantile_disc(n_chars, {hi}) AS qh FROM {table} GROUP BY lang) "
+        f"SELECT d.doc_id, d.lang, d.n_chars FROM {table} d "
+        "JOIN t USING (lang) WHERE d.n_chars BETWEEN t.ql AND t.qh"
+    )

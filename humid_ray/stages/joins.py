@@ -69,3 +69,29 @@ def broadcast_lookup_ref(ds, key: str, columns: list[str]):
     """Materialize the small side into one SigLookup in the object
     store; returns the ObjectRef (read it in actor __init__)."""
     return ray.put(SigLookup.from_dataset(ds, key, columns))
+
+
+def join_partitions(*side_counts: int, per_partition: int = 1024,
+                    cap: int = 64) -> int:
+    """num_partitions for ``Dataset.join`` sized to the SMALLER side's
+    row count.
+
+    Ray's hash-join aggregator represents a partition that received
+    zero rows of a side as a schema-less Arrow table, which acero then
+    rejects ("No match ... for key field reference ... on left side"):
+    any join whose key distribution leaves one partition empty crashes.
+    Keeping >= ``per_partition`` rows of the smaller side per partition
+    makes an empty partition statistically impossible (and exactly
+    impossible at 1 partition, the tiny-input case), while large inputs
+    still get min(cap, CPUs/2)-way parallelism — at the 100 TB design
+    point every partition holds millions of keys and the clamp never
+    binds.
+    """
+    import math
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    smallest = max(0, min(side_counts))
+    return max(1, min(cap, cpus // 2,
+                      math.ceil(smallest / per_partition)))

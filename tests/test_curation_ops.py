@@ -1,0 +1,145 @@
+"""Brute-force parity checks for the round-3 curation operators:
+stratified sampling, mixture rebalancing, quantile band filtering,
+and incremental (new-vs-base) exact dedup. Oracle parity at sf0.01 is
+covered by the driver contract; these pin semantics against plain
+python/numpy over sf0.001."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _sm64(x: np.ndarray) -> np.ndarray:
+    from humid_ray.util import UINT64, splitmix64
+
+    return splitmix64(np.asarray(x, dtype=np.int64).view(UINT64))
+
+
+def test_stratified_sample_bottom_k_by_hash(ray_session):
+    from humid_ray.pipelines.sampling import stratified_sample
+
+    k = 5
+    out = (stratified_sample(SF, k=k).to_pandas()
+           .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    docs = _docs()
+    docs["h"] = _sm64(docs.doc_id.to_numpy())
+    expect = (
+        docs.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang").head(k)[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+    assert (out.groupby("lang").size() <= k).all()
+
+
+def test_mixture_rebalance_near_uniform(ray_session):
+    from humid_ray.pipelines.sampling import mixture_rebalance
+
+    n_buckets = 1000
+    out = mixture_rebalance(SF, n_buckets=n_buckets).to_pandas()
+    docs = _docs()
+    cnt = docs.groupby("lang").size()
+    mn = int(cnt.min())
+    rate = {l: (mn * n_buckets) // int(c) for l, c in cnt.items()}
+    b = _sm64(docs.doc_id.to_numpy()) % n_buckets
+    keep = b < docs.lang.map(rate).to_numpy()
+    assert set(out.doc_id) == set(docs.loc[keep, "doc_id"])
+    # every language's surviving slice is within sampling noise of mn
+    kept = out.groupby("lang").size()
+    for l, n in kept.items():
+        assert n <= cnt[l]
+        # expected ~ rate/1000 * cnt ~= mn (generous band: hash noise)
+        assert abs(n - mn) <= max(10, mn)
+
+
+def test_quantile_filter_band(ray_session):
+    from humid_ray.pipelines.textstats import quantile_filter
+
+    lo, hi = 0.05, 0.95
+    out = quantile_filter(SF, lo=lo, hi=hi).to_pandas()
+    docs = _docs()
+    expect_ids = set()
+    for lang, g in docs.groupby("lang"):
+        ln = np.sort(g.n_chars.to_numpy())
+        n = len(ln)
+        ql = int(ln[math.ceil(lo * n) - 1])
+        qh = int(ln[math.ceil(hi * n) - 1])
+        expect_ids |= set(
+            g.loc[(g.n_chars >= ql) & (g.n_chars <= qh), "doc_id"]
+        )
+    assert set(out.doc_id) == expect_ids
+    assert list(out.columns) == ["doc_id", "lang", "n_chars"]
+
+
+def test_incremental_dedup_vs_pandas(ray_session):
+    from humid_ray.pipelines.dedup_text import incremental_exact_dedup
+
+    new_pct, n_buckets = 20, 100
+    out = (incremental_exact_dedup(SF, new_pct=new_pct,
+                                   n_buckets=n_buckets).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = _docs()
+    b = _sm64(docs.doc_id.to_numpy()) % n_buckets
+    is_new = b < new_pct
+    base = docs.loc[~is_new].groupby("text").doc_id.min()
+    new = docs.loc[is_new].copy()
+    new["base_rep"] = new.text.map(base)
+    new["is_dup"] = new.base_rep.notna()
+    expect = (new[["doc_id", "is_dup", "base_rep"]]
+              .sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == expect.doc_id.tolist()
+    assert out.is_dup.tolist() == expect.is_dup.tolist()
+    got_rep = out.base_rep.fillna(-1).astype("int64").tolist()
+    exp_rep = expect.base_rep.fillna(-1).astype("int64").tolist()
+    assert got_rep == exp_rep
+    assert (~out.is_dup).any()
+
+
+def test_incremental_dedup_planted_dups(ray_session, tmp_path):
+    """Planted corpus where some NEW docs repeat BASE texts: dup rows
+    point at the smallest base doc_id holding the text."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.dedup_text import incremental_exact_dedup
+    from humid_ray.util import UINT64, splitmix64
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    b = splitmix64(ids.view(UINT64)) % 100
+    is_new = b < 20
+    # 16 shared texts: every doc (base or new) with id % 25 == k < 16
+    # carries text "shared k"; the rest are unique
+    texts = [
+        f"shared {i % 25}" if i % 25 < 16 else f"unique text {i}"
+        for i in range(n)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            "source": pa.array(["s"] * n, type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = (incremental_exact_dedup(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    df = pd.DataFrame({"doc_id": ids, "text": texts, "is_new": is_new})
+    base_min = df.loc[~df.is_new].groupby("text").doc_id.min()
+    new = df.loc[df.is_new].copy()
+    new["base_rep"] = new.text.map(base_min)
+    assert out.doc_id.tolist() == new.doc_id.tolist()
+    assert out.is_dup.tolist() == new.base_rep.notna().tolist()
+    assert (out.base_rep.fillna(-1).astype("int64").tolist()
+            == new.base_rep.fillna(-1).astype("int64").tolist())
+    # both classes genuinely present
+    assert out.is_dup.any() and (~out.is_dup).any()

@@ -13,7 +13,9 @@ sys.path.insert(0, "/root/repo")
 
 # corpus-backed queries read the synthetic image corpus path baked to
 # sf0.01 — they are exercised by the e2e suite, not this fixture
-CORPUS_QUERIES_PREFIXES = ("humid_", "multimodal_", "audio_", "video_")
+CORPUS_QUERIES_PREFIXES = (
+    "humid_", "multimodal_", "audio_", "video_", "image_", "curate_images",
+)
 
 # scalar-summary queries legitimately emit ONE row of zero counts on
 # an empty input (their SQL oracles do the same)
