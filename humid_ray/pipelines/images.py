@@ -55,18 +55,22 @@ def _flat_binary(col) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-_HASH_COLS = ("h1", "h2", "ln")
+_CANON_BUCKETS = 256
 
 
 def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
     """map_batches kernel: (image_id, bytes, *extra) ->
-    (image_id, h1, h2, ln, *extra) — the payload stays in this task."""
+    (image_id, h1, h2, ln, bucket, *extra) — the payload stays in this
+    task; ``bucket`` = h1 % 256 keys the canonicalization groupby (256
+    buckets, so the per-bucket kernel is one vectorized pass instead
+    of one Python call per distinct payload)."""
 
     out_schema = {
         "image_id": pa.string(),
         "h1": pa.int64(),
         "h2": pa.int64(),
         "ln": pa.int64(),
+        "bucket": pa.int64(),
         **{c: pa.int64() for c in extra_cols},
     }
 
@@ -86,6 +90,8 @@ def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
             "h1": u64col(h1),
             "h2": u64col(h2),
             "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "bucket": pa.array((h1 % UINT64(_CANON_BUCKETS))
+                               .astype(np.int64)),
         }
         for c in extra_cols:
             cols[c] = batch.column(c)
@@ -94,9 +100,11 @@ def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
     return kernel
 
 
-def _canonical_group(extra_cols: tuple[str, ...] = ()):
-    """map_groups kernel over a (h1, h2, ln) group: every row of the
-    group is byte-identical; canonical = min image_id."""
+def _canonical_bucket(extra_cols: tuple[str, ...] = ()):
+    """map_groups kernel over ONE hash bucket (h1 % 256): many
+    byte-identity groups per call, canonicalized with a single lexsort
+    + segment pass — no per-group Python. canonical = min image_id
+    within each (h1, h2, ln) segment."""
 
     def kernel(g: pa.Table) -> pa.Table:
         out = {
@@ -106,11 +114,25 @@ def _canonical_group(extra_cols: tuple[str, ...] = ()):
         }
         if g.num_rows == 0:
             return pa.table(out)
-        ids = g.column("image_id")
-        canon = pc.min_max(ids)["min"].as_py()
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        ln = g.column("ln").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ln, h2, h1))
+        h1s, h2s, lns = h1[order], h2[order], ln[order]
+        new = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+                    | (lns[1:] != lns[:-1])]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0)
+        )
+        ids_sorted = ids[order]
+        canon_sorted = ids_sorted[seg_start]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
         cols = {
-            "image_id": ids,
-            "canonical_id": pa.array([canon] * g.num_rows, type=pa.string()),
+            "image_id": g.column("image_id"),
+            "canonical_id": pa.array(canon_sorted[inv].tolist(),
+                                     type=pa.string()),
         }
         for c in extra_cols:
             cols[c] = g.column(c)
@@ -131,8 +153,8 @@ def image_exact_dedup(corpus_dir: str):
     rows = read_corpus(corpus_dir, columns=["image_id", "bytes"]).map_batches(
         _byte_identity_kernel(), batch_format="pyarrow", zero_copy_batch=True
     )
-    canon = rows.groupby(list(_HASH_COLS)).map_groups(
-        _canonical_group(), batch_format="pyarrow"
+    canon = rows.groupby("bucket").map_groups(
+        _canonical_bucket(), batch_format="pyarrow"
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -189,8 +211,8 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
         _byte_identity_kernel(extra_cols=("phash",)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    canon = hashed.groupby(list(_HASH_COLS)).map_groups(
-        _canonical_group(extra_cols=("phash",)), batch_format="pyarrow"
+    canon = hashed.groupby("bucket").map_groups(
+        _canonical_bucket(extra_cols=("phash",)), batch_format="pyarrow"
     )
 
     # cluster graph over DISTINCT phash values (uniq collapse)
