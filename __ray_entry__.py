@@ -479,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_rebalance_docs": sampling.mixture_rebalance,
         # per-language length-quantile quality band (SQL-oracled)
         "quantile_filter_docs": textstats.quantile_filter,
+        # per-group window-function parity: z-score normalization and
+        # exact-integer decile assignment (both SQL-oracled)
+        "zscore_lengths_docs": textstats.zscore_lengths,
+        "length_deciles_docs": textstats.length_deciles,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
         # PII scrub: email-then-long-number RE2 redaction (SQL-oracled;
@@ -1001,6 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _orc.stratified_sample_sql(),
         "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),
         "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),
+        "zscore_lengths_docs": _textstats_mod.zscore_lengths_sql(),
+        "length_deciles_docs": _textstats_mod.length_deciles_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(
             _corpus_for("sf0.01") + "/*.parquet"

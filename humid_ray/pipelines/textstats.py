@@ -579,3 +579,219 @@ def quantile_filter_sql(table: str = "documents",
         f"SELECT d.doc_id, d.lang, d.n_chars FROM {table} d "
         "JOIN t USING (lang) WHERE d.n_chars BETWEEN t.ql AND t.qh"
     )
+
+
+def zscore_lengths(sf_dir: str):
+    """(doc_id, lang, n_chars, z): per-language z-score of document
+    length — the per-group feature-normalization pass (z = (x - mean) /
+    population std), the window-function shape ``(x - AVG(x) OVER
+    lang) / STDDEV_POP(x) OVER lang``.
+
+    Scale shape: pass 1 collapses each batch to one (lang, n, sum,
+    sumsq) row (sums exact in int64), a |langs|-row groupby + driver
+    pull; pass 2 is one streaming map with a broadcast |langs| dict.
+    Mean/std are derived from the integer sums in the same float64
+    operation order as the SQL oracle, so round6 matches bit-for-bit.
+    Degenerate groups (std == 0) emit z = 0, like the oracle's CASE."""
+    _empty = {
+        "lang": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "s1": pa.array([], type=pa.int64()),
+        "s2": pa.array([], type=pa.int64()),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_empty)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        g = len(uniq)
+        n = np.bincount(inv, minlength=g).astype(np.int64)
+        s1 = np.zeros(g, dtype=np.int64)
+        np.add.at(s1, inv, x)
+        s2 = np.zeros(g, dtype=np.int64)
+        np.add.at(s2, inv, x * x)
+        return pa.table(
+            {"lang": pa.array(uniq.tolist(), type=pa.string()),
+             "n": pa.array(n), "s1": pa.array(s1), "s2": pa.array(s2)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    moments = (
+        read_documents(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+        .take_all()
+    )
+    stats = {}
+    for r in moments:
+        n = np.float64(r["n"])
+        mean = np.float64(r["s1"]) / n
+        var = np.float64(r["s2"]) / n - mean * mean
+        std = np.sqrt(var) if var > 0 else np.float64(0.0)
+        stats[r["lang"]] = (mean, std)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "lang": pa.array([], type=pa.string()),
+                 "n_chars": pa.array([], type=pa.int64()),
+                 "z": pa.array([], type=pa.float64())}
+            )
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        mean = np.array([stats.get(v, (0.0, 0.0))[0] for v in uniq])
+        std = np.array([stats.get(v, (0.0, 0.0))[1] for v in uniq])
+        m, s = mean[inv], std[inv]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(s > 0, (x - m) / s, 0.0)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "n_chars": batch.column("n_chars"),
+             "z": pa.array(round_half_away(z, 6))}
+        )
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zscore_lengths_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``zscore_lengths`` — same integer sums, same
+    float64 operation order (mean = s1/n; var = s2/n - mean^2)."""
+    return (
+        f"WITH s AS (SELECT lang, count(*) AS n, sum(n_chars) AS s1, "
+        f"sum(n_chars * n_chars) AS s2 FROM {table} GROUP BY lang), "
+        "m AS (SELECT lang, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var FROM s) "
+        f"SELECT d.doc_id, d.lang, d.n_chars, "
+        "CASE WHEN m.var > 0 THEN round((d.n_chars - m.mean) "
+        "/ sqrt(m.var), 6) ELSE 0.0 END AS z "
+        f"FROM {table} d JOIN m USING (lang)"
+    )
+
+
+def length_deciles(sf_dir: str):
+    """(doc_id, lang, n_chars, decile): per-language decile of document
+    length, decile = ceil(10 * cume_dist) computed in EXACT integer
+    arithmetic (ceil(10*cle/n) = (10*cle + n - 1) // n, cle = docs with
+    length <= x in the language) — deterministic under ties, no
+    floating-point boundary flips.
+
+    Scale shape: the same value-histogram combiner as
+    ``length_quantiles`` (shuffle = distinct (lang, len) pairs); the
+    per-lang cumulative table is a broadcast dict keyed by lang with a
+    sorted value array + decile array, probed by searchsorted in one
+    streaming pass."""
+    _empty = {
+        "lang": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_empty)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, lang))
+        lang, ln = lang[order], ln[order]
+        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
+             "n_chars": pa.array(ln[starts].astype(np.int64)),
+             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
+        )
+
+    def decile_group(g: pa.Table) -> pa.Table:
+        empty = {"lang": pa.array([], type=pa.string()),
+                 "n_chars": pa.array([], type=pa.int64()),
+                 "decile": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ln, kind="stable")
+        ln, cnt = ln[order], cnt[order]
+        keep = np.r_[True, ln[1:] != ln[:-1]]
+        starts = np.flatnonzero(keep)
+        ln = ln[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        cle = np.cumsum(cnt)
+        n = int(cle[-1])
+        dec = (10 * cle + n - 1) // n
+        return pa.table(
+            {"lang": pa.array([g.column("lang")[0].as_py()] * len(ln),
+                              type=pa.string()),
+             "n_chars": pa.array(ln.astype(np.int64)),
+             "decile": pa.array(dec.astype(np.int64))}
+        )
+
+    table = (
+        read_documents(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(decile_group, batch_format="pyarrow")
+        .take_all()
+    )
+    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in table:
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["decile"]))
+    for k, rows in by_lang.items():
+        rows.sort()
+        lut[k] = (np.array([a for a, _ in rows], dtype=np.int64),
+                  np.array([b for _, b in rows], dtype=np.int64))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "lang": pa.array([], type=pa.string()),
+                 "n_chars": pa.array([], type=pa.int64()),
+                 "decile": pa.array([], type=pa.int64())}
+            )
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        dec = np.zeros(len(x), dtype=np.int64)
+        for v in np.unique(lang):
+            vals, decs = lut.get(v, (np.empty(0, np.int64),
+                                     np.empty(0, np.int64)))
+            mask = lang == v
+            if len(vals):
+                dec[mask] = decs[np.searchsorted(vals, x[mask])]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "n_chars": batch.column("n_chars"),
+             "decile": pa.array(dec)}
+        )
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_deciles_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``length_deciles`` — the same exact integer
+    ceil-division over cumulative counts."""
+    return (
+        f"WITH c AS (SELECT lang, n_chars, count(*) AS cnt FROM {table} "
+        "GROUP BY lang, n_chars), "
+        "agg AS (SELECT lang, n_chars, "
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cle, "
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM c) "
+        f"SELECT d.doc_id, d.lang, d.n_chars, "
+        "CAST((10 * a.cle + a.n - 1) // a.n AS BIGINT) AS decile "
+        f"FROM {table} d JOIN agg a USING (lang, n_chars)"
+    )

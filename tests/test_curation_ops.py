@@ -143,3 +143,39 @@ def test_incremental_dedup_planted_dups(ray_session, tmp_path):
             == new.base_rep.fillna(-1).astype("int64").tolist())
     # both classes genuinely present
     assert out.is_dup.any() and (~out.is_dup).any()
+
+
+def test_zscore_lengths_vs_numpy(ray_session):
+    from humid_ray.pipelines.textstats import zscore_lengths
+    from humid_ray.util import round_half_away
+
+    out = (zscore_lengths(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = _docs().sort_values("doc_id").reset_index(drop=True)
+    for lang, g in docs.groupby("lang"):
+        x = g.n_chars.to_numpy().astype(np.int64)
+        n = np.float64(len(x))
+        mean = np.float64(x.sum()) / n
+        var = np.float64((x * x).sum()) / n - mean * mean
+        std = np.sqrt(var) if var > 0 else 0.0
+        z = (x - mean) / std if std > 0 else np.zeros(len(x))
+        got = out.loc[out.lang == lang].sort_values("doc_id").z.to_numpy()
+        assert np.array_equal(got, round_half_away(z, 6))
+    # normalized: per-lang mean ~ 0, std ~ 1
+    assert abs(out.z.mean()) < 0.01
+
+
+def test_length_deciles_exact_integer(ray_session):
+    from humid_ray.pipelines.textstats import length_deciles
+
+    out = (length_deciles(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = _docs()
+    for lang, g in docs.groupby("lang"):
+        x = np.sort(g.n_chars.to_numpy())
+        n = len(x)
+        for _, row in out.loc[out.lang == lang].iterrows():
+            cle = int((x <= row.n_chars).sum())
+            assert row.decile == (10 * cle + n - 1) // n
+    assert set(out.decile) <= set(range(1, 11))
+    assert out.decile.max() == 10
