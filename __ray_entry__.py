@@ -483,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer decile assignment (both SQL-oracled)
         "zscore_lengths_docs": textstats.zscore_lengths,
         "length_deciles_docs": textstats.length_deciles,
+        # per-document TF-IDF keywords over the global vocab DF
+        # (SQL-oracled; libm-parity idf so the hash compare holds)
+        "tfidf_top_terms_docs": textstats.tfidf_top_terms,
         "bpe_token_count_docs": textstats.bpe_token_counts,
         "stopword_ratio_docs": textstats.stopword_ratio,
         # PII scrub: email-then-long-number RE2 redaction (SQL-oracled;
@@ -1007,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),
         "zscore_lengths_docs": _textstats_mod.zscore_lengths_sql(),
         "length_deciles_docs": _textstats_mod.length_deciles_sql(),
+        "tfidf_top_terms_docs": _textstats_mod.tfidf_top_terms_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(
             _corpus_for("sf0.01") + "/*.parquet"

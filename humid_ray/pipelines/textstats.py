@@ -795,3 +795,117 @@ def length_deciles_sql(table: str = "documents") -> str:
         "CAST((10 * a.cle + a.n - 1) // a.n AS BIGINT) AS decile "
         f"FROM {table} d JOIN agg a USING (lang, n_chars)"
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """(doc_id, token, score, rank): the k highest-TF-IDF tokens per
+    document (score = tf * ln(N / df), rank by score DESC then token
+    ASC) — the per-document keyword/indexing operator.
+
+    Scale shape: document frequencies come from the skew-proof
+    ``vocab`` combiner; the (token -> idf) table is broadcast ONCE via
+    ``ray.put`` as sorted arrays probed with searchsorted (document
+    the ceiling: a natural-language vocabulary is ~1e8 tokens — far
+    under worker heap; beyond that, hash-join tf rows to the df table
+    like the candidate-text verify path, dedup_text.py). Scoring is
+    one streaming pass: per-batch (row, token) tf via lexsort +
+    segment counts, top-k per row via one more lexsort — no per-row
+    Python. idf uses scalar libm ``math.log`` per DISTINCT vocab
+    token (numpy's vectorized log differs from libm in the last ulp,
+    which would break hash parity with DuckDB's ``ln``)."""
+    import math
+
+    import ray as _ray
+
+    n_total = read_documents(sf_dir, columns=["doc_id"]).count()
+    _empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "token": pa.array([], type=pa.string()),
+         "score": pa.array([], type=pa.float64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if n_total == 0:
+        return ray.data.from_arrow(_empty)
+
+    parts = [
+        (np.asarray(b.column("token").to_pylist(), dtype=object),
+         b.column("n_docs").to_numpy(zero_copy_only=False))
+        for b in vocab(sf_dir).iter_batches(batch_size=262144,
+                                            batch_format="pyarrow")
+    ]
+    if parts:
+        vtok = np.concatenate([p[0] for p in parts])
+        vdf = np.concatenate([p[1] for p in parts])
+        order = np.argsort(vtok, kind="stable")
+        vtok, vdf = vtok[order], vdf[order]
+    else:
+        vtok = np.empty(0, dtype=object)
+        vdf = np.empty(0, dtype=np.int64)
+    # scalar libm log per distinct token: bit-parity with DuckDB ln
+    vidf = np.array([math.log(float(n_total) / d) for d in vdf.tolist()],
+                    dtype=np.float64)
+    ref = _ray.put((vtok, vidf))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        keys, idf = _ray.get(ref)
+        flat, offs = _flat_tokens(batch.column("text"))
+        if len(flat) == 0:
+            return _empty
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(batch.num_rows), offs[1:] - offs[:-1])
+        # (row, token) term frequencies: one lexsort + segment count
+        order = np.lexsort((toks, rows))
+        rs, ts = rows[order], toks[order]
+        new = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(rs)]).astype(np.int64)
+        rs, ts = rs[starts], ts[starts]
+        pos = np.searchsorted(keys, ts)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        score = tf.astype(np.float64) * idf[pos]
+        # top-k per row by (score DESC, token ASC)
+        sel = np.lexsort((ts, -score, rs))
+        rs2 = rs[sel]
+        first = np.r_[True, rs2[1:] != rs2[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(rs2)), 0)
+        )
+        rank = np.arange(len(rs2)) - seg_start
+        keep = rank < k
+        sel = sel[keep]
+        return pa.table(
+            {"doc_id": pa.array(doc[rs[sel]].astype(np.int64)),
+             "token": pa.array(ts[sel].tolist(), type=pa.string()),
+             "score": pa.array(round_half_away(score[sel], 6)),
+             "rank": pa.array((rank[keep] + 1).astype(np.int64))}
+        )
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "text"]
+    ).map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
+    """DuckDB oracle for ``tfidf_top_terms`` (same token rule as
+    vocab_docs; ln over the same doubles; ranking on the unrounded
+    score)."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower(coalesce(text,'')), '[0-9a-z]+')) AS token FROM {table}), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY doc_id, token), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df "
+        "FROM toks GROUP BY token), "
+        f"n AS (SELECT count(*) AS n FROM {table}), "
+        "scored AS (SELECT tf.doc_id, tf.token, "
+        "CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df.df) AS score "
+        "FROM tf JOIN df USING (token), n), "
+        "r AS (SELECT doc_id, token, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, token) AS \"rank\" "
+        "FROM scored) "
+        "SELECT doc_id, token, round(score, 6) AS score, "
+        f"CAST(\"rank\" AS BIGINT) AS \"rank\" FROM r WHERE \"rank\" <= {k}"
+    )

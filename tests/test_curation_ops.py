@@ -179,3 +179,36 @@ def test_length_deciles_exact_integer(ray_session):
             assert row.decile == (10 * cle + n - 1) // n
     assert set(out.decile) <= set(range(1, 11))
     assert out.decile.max() == 10
+
+
+def test_tfidf_top_terms_vs_python(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    from humid_ray.pipelines.textstats import tfidf_top_terms
+
+    k = 3
+    out = (tfidf_top_terms(SF, k=k).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    docs = _docs()
+    tok = {
+        r.doc_id: re.findall(r"[0-9a-z]+", (r.text or "").lower())
+        for r in docs.itertuples()
+    }
+    df = Counter()
+    for ts in tok.values():
+        df.update(set(ts))
+    n = float(len(docs))
+    expect = []
+    for doc_id, ts in sorted(tok.items()):
+        if not ts:
+            continue
+        tf = Counter(ts)
+        scored = sorted(
+            ((t, c * math.log(n / df[t])) for t, c in tf.items()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        for i, (t, s) in enumerate(scored):
+            expect.append((doc_id, t, i + 1))
+    assert list(zip(out.doc_id, out.token, out["rank"])) == expect
