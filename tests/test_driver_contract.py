@@ -30,6 +30,7 @@ CORPUS_ORACLES = {
     "multimodal_decode_dims",
     "audio_decode_dims", "video_decode_dims",
     "audio_durations", "video_sampled_frames",
+    "image_exact_dedup", "curate_images",
 }
 
 
