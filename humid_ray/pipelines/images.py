@@ -211,9 +211,15 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
         _byte_identity_kernel(extra_cols=("phash",)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # materialize the canonical map ONCE: four downstream consumers
+    # (uniq collapse, hot-key pre-pass, edge finder, final labeling)
+    # would otherwise each re-execute the payload-hashing scan through
+    # Dataset lineage — the 100 TB column read x4. canon is the NARROW
+    # projection (id, canonical, phash); at flagship scale this slot is
+    # the per-phase parquet checkpoint (state/checkpoints.py) instead.
     canon = hashed.groupby("bucket").map_groups(
         _canonical_bucket(extra_cols=("phash",)), batch_format="pyarrow"
-    )
+    ).materialize()
 
     # cluster graph over DISTINCT phash values (uniq collapse)
     uniq_ds = (
@@ -224,7 +230,7 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
                                 "count": t.column("count")}),
             batch_format="pyarrow",
         )
-    )
+    ).materialize()
     bc = band_bucket_counts(uniq_ds, cfg)
 
     def only_hot(t: pa.Table) -> pa.Table:
@@ -233,7 +239,8 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
     hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
     hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
     edges = find_edges(uniq_ds, cfg, hot_keys or None)
-    comp = connected_components(edges, cfg)  # (sig, comp); edge-touched only
+    # (sig, comp); edge-touched only — tiny (edge-bounded)
+    comp = connected_components(edges, cfg).materialize()
 
     n_labels = comp.count()
     if n_labels <= broadcast_max_labels:
