@@ -515,6 +515,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join: last click at-or-before each purchase (SQL-oracled
         # via IGNORE NULLS window fill, deterministic tie-breaks)
         "events_asof_join": events.asof_join,
+        # banded RANGE join: every match in the attribution window
+        # (SQL-oracled vs a plain inequality join)
+        "events_range_join": events.range_join,
+        # HyperLogLog approximate distinct (mergeable sketch; pytest
+        # pins the estimate within 3% of exact — no SQL oracle, the
+        # value is sketch-derived)
+        "events_distinct_users_approx": events.distinct_users_approx,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
         # exact distributed quantiles via value-histogram combiner
@@ -1004,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_docs": _segdedup.chunk_dedup_sql(),
         "redact_pii_docs": _textstats_mod.redact_pii_sql(),
         "events_props_extract": _events_mod.props_extract_sql(),
+        "events_range_join": _events_mod.range_join_sql(),
         "segment_revenue": _relational_mod.segment_revenue_sql(),
         "stratified_sample_docs": _orc.stratified_sample_sql(),
         "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),

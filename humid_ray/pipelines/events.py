@@ -597,3 +597,182 @@ def props_extract_sql() -> str:
         "SELECT event_id, CAST(nullif(regexp_extract(coalesce(props,''), "
         "'\"k\": ([0-9]+)', 1), '') AS BIGINT) AS k FROM events"
     )
+
+
+def range_join(sf_dir: str, left_type: str = "purchase",
+               right_type: str = "click",
+               window_us: int = 3_600_000_000):
+    """(user_id, purchase_id, click_id, gap_us): EVERY ``right_type``
+    event within ``window_us`` at-or-before each ``left_type`` event of
+    the same user — the banded RANGE join (the as-of join keeps one
+    match; this keeps them all, e.g. attribution windows).
+
+    One shuffle into user-hash buckets; each bucket kernel sorts the
+    right side once by an encoded (user, ts) key and resolves every
+    left row's match RANGE with two vectorized searchsorted calls; the
+    pair expansion is a repeat + arange, no per-row Python. Output
+    size is the true join cardinality (it IS the answer); the
+    per-bucket peak is bounded by the bucket's own pair count, spread
+    across 256 hash buckets like sessionize."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        b = batch.filter(keep)
+        side = pc.equal(b.column("event_type"), left_type).cast(pa.int8())
+        b = b.drop_columns(["event_type"]).append_column("side", side)
+        return b.append_column(
+            "bucket", pa.array(_user_buckets(b), type=pa.int64())
+        )
+
+    _empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "purchase_id": pa.array([], type=pa.int64()),
+        "click_id": pa.array([], type=pa.int64()),
+        "gap_us": pa.array([], type=pa.int64()),
+    }
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_empty)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        if not is_l.any() or is_l.all():
+            return pa.table(_empty)
+        # encode (user rank, ts offset) into one sortable int64 key
+        uranks = np.unique(uid)
+        urank = np.searchsorted(uranks, uid).astype(np.int64)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        assert len(uranks) * span < (1 << 62), "key encode overflow"
+        key = urank * span + (ts - t0)
+        lk, le = key[is_l], eid[is_l]
+        lu, lt = uid[is_l], ts[is_l]
+        rk, re_, rt = key[~is_l], eid[~is_l], ts[~is_l]
+        order = np.argsort(rk, kind="stable")
+        rk, re_, rt = rk[order], re_[order], rt[order]
+        # clamp the window start to the same user's key range
+        lo = np.searchsorted(rk, np.maximum(lk - window_us,
+                                            (lk // span) * span))
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(_empty)
+        li = np.repeat(np.arange(len(lk)), cnt)
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(cnt)[:-1]], cnt
+        )
+        ri = starts + offs
+        return pa.table(
+            {"user_id": pa.array(lu[li].astype(np.int64)),
+             "purchase_id": pa.array(le[li].astype(np.int64)),
+             "click_id": pa.array(re_[ri].astype(np.int64)),
+             "gap_us": pa.array((lt[li] - rt[ri]).astype(np.int64))}
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["bucket"])
+                             if "bucket" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def range_join_sql(left_type: str = "purchase", right_type: str = "click",
+                   window_us: int = 3_600_000_000) -> str:
+    """DuckDB oracle for ``range_join`` (plain inequality join)."""
+    return (
+        "SELECT l.user_id, l.event_id AS purchase_id, "
+        "r.event_id AS click_id, "
+        "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us "
+        "FROM events l JOIN events r ON l.user_id = r.user_id "
+        f"AND l.event_type = '{left_type}' "
+        f"AND r.event_type = '{right_type}' "
+        "AND epoch_us(r.ts) <= epoch_us(l.ts) "
+        f"AND epoch_us(r.ts) >= epoch_us(l.ts) - {window_us}"
+    )
+
+
+HLL_P = 12  # 4096 registers
+
+
+def distinct_users_approx(sf_dir: str, p: int = HLL_P):
+    """(event_type, approx_users): HyperLogLog approximate distinct
+    users per event type — the MERGEABLE-SKETCH pattern (per-batch
+    register partials, max-merge groupby, driver-side estimate; the
+    shuffle carries |types| x 2^p bytes, never users).
+
+    No SQL oracle (sketch-valued); pytest pins the estimate within 3%
+    of the exact count at sf0.001/sf0.01 register sizes. Exact salted
+    counting exists as ``distinct_users``; this is the fixed-memory
+    alternative for cardinalities where even per-group exact sets
+    don't fit (e.g. trillions of rows per group)."""
+    from humid_ray.util import UINT64, splitmix64
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = {"event_type": pa.array([], type=pa.string()),
+                 "regs": pa.array([], type=pa.binary())}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(uid.astype(np.int64).view(UINT64))
+        idx = (h >> UINT64(64 - p)).astype(np.int64)
+        # sentinel low bits guarantee the value is nonzero and rank
+        # tops out at 64 - p + 1
+        rest = (h << UINT64(p)) | UINT64((1 << p) - 1)
+        # exact vectorized floor(log2(x)) via binary exponent search
+        # (float log2 is inexact near powers of two)
+        fl = np.zeros(len(rest), dtype=np.int64)
+        c = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = c >= (np.uint64(1) << np.uint64(shift))
+            fl[big] += shift
+            c[big] >>= np.uint64(shift)
+        rank = (63 - fl + 1).astype(np.uint8)  # leading zeros + 1
+        uniq, inv = np.unique(et, return_inverse=True)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rank)
+        return pa.table(
+            {"event_type": pa.array(uniq.tolist(), type=pa.string()),
+             "regs": pa.array([r.tobytes() for r in regs],
+                              type=pa.binary())}
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = {"event_type": pa.array([], type=pa.string()),
+                 "approx_users": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        regs = np.zeros(m, dtype=np.uint8)
+        for v in g.column("regs"):
+            regs = np.maximum(regs, np.frombuffer(v.as_py(), dtype=np.uint8))
+        # standard HLL estimate with small-range correction
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {"event_type": g.column("event_type").slice(0, 1),
+             "approx_users": pa.array([int(round(est))], type=pa.int64())}
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -244,3 +244,41 @@ def test_props_extract_matches_python(ray_session, tmp_path):
             assert row.k == int(m.group(1))
         else:
             assert row.isna().k
+
+
+def test_range_join_vs_pandas(ray_session):
+    import numpy as np
+
+    from humid_ray.pipelines.events import range_join
+
+    sf = "/root/testdata/sf0.001"
+    win = 3_600_000_000
+    out = (range_join(sf, window_us=win).to_pandas()
+           .sort_values(["purchase_id", "click_id"]).reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    l = ev[ev.event_type == "purchase"]
+    r = ev[ev.event_type == "click"]
+    m = l.merge(r, on="user_id", suffixes=("_l", "_r"))
+    m = m[(m.us_r <= m.us_l) & (m.us_r >= m.us_l - win)]
+    expect = (m[["user_id", "event_id_l", "event_id_r"]]
+              .assign(gap=m.us_l - m.us_r)
+              .sort_values(["event_id_l", "event_id_r"])
+              .reset_index(drop=True))
+    assert out.purchase_id.tolist() == expect.event_id_l.tolist()
+    assert out.click_id.tolist() == expect.event_id_r.tolist()
+    assert out.gap_us.tolist() == expect.gap.tolist()
+    assert len(out) > 0
+
+
+def test_distinct_users_approx_close_to_exact(ray_session):
+    from humid_ray.pipelines.events import distinct_users_approx
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = distinct_users_approx(sf).to_pandas()
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        exact = ev.groupby("event_type").user_id.nunique()
+        for _, row in out.iterrows():
+            e = exact[row.event_type]
+            assert abs(row.approx_users - e) <= max(2, 0.03 * e), (
+                row.event_type, row.approx_users, e)
