@@ -200,6 +200,8 @@ def run_bench() -> dict:
     timed("mixture_rebalance_docs", lambda: sampling.mixture_rebalance(SF_DIR))
     timed("image_exact_dedup", lambda: images.image_exact_dedup(corpus))
     timed("curate_images", lambda: images.curate_images(corpus))
+    timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
+    timed("events_range_join", lambda: events.range_join(SF_DIR))
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

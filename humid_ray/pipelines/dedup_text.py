@@ -1034,12 +1034,13 @@ def incremental_exact_dedup(sf_dir: str, new_pct: int = 20,
     base_reps = base.groupby("text").aggregate(
         Min("doc_id", alias_name="base_rep")
     )
-    from humid_ray.stages.joins import join_partitions
+    from humid_ray.stages.joins import join_kwargs
 
+    # texts are wide: size the hint by observed mean text bytes
     joined = new.join(
         base_reps,
         join_type="left_outer", on=("text",),
-        num_partitions=join_partitions(n_new, n_base),
+        **join_kwargs(n_new, n_base, bytes_per_row=1024),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -279,12 +279,11 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
 
         labeled = canon.map_batches(label_kernel, batch_format="pyarrow")
     else:
-        from humid_ray.stages.joins import join_partitions
+        from humid_ray.stages.joins import join_kwargs
 
         # comp is the smaller side (edge-touched distinct sigs only)
         joined = canon.join(comp, join_type="left_outer", on=("phash",),
-                            right_on=("sig",),
-                            num_partitions=join_partitions(n_labels))
+                            right_on=("sig",), **join_kwargs(n_labels))
 
         def fill(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:

@@ -39,7 +39,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from humid_ray.stages.joins import join_partitions
+from humid_ray.stages.joins import join_kwargs
 from humid_ray.util import round_half_away
 
 
@@ -363,7 +363,7 @@ def priority_revenue(sf_dir: str):
     joined = per_order.join(
         orders,
         join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=join_partitions(n_li, n_ord),
+        **join_kwargs(n_li, n_ord),
     )
 
     def priority_partial(t: pa.Table) -> pa.Table:
@@ -446,7 +446,7 @@ def segment_revenue(sf_dir: str):
     with_cust = per_order.join(
         orders,
         join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=join_partitions(n_li, n_ord),
+        **join_kwargs(n_li, n_ord),
     )
 
     def cust_partial(t: pa.Table) -> pa.Table:
@@ -476,7 +476,7 @@ def segment_revenue(sf_dir: str):
     with_seg = per_cust.join(
         customer,
         join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
-        num_partitions=join_partitions(n_ord, n_cust),
+        **join_kwargs(n_ord, n_cust),
     )
 
     def seg_partial(t: pa.Table) -> pa.Table:

@@ -71,6 +71,31 @@ def broadcast_lookup_ref(ds, key: str, columns: list[str]):
     return ray.put(SigLookup.from_dataset(ds, key, columns))
 
 
+def join_kwargs(*side_counts: int, bytes_per_row: int = 64,
+                per_partition: int = 1024, cap: int = 64) -> dict:
+    """``num_partitions`` + ``partition_size_hint`` kwargs for
+    ``Dataset.join`` sized to the actual join sides.
+
+    Without a hint, Ray's join estimates every partition at
+    ``target_max_block_size`` (128 MiB) and each aggregator actor
+    reserves ~7x that of logical memory — ~0.9 GiB x num_partitions
+    PER JOIN. For the collapsed per-key sides these operators join
+    (tens of bytes per row), that over-reserves by ~1000x, and a
+    session running several joins back-to-back can exhaust the
+    cluster's memory resource and deadlock the streaming executor
+    (observed: 100 idle aggregators holding 87.5 GiB). The hint is the
+    larger side's byte estimate split across partitions (floored at
+    1 MiB), so reservations track reality.
+    """
+    import math
+
+    nparts = join_partitions(*side_counts, per_partition=per_partition,
+                             cap=cap)
+    largest = max(side_counts) if side_counts else 0
+    hint = max(1 << 20, math.ceil(largest * bytes_per_row / nparts))
+    return {"num_partitions": nparts, "partition_size_hint": hint}
+
+
 def join_partitions(*side_counts: int, per_partition: int = 1024,
                     cap: int = 64) -> int:
     """num_partitions for ``Dataset.join`` sized to the SMALLER side's
