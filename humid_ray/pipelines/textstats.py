@@ -909,3 +909,85 @@ def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
         "SELECT doc_id, token, round(score, 6) AS score, "
         f"CAST(\"rank\" AS BIGINT) AS \"rank\" FROM r WHERE \"rank\" <= {k}"
     )
+
+
+def inverted_index(sf_dir: str, max_df: int = 100):
+    """(token, doc_id): the exploded posting lists of the inverted
+    index, restricted to tokens with document frequency <= ``max_df``
+    (the useful tail — Zipf-head tokens like "the" appear in every
+    document, and their posting lists are both enormous and useless
+    for lookup; real systems stopword them out).
+
+    Scale shape: the head exclusion IS the skew fix — pass 1 finds
+    hot tokens (df > max_df) with the vocab combiner (shuffle =
+    distinct tokens per batch) and broadcasts the SMALL hot set (the
+    head of a Zipf distribution is short by definition); pass 2
+    dedupes (doc, token) pairs per batch, drops hot tokens before the
+    shuffle, and a final groupby dedupes cross-batch. No group ever
+    exceeds max_df rows."""
+    import ray as _ray
+
+    hot_parts = [
+        np.asarray(b.column("token").to_pylist(), dtype=object)[
+            b.column("n_docs").to_numpy(zero_copy_only=False) > max_df
+        ]
+        for b in vocab(sf_dir).iter_batches(batch_size=262144,
+                                            batch_format="pyarrow")
+    ]
+    hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
+           else np.empty(0, dtype=object))
+    ref = _ray.put(hot)
+
+    _empty = pa.table({"token": pa.array([], type=pa.string()),
+                       "doc_id": pa.array([], type=pa.int64())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        hot_keys = _ray.get(ref)
+        flat, offs = _flat_tokens(batch.column("text"))
+        if len(flat) == 0:
+            return _empty
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(batch.num_rows), offs[1:] - offs[:-1])
+        order = np.lexsort((toks, rows))
+        rs, ts = rows[order], toks[order]
+        keep = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])]
+        rs, ts = rs[keep], ts[keep]
+        if len(hot_keys):
+            pos = np.searchsorted(hot_keys, ts)
+            pos = np.minimum(pos, len(hot_keys) - 1)
+            cold = hot_keys[pos] != ts
+            rs, ts = rs[cold], ts[cold]
+        return pa.table(
+            {"token": pa.array(ts.tolist(), type=pa.string()),
+             "doc_id": pa.array(doc[rs].astype(np.int64))}
+        )
+
+    def drop_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        return t.select(["token", "doc_id"])
+
+    # cross-batch dedupe as a plain pair aggregate (no per-group
+    # Python); batch-level dedupe above already collapsed the volume
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["token", "doc_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(drop_count, batch_format="pyarrow")
+    )
+
+
+def inverted_index_sql(table: str = "documents", max_df: int = 100) -> str:
+    """DuckDB oracle for ``inverted_index``."""
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, "
+        "unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) "
+        f"AS token FROM {table}), "
+        "df AS (SELECT token, count(*) AS df FROM toks GROUP BY token) "
+        "SELECT t.token, t.doc_id FROM toks t JOIN df USING (token) "
+        f"WHERE df.df <= {max_df}"
+    )

@@ -212,3 +212,25 @@ def test_tfidf_top_terms_vs_python(ray_session):
         for i, (t, s) in enumerate(scored):
             expect.append((doc_id, t, i + 1))
     assert list(zip(out.doc_id, out.token, out["rank"])) == expect
+
+
+def test_inverted_index_vs_python(ray_session):
+    import re
+    from collections import defaultdict
+
+    from humid_ray.pipelines.textstats import inverted_index
+
+    max_df = 50
+    out = (inverted_index(SF, max_df=max_df).to_pandas()
+           .sort_values(["token", "doc_id"]).reset_index(drop=True))
+    docs = _docs()
+    posting = defaultdict(set)
+    for r in docs.itertuples():
+        for t in set(re.findall(r"[0-9a-z]+", (r.text or "").lower())):
+            posting[t].add(r.doc_id)
+    expect = sorted(
+        (t, d) for t, ds in posting.items() if len(ds) <= max_df for d in ds
+    )
+    assert list(zip(out.token, out.doc_id)) == expect
+    # the head exclusion actually dropped something at this corpus size
+    assert any(len(ds) > max_df for ds in posting.values())
