@@ -557,6 +557,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": ann.embedding_neardup,
         # exact all-pairs baseline behind the LSH near-dup (SQL-oracled)
         "embedding_neardup_exact": ann.embedding_neardup_exact,
+        # SemDeDup (k-means partition + within-cluster cosine prune);
+        # the single-cluster keep-min-id degenerate config is
+        # SQL-oracled (cosine cross join + recursive closure)
+        "semantic_dedup": ann.semantic_dedup,
+        "semantic_dedup_exact": ann.semantic_dedup_exact,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
         "multimodal_decode_dims": corpus_decode_dims,
@@ -851,6 +856,25 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == brute force exactly (equality pinned in
         # tests/test_ann.py) -> same oracle
         "ann_ivf_fullprobe": _KNN_ORACLE_SQL,
+        # single-cluster keep-min-id SemDeDup: dup components over the
+        # cosine>=0.4 graph (recursive closure), keep = min vec_id
+        "semantic_dedup_exact": (
+            "WITH RECURSIVE e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), "
+            "edges AS (SELECT a.vec_id AS sa, b.vec_id AS sb "
+            "FROM e a JOIN e b ON a.vec_id != b.vec_id "
+            "AND list_inner_product(a.v, b.v) / "
+            "(greatest(sqrt(list_inner_product(a.v, a.v)), 1e-12) * "
+            "greatest(sqrt(list_inner_product(b.v, b.v)), 1e-12)) >= 0.4), "
+            "reach(src, dst) AS (SELECT vec_id, vec_id FROM e UNION "
+            "SELECT r.src, edges.sb FROM reach r JOIN edges "
+            "ON edges.sa = r.dst), "
+            "comp AS (SELECT src AS vec_id, min(dst) AS root "
+            "FROM reach GROUP BY src) "
+            "SELECT vec_id, CAST(0 AS BIGINT) AS cluster, "
+            "(vec_id = root) AS keep FROM comp"
+        ),
         "events_windowed": (
             "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, "
             "event_type, COUNT(*) AS n, round(SUM(value), 6) AS total "

@@ -509,3 +509,140 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_bits: int = 6,
              "cosine": pa.array([], type=pa.float64())}
         )
     return out
+
+
+# --- SemDeDup-style semantic dedup ----------------------------------------
+
+def _semdedup_group_kernel(threshold: float, keep: str):
+    """Per-cluster kernel: pairwise-cosine dup groups -> keep flags.
+
+    ``keep="centroid_far"`` keeps the member LEAST similar to the
+    cluster centroid (SemDeDup's rule: retain the outlier, drop the
+    prototypical copies); ``keep="min_id"`` keeps the smallest vec_id
+    (deterministic, SQL-expressible). Ties break on vec_id. The
+    pairwise matmul is row-blocked so peak memory is block x |group|,
+    never |group|^2 floats at once."""
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "cluster": pa.array([], type=pa.int64()),
+         "keep": pa.array([], type=pa.bool_())}
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        ids, m = _to_matrix(group.select(["vec_id", "embedding"]))
+        cent_sim = group.column("cent_sim").to_numpy(zero_copy_only=False)
+        cluster = int(group.column("cluster")[0].as_py())
+        uniq, first = np.unique(ids, return_index=True)
+        ids, m, cent_sim = ids[first], m[first], cent_sim[first]
+        g = len(ids)
+        mn = _normalize(m)
+        # dup edges (positional, i < j), row-blocked matmul
+        from humid_ray.stages.components import _UnionFind
+
+        uf = _UnionFind()
+        block = 2048
+        for lo in range(0, g, block):
+            hi = min(lo + block, g)
+            sims = mn[lo:hi] @ mn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + lo
+            sel = gi < jj  # strict upper triangle only
+            for a, b in zip(gi[sel].tolist(), jj[sel].tolist()):
+                uf.union(a, b)
+        roots = np.arange(g, dtype=np.int64)
+        for x in uf.parent:
+            roots[x] = uf.find(x)
+        if keep == "centroid_far":
+            order = np.lexsort((ids, cent_sim))
+        else:  # "min_id"
+            order = np.argsort(ids, kind="stable")
+        # first row per component in `order` wins
+        winners = np.zeros(g, dtype=bool)
+        seen_first = {}
+        for pos in order.tolist():
+            r = int(roots[pos])
+            if r not in seen_first:
+                seen_first[r] = pos
+        winners[list(seen_first.values())] = True
+        return pa.table(
+            {"vec_id": pa.array(ids.astype(np.int64)),
+             "cluster": pa.array(np.full(g, cluster, dtype=np.int64)),
+             "keep": pa.array(winners)}
+        )
+
+    return kernel
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.95, n_clusters: int = 64,
+                   sample: int = 4096, keep: str = "centroid_far", ds=None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    embeddings table: spherical k-means partitions the space (seeded
+    hash-sampled training set, tiny driver-side fit — same model path
+    as ``ann_ivf``), every embedding is tagged with its nearest
+    centroid in ``map_batches`` against the broadcast centroids, and a
+    ``groupby(cluster).map_groups`` stage finds within-cluster
+    cosine->=threshold dup groups and keeps exactly one member per
+    group. Returns (vec_id, cluster, keep) — one row per embedding.
+
+    Scale shape: the only all-pairs work is per cluster; n_clusters
+    grows with the corpus (SemDeDup runs 50k clusters at LAION scale)
+    so |cluster| ~ n/k stays task-sized, and the shuffle carries
+    (id, cluster, cent_sim, embedding) rows once. With
+    ``n_clusters=1, keep="min_id"`` the result is SQL-expressible
+    (cosine cross join + recursive closure; see ``oracle_sql()``) —
+    the correctness anchor for the clustered scale path, mirroring how
+    ``ann_ivf`` is oracled via its full-probe degenerate config."""
+    if ds is None:
+        ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "cluster": pa.array([], type=pa.int64()),
+         "keep": pa.array([], type=pa.bool_())}
+    )
+    _, x = _hash_sample(ds, sample)
+    if len(x) == 0:
+        return empty
+    centroids = _spherical_kmeans(x, n_clusters)
+    cent_ref = ray.put(centroids)
+
+    class CentroidTag:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], type=pa.int64()),
+                     "cluster": pa.array([], type=pa.int64()),
+                     "cent_sim": pa.array([], type=pa.float64()),
+                     "embedding": batch.column("embedding")}
+                )
+            ids, m = _to_matrix(batch)
+            sims = _normalize(m) @ self.c.T
+            cl = np.argmax(sims, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "cluster": pa.array(cl.astype(np.int64)),
+                    "cent_sim": pa.array(sims[np.arange(len(cl)), cl]),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    tagged = ds.map_batches(CentroidTag, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+    out = tagged.groupby("cluster").map_groups(
+        _semdedup_group_kernel(threshold, keep), batch_format="pyarrow"
+    )
+    return out
+
+
+def semantic_dedup_exact(sf_dir: str, threshold: float = 0.4, ds=None):
+    """Degenerate single-cluster SemDeDup with the deterministic
+    keep-min-id rule — the DuckDB-oracled correctness anchor for
+    ``semantic_dedup`` (cross-join cosine edges + recursive closure +
+    min-id-per-component keep)."""
+    return semantic_dedup(sf_dir, threshold=threshold, n_clusters=1,
+                          keep="min_id", ds=ds)

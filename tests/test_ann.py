@@ -208,3 +208,135 @@ def test_embedding_neardup_exact_matches_numpy(ray_session):
         }
     ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _planted_family_ds(n_families=12, fam_size=5, n_singletons=80, dim=24,
+                       seed=7):
+    """Well-separated random unit directions; each family is fam_size
+    near-identical copies (tiny jitter), singletons are fresh random
+    directions. Returns (ray Dataset, family id -> member vec_ids)."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    vecs, ids, fams = [], [], {}
+    nxt = 0
+    for f in range(n_families):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        members = []
+        for _ in range(fam_size):
+            v = base + rng.normal(scale=1e-3, size=dim)
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(nxt)
+            members.append(nxt)
+            nxt += 1
+        fams[f] = members
+    for _ in range(n_singletons):
+        v = rng.normal(size=dim)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(nxt)
+        nxt += 1
+    t = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               type=pa.list_(pa.float32()))}
+    )
+    return ray.data.from_arrow(t).repartition(6), fams
+
+
+def test_semantic_dedup_keeps_one_per_family(ray_session):
+    """Clustered SemDeDup: exactly one keep per planted dup family;
+    every singleton kept; one row per embedding."""
+    from humid_ray.pipelines.ann import semantic_dedup
+
+    ds, fams = _planted_family_ds()
+    n_rows = ds.count()
+    res = semantic_dedup(None, threshold=0.95, n_clusters=8, ds=ds).to_pandas()
+    assert len(res) == n_rows
+    assert res.vec_id.is_unique
+    kept = set(res[res.keep].vec_id.tolist())
+    fam_members = set()
+    for members in fams.values():
+        fam_members |= set(members)
+        assert len(kept & set(members)) == 1, members
+    # all singletons survive
+    singles = set(res.vec_id.tolist()) - fam_members
+    assert singles <= kept
+
+
+def test_semantic_dedup_exact_matches_local_closure(ray_session):
+    """Single-cluster keep-min-id config vs a local numpy union-find
+    over the cosine>=tau graph (the same semantics the DuckDB
+    recursive-closure oracle pins at sf0.01)."""
+    from humid_ray.pipelines.ann import semantic_dedup
+
+    ds, _ = _planted_family_ds(n_families=6, fam_size=4, n_singletons=30)
+    tau = 0.95
+    res = (semantic_dedup(None, threshold=tau, n_clusters=1, keep="min_id",
+                          ds=ds)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # local truth
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    sims = m @ m.T
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= tau:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    keep_truth = {}
+    for i in range(n):
+        r = find(i)
+        keep_truth.setdefault(r, i)
+    kept_ids = {int(ids[i]) for i in keep_truth.values()}
+    got = set(res[res.keep].vec_id.tolist())
+    assert got == kept_ids
+    assert (res.cluster == 0).all()
+
+
+def test_semantic_dedup_centroid_far_keeps_outlier(ray_session):
+    """SemDeDup's keep rule retains the member FARTHEST from the
+    cluster centroid: plant one family whose members straddle the
+    centroid at different distances and check the far one survives."""
+    import pyarrow as pa
+    import ray.data
+
+    from humid_ray.pipelines.ann import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    ortho = rng.normal(size=dim)
+    ortho -= ortho @ base * base
+    ortho /= np.linalg.norm(ortho)
+    # single cluster: centroid ~ mean direction; member 2 is rotated
+    # farthest from it while staying cosine>=0.95 to the others
+    vecs = []
+    for ang in (0.00, 0.02, 0.28):
+        v = np.cos(ang) * base + np.sin(ang) * ortho
+        vecs.append(v / np.linalg.norm(v))
+    t = pa.table(
+        {"vec_id": pa.array([10, 11, 12], type=pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(t)
+    res = semantic_dedup(None, threshold=0.95, n_clusters=1,
+                         keep="centroid_far", ds=ds).to_pandas()
+    assert set(res[res.keep].vec_id.tolist()) == {12}
