@@ -486,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-document TF-IDF keywords over the global vocab DF
         # (SQL-oracled; libm-parity idf so the hash compare holds)
         "tfidf_top_terms_docs": textstats.tfidf_top_terms,
+        # corpus-wide bigram heavy hitters (exact, combiner-based)
+        "top_bigrams_docs": textstats.top_bigrams,
         # inverted-index posting lists (Zipf-head exclusion is the
         # skew fix; SQL-oracled)
         "inverted_index_docs": textstats.inverted_index,
@@ -1046,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_lengths_docs": _textstats_mod.zscore_lengths_sql(),
         "length_deciles_docs": _textstats_mod.length_deciles_sql(),
         "tfidf_top_terms_docs": _textstats_mod.tfidf_top_terms_sql(),
+        "top_bigrams_docs": _textstats_mod.top_bigrams_sql(),
         "inverted_index_docs": _textstats_mod.inverted_index_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(

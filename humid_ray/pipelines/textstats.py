@@ -991,3 +991,114 @@ def inverted_index_sql(table: str = "documents", max_df: int = 100) -> str:
         "SELECT t.token, t.doc_id FROM toks t JOIN df USING (token) "
         f"WHERE df.df <= {max_df}"
     )
+
+
+# --- corpus-wide n-gram heavy hitters --------------------------------------
+
+_EMPTY_BIGRAM_PARTIAL = {
+    "bigram": pa.array([], type=pa.string()),
+    "n": pa.array([], type=pa.int64()),
+}
+
+
+def _flat_bigrams(texts) -> pa.Array:
+    """Adjacent within-document token bigrams ("tok1 tok2") of a text
+    column as one flat Arrow string array — vectorized: token pair
+    starts are every flat position whose successor lies in the same
+    row (row boundaries masked out), joined with one Arrow kernel."""
+    kept, offs = _flat_tokens(texts)
+    n = len(kept)
+    if n < 2:
+        return pa.array([], type=pa.string())
+    valid = np.ones(n - 1, dtype=bool)
+    ends = offs[1:-1]  # interior row boundaries: i = end-1 crosses rows
+    ends = ends[(ends > 0) & (ends < n)]
+    valid[ends - 1] = False
+    if not valid.any():
+        return pa.array([], type=pa.string())
+    vmask = pa.array(valid)
+    lhs = kept.slice(0, n - 1).filter(vmask)
+    rhs = kept.slice(1, n - 1).filter(vmask)
+    return pc.binary_join_element_wise(lhs, rhs, " ")
+
+
+def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
+    """(bigram, n, rank): the k most frequent within-document token
+    bigrams corpus-wide, rank ordered by count desc then bigram asc
+    (deterministic cut). The heavy-hitters shape: each batch collapses
+    to one partial row per DISTINCT bigram (Arrow C-speed group_by) so
+    the shuffle carries batch-vocabulary partials, never occurrences —
+    a boilerplate bigram appearing in every document costs one int64
+    add per batch downstream. Global top-k = per-block local top-k
+    (<= k rows leave each block) + a <= k x n_blocks driver merge,
+    the same scale shape as ``relational.top_parts_by_revenue``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_BIGRAM_PARTIAL)
+        bg = _flat_bigrams(batch.column("text"))
+        if len(bg) == 0:
+            return pa.table(_EMPTY_BIGRAM_PARTIAL)
+        cnt = pa.table({"bigram": bg}).group_by("bigram").aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table(
+            {"bigram": cnt.column("bigram"),
+             "n": cnt.column("bigram_count").cast(pa.int64())}
+        )
+
+    agg = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        nn = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (np.asarray(t.column("bigram")), -nn)
+        )[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    chunks = list(
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {"bigram": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if not chunks:
+        return empty
+    cand = pa.concat_tables(chunks)
+    if cand.num_rows == 0:
+        return empty
+    nn = cand.column("n").to_numpy(zero_copy_only=False)
+    win = np.lexsort((np.asarray(cand.column("bigram")), -nn))[:k]
+    out = cand.take(pa.array(win))
+    return out.append_column(
+        "rank", pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64))
+    )
+
+
+def top_bigrams_sql(table: str = "documents", k: int = 50) -> str:
+    """DuckDB oracle for ``top_bigrams`` (same token rule as
+    ``_flat_tokens``; same count-desc-then-bigram-asc deterministic
+    cut)."""
+    return (
+        "WITH toks AS (SELECT regexp_extract_all(lower(coalesce(text,'')), "
+        f"'[0-9a-z]+') AS t FROM {table}), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks "
+        "WHERE len(t) >= 2), "
+        "cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n "
+        "FROM bg GROUP BY bigram) "
+        "SELECT bigram, n, CAST(row_number() OVER "
+        "(ORDER BY n DESC, bigram) AS BIGINT) AS rank "
+        f"FROM cnt ORDER BY rank LIMIT {k}"
+    )
