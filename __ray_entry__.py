@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": textstats.tfidf_top_terms,
         # corpus-wide bigram heavy hitters (exact, combiner-based)
         "top_bigrams_docs": textstats.top_bigrams,
+        # canonical lowercase/whitespace normalization (pre-dedup)
+        "normalize_text_docs": textstats.normalize_text,
         # inverted-index posting lists (Zipf-head exclusion is the
         # skew fix; SQL-oracled)
         "inverted_index_docs": textstats.inverted_index,
@@ -1049,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "length_deciles_docs": _textstats_mod.length_deciles_sql(),
         "tfidf_top_terms_docs": _textstats_mod.tfidf_top_terms_sql(),
         "top_bigrams_docs": _textstats_mod.top_bigrams_sql(),
+        "normalize_text_docs": _textstats_mod.normalize_text_sql(),
         "inverted_index_docs": _textstats_mod.inverted_index_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(

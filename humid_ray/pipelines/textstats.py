@@ -1102,3 +1102,40 @@ def top_bigrams_sql(table: str = "documents", k: int = 50) -> str:
         "(ORDER BY n DESC, bigram) AS BIGINT) AS rank "
         f"FROM cnt ORDER BY rank LIMIT {k}"
     )
+
+
+# --- text normalization -----------------------------------------------------
+
+def normalize_text(sf_dir: str):
+    """(doc_id, norm_text, n_chars_norm): canonical text for
+    downstream dedup — lowercase, whitespace runs collapsed to one
+    space, trimmed. Pure Arrow kernels per batch (RE2, portable
+    verbatim to the DuckDB oracle); a cheap map stage with no shuffle."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": norm,
+                "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``normalize_text`` (same RE2 semantics)."""
+    return (
+        "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
+        "'\\s+', ' ', 'g')) AS norm_text, "
+        "CAST(length(trim(regexp_replace(lower(coalesce(text, '')), "
+        "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+        f"FROM {table}"
+    )

@@ -284,3 +284,36 @@ def test_redact_pii_matches_duckdb_on_planted(ray_session, tmp_path):
     orc = con.execute(redact_pii_sql()).df().sort_values("doc_id").reset_index(drop=True)
     assert eng.equals(orc[list(eng.columns)])
     assert (eng.n_emails == 1).all() and (eng.n_long_numbers == 1).all()
+
+
+def test_flat_bigrams_masks_row_boundaries():
+    """No bigram may span two documents; empty/null/1-token rows yield
+    nothing."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import _flat_bigrams
+
+    col = pa.array(["a b c", None, "", "solo", "x y"])
+    got = _flat_bigrams(col).to_pylist()
+    assert got == ["a b", "b c", "x y"]
+    assert _flat_bigrams(pa.array([], type=pa.string())).to_pylist() == []
+    assert _flat_bigrams(pa.array(["one"])).to_pylist() == []
+
+
+def test_top_bigrams_matches_duckdb(ray_session):
+    """Engine top-k vs the DuckDB window oracle at sf0.001 — rank,
+    count, and tie-break all pinned."""
+    import duckdb
+
+    from humid_ray.pipelines.textstats import top_bigrams, top_bigrams_sql
+
+    got = top_bigrams(SF, k=25).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(top_bigrams_sql(k=25)).df()
+    assert len(got) == len(want) == 25
+    assert got.bigram.tolist() == want.bigram.tolist()
+    assert got.n.tolist() == want.n.tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
