@@ -922,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r JOIN part p ON p.p_partkey = r.l_partkey "
             "QUALIFY \"rank\" <= 10"
         ),
+        "events_distinct_users_approx": _orc.hll_distinct_users_sql(),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, value, "
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "

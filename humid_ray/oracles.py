@@ -683,3 +683,47 @@ def mixture_rebalance_sql(
         "SELECT sm.doc_id, sm.lang FROM sm JOIN c USING (lang), m "
         f"WHERE z % {n_buckets} < (m.mn * {n_buckets}) // c.cnt"
     )
+
+
+def hll_distinct_users_sql(table: str = "events", p: int = 12) -> str:
+    """DuckDB oracle for ``events.distinct_users_approx``: the FULL
+    HyperLogLog estimate re-derived in SQL — splitmix64(user_id) via
+    the HUGEINT chain, register index/rank split, max-rank registers,
+    the register sum as the EXACT integer sum(2^(64-reg)) (missing
+    registers contribute 2^64), one double division, and the standard
+    small-range correction. floor(log2) of a HUGEINT is double log2
+    corrected by exact power-of-two comparisons (the cast to DOUBLE
+    can land on the wrong side of a binade edge). Constants are
+    e-notation so DuckDB arithmetic stays IEEE double, matching the
+    engine op-for-op."""
+    m = 1 << p
+    two64 = 1 << 64
+    u = (f"(CAST(user_id AS HUGEINT) + CASE WHEN user_id < 0 "
+         f"THEN CAST('{two64}' AS HUGEINT) ELSE 0 END)")
+    alpha = f"(0.7213e0 / (1 + 1.079e0 / {m}))"
+    return (
+        f"WITH du AS (SELECT DISTINCT event_type, user_id FROM {table}), "
+        f"hh AS (SELECT event_type, {_sm64_cols(u, 'h')} FROM du), "
+        f"rr AS (SELECT event_type, h // {1 << (64 - p)} AS idx, "
+        f"(h * {1 << p}) % {two64} + {(1 << p) - 1} AS rest FROM hh), "
+        f"pw AS (SELECT {_pow2_list()} AS p2), "
+        "g0 AS (SELECT event_type, idx, rest, "
+        "CAST(floor(log2(CAST(rest AS DOUBLE))) AS INT) AS g FROM rr), "
+        "fl AS (SELECT event_type, idx, CASE "
+        "WHEN coalesce(rest >= p2[g + 2], false) THEN g + 1 "
+        "WHEN rest < p2[g + 1] THEN g - 1 ELSE g END AS f "
+        "FROM g0, pw), "
+        "reg AS (SELECT event_type, idx, MAX(64 - f) AS r "
+        "FROM fl GROUP BY 1, 2), "
+        "s AS (SELECT event_type, SUM(p2[64 - r + 1]) AS present_sum, "
+        "COUNT(*) AS present FROM reg, pw GROUP BY event_type), "
+        f"e0 AS (SELECT event_type, present_sum + ({m} - present) * "
+        f"CAST('{two64}' AS HUGEINT) AS sum_scaled, "
+        f"{m} - present AS zeros FROM s), "
+        f"e1 AS (SELECT event_type, {alpha} * {m} * {m} * "
+        f"{float(two64)!r} / CAST(sum_scaled AS DOUBLE) AS e, zeros "
+        "FROM e0) "
+        f"SELECT event_type, CAST(floor(CASE WHEN e <= 2.5e0 * {m} "
+        f"AND zeros > 0 THEN {m} * ln({m} / CAST(zeros AS DOUBLE)) "
+        "ELSE e END + 0.5e0) AS BIGINT) AS approx_users FROM e1"
+    )

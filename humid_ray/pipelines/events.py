@@ -712,8 +712,13 @@ def distinct_users_approx(sf_dir: str, p: int = HLL_P):
     register partials, max-merge groupby, driver-side estimate; the
     shuffle carries |types| x 2^p bytes, never users).
 
-    No SQL oracle (sketch-valued); pytest pins the estimate within 3%
-    of the exact count at sf0.001/sf0.01 register sizes. Exact salted
+    SQL-oracled: the whole estimate re-derives in DuckDB (splitmix64
+    HUGEINT chain + exact power-of-two register sums + the same
+    small-range correction; ``oracles.hll_distinct_users_sql``) —
+    the register sum is computed in EXACT integer arithmetic
+    (sum of 2^(64-reg), scaled) on both sides so the estimate is
+    bit-identical regardless of summation order. pytest additionally
+    pins the estimate within 3% of the exact count. Exact salted
     counting exists as ``distinct_users``; this is the fixed-memory
     alternative for cardinalities where even per-group exact sets
     don't fit (e.g. trillions of rows per group)."""
@@ -759,15 +764,29 @@ def distinct_users_approx(sf_dir: str, p: int = HLL_P):
         regs = np.zeros(m, dtype=np.uint8)
         for v in g.column("regs"):
             regs = np.maximum(regs, np.frombuffer(v.as_py(), dtype=np.uint8))
-        # standard HLL estimate with small-range correction
+        # standard HLL estimate with small-range correction. The
+        # register sum sum(2^-reg) is computed EXACTLY as the integer
+        # sum(2^(64-reg)) (scaled by 2^64): one float division at the
+        # end makes the estimate independent of summation order and
+        # bit-identical to the DuckDB HUGEINT oracle.
+        import math
+
+        cnts = np.bincount(regs, minlength=65)
+        sum_scaled = 0
+        for r, c in enumerate(cnts.tolist()):
+            if c:
+                sum_scaled += c * (1 << (64 - r))
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
+        est = alpha * m * m * float(1 << 64) / float(sum_scaled)
+        zeros = int(cnts[0])
         if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
+            est = m * math.log(m / zeros)
+        # floor(x + 0.5): half-away rounding, matching DuckDB round()
+        # (Python round() banker's-rounds at exact .5)
         return pa.table(
             {"event_type": g.column("event_type").slice(0, 1),
-             "approx_users": pa.array([int(round(est))], type=pa.int64())}
+             "approx_users": pa.array([int(math.floor(est + 0.5))],
+                                      type=pa.int64())}
         )
 
     return (
