@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pins the estimate within 3% of exact — no SQL oracle, the
         # value is sketch-derived)
         "events_distinct_users_approx": events.distinct_users_approx,
+        # HDR-histogram approximate quantiles (oracled sketch)
+        "events_value_quantiles": events.value_quantiles_sketch,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
         # exact distributed quantiles via value-histogram combiner
@@ -923,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY \"rank\" <= 10"
         ),
         "events_distinct_users_approx": _orc.hll_distinct_users_sql(),
+        "events_value_quantiles": _orc.value_quantiles_sketch_sql(),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, value, "
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "

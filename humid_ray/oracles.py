@@ -727,3 +727,45 @@ def hll_distinct_users_sql(table: str = "events", p: int = 12) -> str:
         f"AND zeros > 0 THEN {m} * ln({m} / CAST(zeros AS DOUBLE)) "
         "ELSE e END + 0.5e0) AS BIGINT) AS approx_users FROM e1"
     )
+
+
+def value_quantiles_sketch_sql(table: str = "events", k: int = 7) -> str:
+    """DuckDB oracle for ``events.value_quantiles_sketch``: the whole
+    HDR-histogram sketch re-derived in SQL. Every step is exact double
+    arithmetic on both sides — binade exponent = corrected
+    floor(log2(abs(x))) (exact power-of-two comparisons fix binade-edge
+    rounding of the double cast), sub-bucket = floor((x/2^e - 1) * 2^k)
+    (Sterbenz-exact subtraction, power-of-two scaling), bucket edge =
+    (1 + sub/2^k) * 2^e — so engine and oracle agree bit-for-bit."""
+    m = 1 << k
+    base = 1 << 40
+    return (
+        f"WITH v AS (SELECT event_type, value AS x, abs(value) AS ax "
+        f"FROM {table}), "
+        "b0 AS (SELECT event_type, x, ax, "
+        "CAST(floor(log2(ax)) AS INT) AS g FROM v WHERE x != 0), "
+        "b1 AS (SELECT event_type, x, ax, g + CASE "
+        "WHEN ax < pow(2e0, g) THEN -1 "
+        "WHEN ax >= pow(2e0, g + 1) THEN 1 ELSE 0 END AS e FROM b0), "
+        f"b2 AS (SELECT event_type, x, e, "
+        f"CAST(floor((ax / pow(2e0, e) - 1) * {m}) AS BIGINT) AS sub "
+        "FROM b1), "
+        f"cells AS (SELECT event_type, CASE WHEN x > 0 "
+        f"THEN {base} + e * {m} + sub "
+        f"ELSE -({base} + e * {m} + sub) END AS bid, "
+        f"(CASE WHEN x > 0 THEN 1e0 ELSE -1e0 END) * "
+        f"(1 + sub / {m}e0) * pow(2e0, e) AS lb FROM b2 "
+        "UNION ALL SELECT event_type, 0 AS bid, 0e0 AS lb "
+        "FROM v WHERE x = 0), "
+        "hist AS (SELECT event_type, bid, min(lb) AS lb, "
+        "CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2), "
+        "c AS (SELECT event_type, bid, lb, "
+        "SUM(n) OVER (PARTITION BY event_type ORDER BY bid) AS cum, "
+        "SUM(n) OVER (PARTITION BY event_type) AS tot FROM hist), "
+        "qq AS (SELECT unnest(CAST([0.5, 0.9, 0.99, 0.999] "
+        "AS DOUBLE[])) AS q), "
+        "sel AS (SELECT c.event_type, qq.q, min(c.bid) AS bid "
+        "FROM c JOIN qq ON c.cum >= ceil(qq.q * c.tot) GROUP BY 1, 2) "
+        "SELECT s.event_type, s.q, h.lb AS approx_value "
+        "FROM sel s JOIN hist h USING (event_type, bid)"
+    )

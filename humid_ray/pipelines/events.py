@@ -795,3 +795,103 @@ def distinct_users_approx(sf_dir: str, p: int = HLL_P):
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# --- approximate quantiles (HDR-histogram sketch) ---------------------------
+
+QSK_K = 7  # sub-buckets per binade = 2^7 -> relative error <= 2^-7
+
+
+def value_quantiles_sketch(sf_dir: str, qs=(0.5, 0.9, 0.99, 0.999),
+                           k: int = QSK_K):
+    """(event_type, q, approx_value): per-type approximate quantiles of
+    ``value`` from an HDR-histogram-style sketch — each double lands in
+    a (binade, 2^k-way sub-bucket) cell, so the sketch is a tiny
+    mergeable histogram (per-batch Arrow group_by partials; the shuffle
+    carries |types| x |occupied buckets| rows, never values) and the
+    reported quantile is the bucket's zero-side edge, within a factor
+    2^-k (0.8%) of the true order statistic ``sorted[ceil(q*n)]``.
+
+    Every bucketing step is EXACT double arithmetic (frexp binade
+    split, Sterbenz-exact mantissa offset, power-of-two scaling), so
+    the whole sketch re-derives bit-for-bit in DuckDB
+    (``oracles.value_quantiles_sketch_sql``) — an oracled sketch, like
+    the HLL distinct estimate. Finite inputs assumed (testdata domain);
+    zero and negatives get sign-mirrored buckets."""
+    m_sub = 1 << k
+    base = 1 << 40  # positive-zone offset; bid order == value order
+
+    def _bids(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(bid, lower_bound) per value, all-exact float ops."""
+        ax = np.abs(x)
+        mant, ex = np.frexp(ax)           # ax = mant * 2^ex, mant in [.5,1)
+        e = ex - 1
+        mprime = mant * 2.0               # [1,2), exact
+        sub = np.floor((mprime - 1.0) * m_sub).astype(np.int64)
+        mag = e.astype(np.int64) * m_sub + sub
+        lb = (1.0 + sub / float(m_sub)) * np.ldexp(1.0, e)
+        bid = np.where(x == 0, 0,
+                       np.where(x > 0, base + mag, -(base + mag)))
+        lbs = np.where(x == 0, 0.0, np.sign(x) * lb)
+        return bid, lbs
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = {"event_type": pa.array([], type=pa.string()),
+                 "bid": pa.array([], type=pa.int64()),
+                 "lb": pa.array([], type=pa.float64()),
+                 "n": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        bid, lb = _bids(val)
+        cells = pa.table(
+            {"event_type": t.column("event_type"),
+             "bid": pa.array(bid),
+             "lb": pa.array(lb)}
+        ).group_by(["event_type", "bid", "lb"]).aggregate([("bid", "count")])
+        return pa.table(
+            {"event_type": cells.column("event_type"),
+             "bid": cells.column("bid"),
+             "lb": cells.column("lb"),
+             "n": cells.column("bid_count").cast(pa.int64())}
+        )
+
+    def extract(g: pa.Table) -> pa.Table:
+        import math
+
+        empty = {"event_type": pa.array([], type=pa.string()),
+                 "q": pa.array([], type=pa.float64()),
+                 "approx_value": pa.array([], type=pa.float64())}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        bid = g.column("bid").to_numpy(zero_copy_only=False)
+        lb = g.column("lb").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(bid, kind="stable")
+        bid, lb, n = bid[order], lb[order], n[order]
+        # merge partial rows sharing a bucket
+        newb = np.r_[True, bid[1:] != bid[:-1]]
+        starts = np.flatnonzero(newb)
+        bid_u, lb_u = bid[starts], lb[starts]
+        n_u = np.add.reduceat(n, starts)
+        cum = np.cumsum(n_u)
+        tot = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            idx = math.ceil(q * tot)      # same double product as SQL
+            pos = int(np.searchsorted(cum, idx, side="left"))
+            out_q.append(float(q))
+            out_v.append(float(lb_u[pos]))
+        return pa.table(
+            {"event_type": pa.array([g.column("event_type")[0].as_py()] * len(qs),
+                                    type=pa.string()),
+             "q": pa.array(out_q),
+             "approx_value": pa.array(out_v)}
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(extract, batch_format="pyarrow")
+    )

@@ -282,3 +282,55 @@ def test_distinct_users_approx_close_to_exact(ray_session):
             e = exact[row.event_type]
             assert abs(row.approx_users - e) <= max(2, 0.03 * e), (
                 row.event_type, row.approx_users, e)
+
+
+def test_value_quantiles_sketch_error_bound(ray_session):
+    """Sketch quantile within 2^-k relative error of the true order
+    statistic sorted[ceil(q*n)] per event type, and never above it."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.events import QSK_K, value_quantiles_sketch
+
+    sf = "/root/testdata/sf0.001"
+    got = value_quantiles_sketch(sf).to_pandas()
+    df = pq_.read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    rel = 1.0 / (1 << QSK_K)
+    assert len(got) == 4 * df.event_type.nunique()
+    for (et, q), grp in got.groupby(["event_type", "q"]):
+        vals = np.sort(df[df.event_type == et].value.to_numpy())
+        truth = vals[math.ceil(q * len(vals)) - 1]
+        est = float(grp.approx_value.iloc[0])
+        assert est <= truth + 1e-12, (et, q, est, truth)
+        assert est >= truth * (1 - rel) - 1e-12, (et, q, est, truth)
+
+
+def test_value_quantiles_sketch_signed_and_zero(ray_session, tmp_path):
+    """Zero and negative values order correctly through the
+    sign-mirrored buckets (median of a symmetric set is ~0)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data  # noqa: F401
+
+    vals = [-8.0, -2.0, -0.5, 0.0, 0.5, 2.0, 8.0]
+    t = pa.table(
+        {"event_id": pa.array(range(len(vals)), type=pa.int64()),
+         "ts": pa.array([datetime.datetime(2026, 1, 1)] * len(vals),
+                        type=pa.timestamp("us")),
+         "user_id": pa.array([1] * len(vals), type=pa.int64()),
+         "event_type": pa.array(["t"] * len(vals)),
+         "value": pa.array(vals, type=pa.float64()),
+         "props": pa.array(["{}"] * len(vals))}
+    )
+    pq_.write_table(t, tmp_path / "events.parquet")
+    from humid_ray.pipelines.events import value_quantiles_sketch
+
+    got = value_quantiles_sketch(str(tmp_path)).to_pandas()
+    med = float(got[got.q == 0.5].approx_value.iloc[0])
+    assert med == 0.0  # ceil(0.5*7)=4 -> sorted[3] = 0.0, exact bucket
+    hi = float(got[got.q == 0.999].approx_value.iloc[0])
+    assert 8.0 * (1 - 1 / 128) <= hi <= 8.0
