@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scored against the base corpus's collapsed (text, rep) index
         # via one distributed left-outer join (SQL-oracled)
         "incremental_dedup_docs": dedup_text.incremental_exact_dedup,
+        # Bloom-prefiltered variant: identical output (exact join is
+        # the backstop), join pruned to Bloom-positive rows
+        "incremental_dedup_bloom": dedup_text.incremental_dedup_bloom,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -1058,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_docs": _textstats_mod.normalize_text_sql(),
         "inverted_index_docs": _textstats_mod.inverted_index_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
+        "incremental_dedup_bloom": _dedup_mod.incremental_exact_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),

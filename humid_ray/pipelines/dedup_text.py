@@ -1077,3 +1077,141 @@ def incremental_exact_dedup_sql(table: str = "documents",
         "SELECT s.doc_id, b.base_rep IS NOT NULL AS is_dup, b.base_rep "
         "FROM split s LEFT JOIN base b USING (text) WHERE s.is_new"
     )
+
+
+def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
+                            n_buckets: int = 100, bits_per_key: int = 16,
+                            n_hashes: int = 4):
+    """``incremental_exact_dedup`` with a broadcast BLOOM pre-filter:
+    the base's text hashes build a mergeable bitset (per-batch OR
+    partials, double-hashing h1 + i*h2), `ray.put` once; new rows that
+    miss ANY bit are novel immediately and never enter the join — only
+    Bloom-positive rows (true dups + ~0.1% FPs at 16 bits/key) reach
+    the exact text join, which remains the correctness backstop, so
+    the output is IDENTICAL to the join-only path (same DuckDB
+    oracle). No false negatives by construction.
+
+    Scale shape: for a mostly-novel daily shard this prunes the join's
+    build side shuffle to the dup fraction. The single broadcast bitset
+    fits base corpora to ~10^10 texts (16 bits/key = 2 GB per 10^9);
+    beyond that, partition the filter by text-hash range or fall back
+    to ``incremental_exact_dedup``'s plain join."""
+    import pyarrow.compute as pc
+
+    from humid_ray.stages.joins import hash_string_column, join_kwargs
+    from humid_ray.util import UINT64, splitmix64
+
+    def split_kernel(new_side: bool):
+        def kernel(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            b = splitmix64(d.astype(np.int64).view(UINT64)) % UINT64(n_buckets)
+            mask = b < new_pct if new_side else b >= new_pct
+            return batch.filter(pa.array(mask))
+        return kernel
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "is_dup": pa.array([], type=pa.bool_()),
+         "base_rep": pa.array([], type=pa.int64())}
+    )
+
+    def novel_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "is_dup": pa.array([False] * batch.num_rows),
+             "base_rep": pa.nulls(batch.num_rows, type=pa.int64())}
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    new = docs.map_batches(split_kernel(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    if new.count() == 0:
+        return ray.data.from_arrow(_empty)
+    base = docs.map_batches(split_kernel(False), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_base = base.count()
+    if n_base == 0:
+        return new.map_batches(novel_rows, batch_format="pyarrow")
+
+    m_bits = 1 << max(10, int(np.ceil(np.log2(bits_per_key * n_base))))
+    mask = UINT64(m_bits - 1)
+
+    def _positions(texts) -> tuple[np.ndarray, np.ndarray]:
+        h1 = hash_string_column(texts)
+        h2 = splitmix64(h1)
+        return h1, h2
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bs = np.zeros(m_bits // 64, dtype=np.uint64)
+        if batch.num_rows:
+            h1, h2 = _positions(batch.column("text"))
+            for i in range(n_hashes):
+                pos = (h1 + UINT64(i) * h2) & mask
+                np.bitwise_or.at(
+                    bs, (pos >> UINT64(6)).astype(np.int64),
+                    UINT64(1) << (pos & UINT64(63)),
+                )
+        return pa.table({"bits": pa.array([bs.tobytes()], type=pa.binary())})
+
+    # OR-merge the fixed-size partials driver-side (one sketch, like
+    # the IVF centroids); n_partials x m_bits/8 bytes, never rows
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    for b in (base.map_batches(bloom_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .iter_batches(batch_size=1024, batch_format="pyarrow")):
+        for v in b.column("bits"):
+            bloom |= np.frombuffer(v.as_py(), dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    class BloomTag:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("_pos", pa.array([], type=pa.bool_()))
+            h1, h2 = _positions(batch.column("text"))
+            hit = np.ones(batch.num_rows, dtype=bool)
+            for i in range(n_hashes):
+                pos = (h1 + UINT64(i) * h2) & mask
+                word = self.bits[(pos >> UINT64(6)).astype(np.int64)]
+                hit &= (word >> (pos & UINT64(63))) & UINT64(1) != 0
+            return batch.append_column("_pos", pa.array(hit))
+
+    tagged = new.map_batches(BloomTag, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=(1, 8))
+    novel = tagged.map_batches(
+        lambda t: novel_rows(t.filter(pc.invert(t.column("_pos").combine_chunks()
+                                                if isinstance(t.column("_pos"), pa.ChunkedArray)
+                                                else t.column("_pos")))),
+        batch_format="pyarrow",
+    )
+    cand = tagged.map_batches(
+        lambda t: t.filter(t.column("_pos")).drop_columns(["_pos"]),
+        batch_format="pyarrow",
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return novel
+    base_reps = base.groupby("text").aggregate(
+        Min("doc_id", alias_name="base_rep")
+    )
+    joined = cand.join(
+        base_reps, join_type="left_outer", on=("text",),
+        **join_kwargs(n_cand, n_base, bytes_per_row=1024),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        rep = batch.column("base_rep")
+        rep = rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "is_dup": pc.is_valid(rep),
+             "base_rep": rep}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").union(novel)

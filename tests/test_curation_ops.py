@@ -143,6 +143,12 @@ def test_incremental_dedup_planted_dups(ray_session, tmp_path):
             == new.base_rep.fillna(-1).astype("int64").tolist())
     # both classes genuinely present
     assert out.is_dup.any() and (~out.is_dup).any()
+    # the Bloom-prefiltered path agrees on a dup-positive corpus too
+    from humid_ray.pipelines.dedup_text import incremental_dedup_bloom
+
+    out_b = (incremental_dedup_bloom(str(tmp_path)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out_b)
 
 
 def test_zscore_lengths_vs_numpy(ray_session):
@@ -234,3 +240,38 @@ def test_inverted_index_vs_python(ray_session):
     assert list(zip(out.token, out.doc_id)) == expect
     # the head exclusion actually dropped something at this corpus size
     assert any(len(ds) > max_df for ds in posting.values())
+
+
+def test_incremental_bloom_equals_join_path(ray_session):
+    """The Bloom-prefiltered variant must be byte-identical to the
+    join-only path (the exact join is the backstop; Bloom FPs cannot
+    leak and Bloom has no false negatives)."""
+    from humid_ray.pipelines.dedup_text import (
+        incremental_dedup_bloom,
+        incremental_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (incremental_exact_dedup(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (incremental_dedup_bloom(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    # (cross-side dups at this sf may be zero; dup-positive coverage is
+    # the planted-corpus test below and the sf0.01 oracle row)
+
+
+def test_incremental_bloom_tiny_filter_still_exact(ray_session):
+    """Force a saturated Bloom (1 bit/key -> most lookups positive):
+    output must STILL equal the join path — FPs only cost join volume."""
+    from humid_ray.pipelines.dedup_text import (
+        incremental_dedup_bloom,
+        incremental_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (incremental_exact_dedup(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (incremental_dedup_bloom(sf, bits_per_key=1, n_hashes=1).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
