@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": sampling.top_docs_per_lang,
         # per-language quota sample: bottom-k by doc hash (SQL-oracled)
         "stratified_sample_docs": sampling.stratified_sample,
+        # weighted sample w/o replacement: integer priority sampling
+        # (all-integer draw — SQL-oracled bit-for-bit)
+        "weighted_sample_docs": sampling.weighted_sample,
         # training-mixture rebalancing to uniform language mix
         # (|langs|-row count pass + streaming hash-rate filter; SQL-oracled)
         "mixture_rebalance_docs": sampling.mixture_rebalance,
@@ -491,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": textstats.tfidf_top_terms,
         # corpus-wide bigram heavy hitters (exact, combiner-based)
         "top_bigrams_docs": textstats.top_bigrams,
+        # Count-min-sketch token frequencies for the exact top-k
+        # tokens (mergeable counter matrix; oracled bit-for-bit)
+        "cms_token_freq_docs": textstats.cms_token_freq,
         # canonical lowercase/whitespace normalization (pre-dedup)
         "normalize_text_docs": textstats.normalize_text,
         # inverted-index posting lists (Zipf-head exclusion is the
@@ -534,6 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_approx": events.distinct_users_approx,
         # HDR-histogram approximate quantiles (oracled sketch)
         "events_value_quantiles": events.value_quantiles_sketch,
+        # ordered funnel completion (greedy earliest chain ≡ existence;
+        # SQL-oracled via chained min-ts CTEs)
+        "events_funnel": events.funnel_counts,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
         # exact distributed quantiles via value-histogram combiner
@@ -783,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
     from humid_ray.pipelines import events as _events_mod
     from humid_ray.pipelines import images as _images_mod
     from humid_ray.pipelines import relational as _relational_mod
+    from humid_ray.pipelines import sampling as _sampling_mod
     from humid_ray.pipelines import segdedup as _segdedup
     from humid_ray.pipelines import textstats as _textstats_mod
 
@@ -1052,6 +1062,9 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _events_mod.range_join_sql(),
         "segment_revenue": _relational_mod.segment_revenue_sql(),
         "stratified_sample_docs": _orc.stratified_sample_sql(),
+        "weighted_sample_docs": _sampling_mod.weighted_sample_sql(),
+        "events_funnel": _events_mod.funnel_counts_sql(),
+        "cms_token_freq_docs": _textstats_mod.cms_token_freq_sql(),
         "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),
         "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),
         "zscore_lengths_docs": _textstats_mod.zscore_lengths_sql(),

@@ -206,6 +206,12 @@ def run_bench() -> dict:
     timed("top_bigrams_docs", lambda: textstats.top_bigrams(SF_DIR),
           consume=None)
     timed("normalize_text_docs", lambda: textstats.normalize_text(SF_DIR))
+    timed("incremental_dedup_bloom",
+          lambda: dedup_text.incremental_dedup_bloom(SF_DIR))
+    timed("events_funnel", lambda: events.funnel_counts(SF_DIR))
+    timed("weighted_sample_docs", lambda: sampling.weighted_sample(SF_DIR))
+    timed("cms_token_freq_docs",
+          lambda: textstats.cms_token_freq(SF_DIR), consume=None)
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

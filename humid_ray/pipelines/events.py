@@ -895,3 +895,160 @@ def value_quantiles_sketch(sf_dir: str, qs=(0.5, 0.9, 0.99, 0.999),
         .groupby("event_type")
         .map_groups(extract, batch_format="pyarrow")
     )
+
+
+# --- ordered funnel analysis -------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """(step, step_type, users): ordered-funnel completion — how many
+    users performed step 1, then step 2 STRICTLY later, then step 3
+    strictly later still (the product-analytics sequence-match the
+    reference's batch model has no analog for).
+
+    Greedy earliest-completion is exact here: taking the EARLIEST
+    qualifying timestamp at each step maximizes the remaining time
+    budget (standard exchange argument), so "greedy chain exists" ≡
+    "any ordered chain exists" — which is what the SQL oracle's
+    chained min-ts CTEs compute.
+
+    Scale shape: only funnel-type rows shuffle, carrying 4 small
+    columns (user-hash bucket, user, ts, step index) — one shuffle
+    into ``N_SESSION_BUCKETS`` user-hash buckets, never per-user
+    groups. The per-bucket kernel is one lexsort + per-step
+    searchsorted over (user-rank, ts)-encoded int64 keys (the
+    ``range_join`` encoding); partials are |steps| rows per bucket
+    and the final groupby sums |steps| x |buckets| rows.
+    """
+    from humid_ray.util import UINT64, splitmix64
+
+    n_steps = len(steps)
+    step_arr = pa.array(list(steps), type=pa.string())
+
+    _empty_routed = {
+        "bucket": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts_us": pa.array([], type=pa.int64()),
+        "si": pa.array([], type=pa.int64()),
+    }
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_empty_routed)
+        si = pc.index_in(batch.column("event_type"), value_set=step_arr)
+        keep = pc.is_valid(si)
+        if not pc.any(keep).as_py():
+            return pa.table(_empty_routed)
+        t = batch.filter(keep)
+        si = si.filter(keep).cast(pa.int64())
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(uid.astype(np.int64).view(UINT64))
+        return pa.table(
+            {
+                "bucket": pa.array((h % N_SESSION_BUCKETS).astype(np.int64)),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "ts_us": pa.array(_ts_us(t.column("ts"))),
+                "si": si,
+            }
+        )
+
+    _zero_partial = pa.table(
+        {
+            "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64)),
+            "users": pa.array(np.zeros(n_steps, dtype=np.int64)),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _zero_partial
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        si = g.column("si").to_numpy(zero_copy_only=False)
+        # encode (user rank, ts offset) into one sortable int64 key —
+        # strictly-greater key ≡ same-user strictly-later event
+        uranks = np.unique(uid)
+        urank = np.searchsorted(uranks, uid).astype(np.int64)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        assert len(uranks) * span < (1 << 62), "funnel key encode overflow"
+        key = urank * span + (ts - t0)
+        counts = np.zeros(n_steps, dtype=np.int64)
+        cur_users = cur_keys = None
+        for i in range(n_steps):
+            k_i = np.sort(key[si == i])
+            if i == 0:
+                us = k_i // span
+                first = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], dtype=bool)
+                cur_users, cur_keys = us[first] if len(us) else us, k_i[first] if len(us) else k_i
+            elif len(cur_users) and len(k_i):
+                pos = np.searchsorted(k_i, cur_keys, side="right")
+                valid = pos < len(k_i)
+                cand = k_i[np.minimum(pos, len(k_i) - 1)]
+                valid &= (cand // span) == cur_users
+                cur_users, cur_keys = cur_users[valid], cand[valid]
+            else:
+                cur_users = cur_keys = np.array([], dtype=np.int64)
+            counts[i] = len(cur_users)
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64)),
+                "users": pa.array(counts),
+            }
+        )
+
+    routed = read_events(
+        sf_dir, columns=["ts", "user_id", "event_type"]
+    ).map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    partials = routed.groupby("bucket").map_groups(
+        lambda g: kernel(g.drop_columns(["bucket"])
+                         if "bucket" in g.column_names else g),
+        batch_format="pyarrow",
+    )
+    # the zero partial guarantees every step row exists even when no
+    # bucket saw a given step (or the corpus is empty)
+    agg = partials.union(ray.data.from_arrow(_zero_partial)) \
+        .groupby("step").aggregate(Sum("users", alias_name="users"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        st = t.column("step").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "step": t.column("step"),
+                "step_type": pa.array([steps[int(s) - 1] for s in st],
+                                      type=pa.string()),
+                "users": t.column("users"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS,
+                      table: str = "events") -> str:
+    """DuckDB oracle for ``funnel_counts``: chained min-ts CTEs — step
+    i's per-user timestamp is the earliest event of that type STRICTLY
+    after the user's step-(i-1) timestamp (greedy ≡ existence)."""
+    ctes, prev = [], None
+    for i, s in enumerate(steps, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(epoch_us(ts)) AS t "
+                f"FROM {table} WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+                f"FROM {table} e JOIN s{i - 1} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t "
+                "GROUP BY 1)"
+            )
+        prev = s
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS step_type, "
+        f"CAST(count(*) AS BIGINT) AS users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects

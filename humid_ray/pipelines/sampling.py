@@ -244,3 +244,79 @@ def mixture_rebalance(sf_dir: str, n_buckets: int = 1000):
     return read_documents(sf_dir, columns=["doc_id", "lang"]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def weighted_sample(sf_dir: str, k: int = 50):
+    """(doc_id, weight, priority): k-document weighted sample WITHOUT
+    replacement — integer priority sampling (Duffield/Lund/Thorup
+    priorities with quantized uniforms): each doc draws the uniform
+    u = splitmix64(doc_id), gets priority = u // weight (exact integer
+    division), and the k smallest (priority, doc_id) win, so selection
+    odds grow ~proportionally to weight yet the draw is a pure
+    function of doc_id — reproducible, RNG-free, and growth-stable
+    like every sampler in this module. Weight = character length of
+    the text (floored at 1), the "sample long documents more" draw.
+
+    All-integer arithmetic makes the whole draw SQL-expressible
+    (``weighted_sample_sql`` re-derives it in DuckDB HUGEINT), unlike
+    the classic float u^(1/w) Efraimidis-Spirakis key, whose pow()
+    ULP differences across libms could flip the cut. ``priority`` is
+    emitted as the order-preserving int64 (u64 value minus 2^63) so
+    Arrow/parquet sort order equals the uint64 order.
+
+    Scale shape: bottom-k is a semigroup — the per-batch partial caps
+    each batch at k rows, the final sort+limit touches <= k x |blocks|
+    collapsed rows. No corpus sort, no shuffle of payloads."""
+    import pyarrow.compute as pc
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "weight": pa.array([], type=pa.int64()),
+         "priority": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        wl = pc.utf8_length(
+            pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(wl, 1)
+        u = splitmix64(d.astype(np.int64).view(UINT64))
+        pr = u // w.astype(UINT64)
+        # order-preserving int64 view: flip the top bit (value - 2^63)
+        pr_i = (pr ^ UINT64(1 << 63)).view(np.int64)
+        order = np.lexsort((d, pr_i))[:k]
+        return pa.table(
+            {"doc_id": pa.array(d[order].astype(np.int64)),
+             "weight": pa.array(w[order]),
+             "priority": pa.array(pr_i[order])}
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["priority", "doc_id"])
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(table: str = "documents", k: int = 50) -> str:
+    """DuckDB oracle for ``weighted_sample``: the identical integer
+    draw — splitmix64 HUGEINT chain, priority = u // weight, order by
+    (priority, doc_id), limit k."""
+    from humid_ray.oracles import _sm64_cols
+
+    two63, two64 = 1 << 63, 1 << 64
+    u = (f"(CAST(doc_id AS HUGEINT) + CASE WHEN doc_id < 0 "
+         f"THEN CAST('{two64}' AS HUGEINT) ELSE 0 END)")
+    return (
+        f"WITH w AS (SELECT doc_id, greatest(length(coalesce(text, '')), 1) "
+        f"AS weight FROM {table}), "
+        f"h AS (SELECT doc_id, weight, {_sm64_cols(u, 'u')} FROM w), "
+        f"p AS (SELECT doc_id, CAST(weight AS BIGINT) AS weight, "
+        f"CAST(u // weight - {two63} AS BIGINT) AS priority FROM h) "
+        f"SELECT doc_id, weight, priority FROM p "
+        f"ORDER BY priority, doc_id LIMIT {k}"
+    )

@@ -1139,3 +1139,127 @@ def normalize_text_sql(table: str = "documents") -> str:
         "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
         f"FROM {table}"
     )
+
+
+# --- Count-min sketch frequency estimation -----------------------------------
+
+CMS_W_BITS = 12  # 4096 counters per row
+CMS_D = 4        # hash rows
+
+
+def cms_token_freq(sf_dir: str, k: int = 20, w_bits: int = CMS_W_BITS,
+                   d: int = CMS_D):
+    """(token, exact_count, cms_count): Count-min-sketch frequency
+    estimates (Cormode & Muthukrishnan, J.Alg 2005) for the corpus's
+    top-k tokens, next to their exact counts — the fixed-memory
+    frequency sketch completing the mergeable-sketch trio (HLL =
+    distinct, HDR histogram = quantiles, CMS = frequency). Guarantee:
+    cms_count >= exact_count always (counters only over-count).
+
+    Scale shape: the sketch is a d x 2^w int64 counter matrix built as
+    per-batch partials (one vectorized np.add.at per hash row over the
+    batch's token occurrences) and merged by elementwise SUM — the
+    shuffle carries |partials| x 128 KiB matrices, never tokens. Probe
+    tokens come from the exact ``vocab`` aggregate (collapsed per-batch
+    vocab partials), sorted (count DESC, token ASC) and cut at k.
+
+    Positions use double hashing pos_i = (h1 + i*h2) mod 2^w with
+    h1 = the engine's standard token hash and h2 = splitmix64(h1) —
+    pure integer arithmetic, so the ENTIRE sketch re-derives
+    bit-for-bit in DuckDB (``cms_token_freq_sql``), like the HLL and
+    HDR oracles."""
+    from humid_ray.stages.joins import hash_string_column
+    from humid_ray.util import splitmix64
+
+    m = 1 << w_bits
+    mask = UINT64(m - 1)
+
+    def sk_partial(t: pa.Table) -> pa.Table:
+        cms = np.zeros((d, m), dtype=np.int64)
+        if t.num_rows:
+            h1, _ = tokenize_batch(t.column("text"))
+            if len(h1):
+                h2 = splitmix64(h1)
+                for i in range(d):
+                    with np.errstate(over="ignore"):
+                        pos = ((h1 + UINT64(i) * h2) & mask).astype(np.int64)
+                    np.add.at(cms[i], pos, 1)
+        return pa.table({"cms": pa.array([cms.tobytes()], type=pa.binary())})
+
+    # elementwise-sum the fixed-size partials driver-side (one 128 KiB
+    # matrix, like the Bloom bitset OR-merge); rows never leave workers
+    cms = np.zeros((d, m), dtype=np.int64)
+    sk = read_documents(sf_dir, columns=["text"]).map_batches(
+        sk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in sk.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for v in b.column("cms"):
+            cms += np.frombuffer(v.as_py(), dtype=np.int64).reshape(d, m)
+
+    top = (
+        vocab(sf_dir)
+        .sort(["n_occurrences", "token"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    _empty = pa.table(
+        {"token": pa.array([], type=pa.string()),
+         "exact_count": pa.array([], type=pa.int64()),
+         "cms_count": pa.array([], type=pa.int64())}
+    )
+    if not top:
+        return _empty
+    toks = [r["token"] for r in top]
+    exact = np.array([r["n_occurrences"] for r in top], dtype=np.int64)
+    h1 = hash_string_column(pa.array(toks, type=pa.string()))
+    h2 = splitmix64(h1)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        with np.errstate(over="ignore"):
+            pos = ((h1 + UINT64(i) * h2) & mask).astype(np.int64)
+        est = np.minimum(est, cms[i][pos])
+    return pa.table(
+        {"token": pa.array(toks, type=pa.string()),
+         "exact_count": pa.array(exact),
+         "cms_count": pa.array(est)}
+    )
+
+
+def cms_token_freq_sql(table: str = "documents", k: int = 20,
+                       w_bits: int = CMS_W_BITS, d: int = CMS_D) -> str:
+    """DuckDB oracle for ``cms_token_freq``: the whole sketch
+    re-derived in SQL — token hash chain (polynomial byte fold +
+    splitmix64), double-hashed positions, per-(row, position) counter
+    sums over ALL token occurrences, min-over-rows estimate for the
+    top-k probe tokens. All HUGEINT integer arithmetic: bit-exact."""
+    from humid_ray.oracles import _horner_fold, _sm64_cols
+
+    m = 1 << w_bits
+    two64 = 1 << 64
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(encode(tok)) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(encode(tok)), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    return (
+        f"WITH toks AS (SELECT regexp_extract_all(lower(coalesce(text, '')), "
+        f"'[0-9a-z]+') AS t FROM {table}), "
+        "occ AS (SELECT unnest(t) AS tok FROM toks), "
+        "cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM occ "
+        "GROUP BY tok), "
+        f"dh0 AS (SELECT tok, {_horner_fold(byte_list)} AS hraw FROM cnt), "
+        f"dh1 AS (SELECT tok, {_sm64_cols('hraw', 'h')} FROM dh0), "
+        f"dh AS (SELECT tok, h, {_sm64_cols('h', 'h2')} FROM dh1), "
+        "ii AS (SELECT unnest(range(0, " + str(d) + ")) AS i), "
+        f"cells AS (SELECT ii.i, ((dh.h + ii.i * dh.h2) % {two64}) % {m} "
+        "AS pos, SUM(cnt.n) AS cell FROM cnt JOIN dh USING (tok) "
+        "CROSS JOIN ii GROUP BY 1, 2), "
+        f"probes AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT {k}), "
+        f"pp AS (SELECT p.tok, p.n, ii.i, "
+        f"((dh.h + ii.i * dh.h2) % {two64}) % {m} AS pos "
+        "FROM probes p JOIN dh USING (tok) CROSS JOIN ii), "
+        "est AS (SELECT pp.tok, pp.n, min(c.cell) AS e FROM pp "
+        "JOIN cells c ON pp.i = c.i AND pp.pos = c.pos GROUP BY 1, 2) "
+        "SELECT tok AS token, n AS exact_count, CAST(e AS BIGINT) "
+        "AS cms_count FROM est"
+    )

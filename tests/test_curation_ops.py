@@ -275,3 +275,69 @@ def test_incremental_bloom_tiny_filter_still_exact(ray_session):
     b = (incremental_dedup_bloom(sf, bits_per_key=1, n_hashes=1).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    """The engine's distributed bottom-k equals the single-machine
+    integer priority draw, and heavier docs are favored."""
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.sampling import weighted_sample
+    from humid_ray.util import UINT64, splitmix64
+
+    sf = "/root/testdata/sf0.001"
+    k = 50
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    w = np.maximum(
+        np.array([len(s) if s is not None else 0
+                  for s in t.column("text").to_pylist()], dtype=np.int64), 1)
+    pr = splitmix64(doc.astype(np.int64).view(UINT64)) // w.astype(UINT64)
+    pr_i = (pr ^ UINT64(1 << 63)).view(np.int64)
+    order = np.lexsort((doc, pr_i))[:k]
+    expect = sorted(zip(pr_i[order].tolist(), doc[order].tolist()))
+
+    got = (weighted_sample(sf, k=k).to_pandas()
+           .sort_values(["priority", "doc_id"]).reset_index(drop=True))
+    assert list(zip(got.priority, got.doc_id)) == expect
+    # weighting sanity: the sample skews heavier than the corpus
+    assert got.weight.mean() > w.mean()
+
+
+def test_cms_overestimates_never_under(ray_session):
+    """CMS guarantee: estimate >= exact count for every probe; exact
+    counts agree with a Python Counter re-count."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.textstats import cms_token_freq
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_token_freq(sf, k=15).to_pandas()
+    assert len(got) == 15
+    assert (got.cms_count >= got.exact_count).all()
+
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]) \
+        .column("text").to_pylist()
+    cnt = collections.Counter(
+        tok for s in texts for tok in re.findall(r"[0-9a-z]+", (s or "").lower())
+    )
+    for r in got.itertuples():
+        assert cnt[r.token] == r.exact_count
+    # top-k cut is the true top-k by (count desc, token asc)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert sorted(got.token) == sorted(t for t, _ in expect)
+
+
+def test_cms_tiny_sketch_still_sound(ray_session):
+    """A deliberately under-sized sketch (2^4 counters, heavy
+    collisions) must still never under-estimate."""
+    from humid_ray.pipelines.textstats import cms_token_freq
+
+    got = cms_token_freq("/root/testdata/sf0.001", k=10, w_bits=4, d=2) \
+        .to_pandas()
+    assert (got.cms_count >= got.exact_count).all()
+    # collisions at 16 counters are certain for a ~100-token vocab
+    assert (got.cms_count > got.exact_count).any()

@@ -334,3 +334,70 @@ def test_value_quantiles_sketch_signed_and_zero(ray_session, tmp_path):
     assert med == 0.0  # ceil(0.5*7)=4 -> sorted[3] = 0.0, exact bucket
     hi = float(got[got.q == 0.999].approx_value.iloc[0])
     assert 8.0 * (1 - 1 / 128) <= hi <= 8.0
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (user_id, ts_us, event_type)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    base = datetime.datetime(2026, 1, 1)
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), type=pa.int64()),
+         "ts": pa.array(
+             [base + datetime.timedelta(microseconds=r[1]) for r in rows],
+             type=pa.timestamp("us")),
+         "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+         "event_type": pa.array([r[2] for r in rows]),
+         "value": pa.array([1.0] * len(rows), type=pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq_.write_table(t, tmp_path / "events.parquet")
+
+
+def test_funnel_planted_ordering(ray_session, tmp_path):
+    """The funnel demands STRICT temporal order at every step."""
+    rows = [
+        # user 1: full ordered chain -> reaches step 3
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+        # user 2: click BEFORE view -> stops at step 1
+        (2, 0, "click"), (2, 10, "view"),
+        # user 3: purchase before its click -> stops at step 2
+        (3, 0, "view"), (3, 5, "purchase"), (3, 10, "click"),
+        # user 4: click at the SAME us as view -> not strictly after
+        (4, 0, "view"), (4, 0, "click"),
+        # user 5: never viewed -> reaches nothing
+        (5, 0, "purchase"),
+        # user 6: greedy trap — earliest view is late, but a later
+        # view would miss the click; greedy uses the EARLIEST view
+        # (t=0) so the click at t=5 qualifies
+        (6, 0, "view"), (6, 5, "click"), (6, 3, "view"),
+    ]
+    _write_events(tmp_path, rows)
+    from humid_ray.pipelines.events import funnel_counts
+
+    got = (funnel_counts(str(tmp_path)).to_pandas()
+           .sort_values("step").reset_index(drop=True))
+    assert got.step.tolist() == [1, 2, 3]
+    assert got.step_type.tolist() == ["view", "click", "purchase"]
+    # views: users 1,2,3,4,6; clicks-after-view: 1,3,6; purchases: 1
+    assert got.users.tolist() == [5, 3, 1]
+
+
+def test_funnel_matches_sql_oracle(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines.events import funnel_counts, funnel_counts_sql
+
+    got = (funnel_counts(SF).to_pandas()
+           .sort_values("step").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    exp = con.sql(funnel_counts_sql()).df().sort_values("step") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
+    # monotone non-increasing by construction
+    assert (np.diff(got.users.to_numpy()) <= 0).all()
