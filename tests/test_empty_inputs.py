@@ -18,8 +18,10 @@ CORPUS_QUERIES_PREFIXES = (
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on
-# an empty input (their SQL oracles do the same)
+# an empty input (their SQL oracles do the same); the funnel emits one
+# zero row PER STEP (its oracle's count(*) CTEs do too)
 SCALAR_SUMMARIES = {"dedup_stats_docs", "events_session_stats"}
+EXPECTED_EMPTY_ROWS = {"events_funnel": 3}
 
 
 @pytest.fixture(scope="module")
@@ -154,7 +156,8 @@ def test_every_table_query_survives_empty_input(ray_session, empty_sf):
         try:
             res = fn(empty_sf)
             n = res.count() if hasattr(res, "count") else len(res)
-            expect = 1 if name in SCALAR_SUMMARIES else 0
+            expect = (1 if name in SCALAR_SUMMARIES
+                      else EXPECTED_EMPTY_ROWS.get(name, 0))
             assert n == expect, f"{name}: {n} rows from empty input"
         except AssertionError:
             raise
