@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-prefiltered variant: identical output (exact join is
         # the backstop), join pruned to Bloom-positive rows
         "incremental_dedup_bloom": dedup_text.incremental_dedup_bloom,
+        # per-source duplication report (join-free combiner chain;
+        # SQL-oracled)
+        "dup_by_source_docs": dedup_text.dup_rate_by_source,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -543,6 +546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered funnel completion (greedy earliest chain ≡ existence;
         # SQL-oracled via chained min-ts CTEs)
         "events_funnel": events.funnel_counts,
+        # anomaly windows: count > mean + 3σ, tested in EXACT integer
+        # arithmetic so the boundary can't float-flip (SQL-oracled)
+        "events_spikes": events.window_spikes,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
         # exact distributed quantiles via value-histogram combiner
@@ -1064,6 +1070,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _orc.stratified_sample_sql(),
         "weighted_sample_docs": _sampling_mod.weighted_sample_sql(),
         "events_funnel": _events_mod.funnel_counts_sql(),
+        "events_spikes": _events_mod.window_spikes_sql(),
+        "dup_by_source_docs": _dedup_mod.dup_rate_by_source_sql(),
         "cms_token_freq_docs": _textstats_mod.cms_token_freq_sql(),
         "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),
         "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),

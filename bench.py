@@ -212,6 +212,8 @@ def run_bench() -> dict:
     timed("weighted_sample_docs", lambda: sampling.weighted_sample(SF_DIR))
     timed("cms_token_freq_docs",
           lambda: textstats.cms_token_freq(SF_DIR), consume=None)
+    timed("events_spikes", lambda: events.window_spikes(SF_DIR))
+    timed("dup_by_source_docs", lambda: dedup_text.dup_rate_by_source(SF_DIR))
 
     out = {
         "metric": "humid dedup pipeline wall time (synthetic image+caption corpus)",

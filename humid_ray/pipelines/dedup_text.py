@@ -1215,3 +1215,78 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").union(novel)
+
+
+def dup_rate_by_source(sf_dir: str):
+    """(source, n_docs, n_dup_docs): per-source duplication report —
+    for every source, how many of its documents' texts also appear
+    elsewhere in the corpus (count > 1 across ALL sources). The
+    crawl-health metric that tells you WHICH feed is pumping
+    boilerplate before you pay for a full dedup pass.
+
+    Scale shape: join-free. The per-batch combiner collapses to
+    distinct (text, source) rows with counts, the text groupby sees
+    collapsed partials only, and each text group emits one
+    (source, n, is-dup share) row per member source — a second tiny
+    groupby(source) sums them. Shuffle volume = distinct
+    (text, source) pairs, never raw duplicate rows."""
+    from ray.data.aggregate import Sum as _Sum
+
+    _empty_pairs = pa.table(
+        {"text": pa.array([], type=pa.string()),
+         "source": pa.array([], type=pa.string()),
+         "c": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs
+        g = (batch.select(["text", "source"])
+             .group_by(["text", "source"]).aggregate([("source", "count")]))
+        return pa.table(
+            {"text": g.column("text"), "source": g.column("source"),
+             "c": g.column("source_count").cast(pa.int64())}
+        )
+
+    _empty_out = pa.table(
+        {"source": pa.array([], type=pa.string()),
+         "n_docs": pa.array([], type=pa.int64()),
+         "n_dup_docs": pa.array([], type=pa.int64())}
+    )
+
+    def per_text(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_out
+        # partials of the same (text, source) may arrive from several
+        # batches: collapse first, then share the group total
+        m = g.group_by(["text", "source"]).aggregate([("c", "sum")])
+        c = m.column("c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        return pa.table(
+            {"source": m.column("source"),
+             "n_docs": pa.array(c),
+             "n_dup_docs": pa.array(c if total > 1
+                                    else np.zeros(len(c), dtype=np.int64))}
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text")
+        .map_groups(per_text, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                   _Sum("n_dup_docs", alias_name="n_dup_docs"))
+    )
+
+
+def dup_rate_by_source_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``dup_rate_by_source``."""
+    return (
+        f"WITH t AS (SELECT source, text, CAST(count(*) AS BIGINT) AS c "
+        f"FROM {table} GROUP BY 1, 2), "
+        "tot AS (SELECT text, SUM(c) AS tc FROM t GROUP BY 1) "
+        "SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN tc > 1 THEN c ELSE 0 END) AS BIGINT) "
+        "AS n_dup_docs FROM t JOIN tot USING (text) GROUP BY source"
+    )

@@ -1052,3 +1052,89 @@ def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS,
         for i, s in enumerate(steps, start=1)
     )
     return "WITH " + ", ".join(ctes) + " " + selects
+
+
+def window_spikes(sf_dir: str, window_us: int = HOUR_US, z: int = 3):
+    """(window_start, event_type, n): anomaly windows — tumbling
+    windows whose event count exceeds the type's corpus-wide mean by
+    more than ``z`` population standard deviations. The monitoring /
+    spike-detection composition over ``windowed_counts``.
+
+    The test is ALL-INTEGER:  c > mean + z·σ  ⟺
+    nw·c − S > 0  AND  (nw·c − S)² > z²·(nw·Q − S²)
+    with S = Σc, Q = Σc², nw = #windows — no float mean/σ whose
+    summation order could flip a boundary window, so the operator is
+    bit-exact against its SQL oracle.
+
+    Scale shape: windowed counts are already the tiny combined
+    aggregate (|windows × types| rows); per-type moments are a
+    |types|-row groupby broadcast back as a dict; the spike filter is
+    one vectorized pass over the windowed rows."""
+    from ray.data.aggregate import Count as _Count
+
+    wc = windowed_counts(sf_dir, window_us=window_us)
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "n": t.column("n"),
+             "n2": pa.array(n * n)}
+        )
+
+    moments = (
+        wc.map_batches(with_sq, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_Count(alias_name="nw"), Sum("n", alias_name="s"),
+                   Sum("n2", alias_name="q"))
+        .take_all()
+    )
+    mom = {r["event_type"]: (int(r["nw"]), int(r["s"]), int(r["q"]))
+           for r in moments}
+    # int64 headroom for the squared test (exactness bound; HUGEINT on
+    # the oracle side never overflows)
+    for nw, s, q in mom.values():
+        assert nw * q < (1 << 62) and s * s < (1 << 62), \
+            "spike moments exceed int64-exact range"
+
+    _empty = pa.table(
+        {"window_start": pa.array([], type=pa.timestamp("us")),
+         "event_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def spikes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(et, return_inverse=True)
+        nw = np.array([mom[v][0] for v in uniq], dtype=np.int64)[inv]
+        s = np.array([mom[v][1] for v in uniq], dtype=np.int64)[inv]
+        q = np.array([mom[v][2] for v in uniq], dtype=np.int64)[inv]
+        lhs = nw * c - s
+        keep = (lhs > 0) & (lhs * lhs > z * z * (nw * q - s * s))
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {"window_start": kept.column("window_start"),
+             "event_type": kept.column("event_type"),
+             "n": kept.column("n")}
+        )
+
+    return wc.map_batches(spikes, batch_format="pyarrow")
+
+
+def window_spikes_sql(table: str = "events", z: int = 3) -> str:
+    """DuckDB oracle for ``window_spikes``: the identical integer
+    test in HUGEINT (overflow-free by construction)."""
+    return (
+        "WITH wc AS (SELECT time_bucket(INTERVAL 1 hour, ts) AS "
+        "window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} GROUP BY 1, 2), "
+        "mom AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nw, "
+        "CAST(SUM(n) AS HUGEINT) AS s, CAST(SUM(n*n) AS HUGEINT) AS q "
+        "FROM wc GROUP BY 1) "
+        "SELECT wc.window_start, wc.event_type, wc.n "
+        "FROM wc JOIN mom USING (event_type) "
+        f"WHERE nw*n > s AND (nw*n - s)*(nw*n - s) > {z * z}*(nw*q - s*s)"
+    )

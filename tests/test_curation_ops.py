@@ -341,3 +341,29 @@ def test_cms_tiny_sketch_still_sound(ray_session):
     assert (got.cms_count >= got.exact_count).all()
     # collisions at 16 counters are certain for a ~100-token vocab
     assert (got.cms_count > got.exact_count).any()
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Planted cross-source duplicates are attributed to EVERY source
+    holding a copy; unique texts count only toward n_docs."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {"doc_id": pa.array(range(6), type=pa.int64()),
+         "text": pa.array(["same", "same", "same", "solo a", "solo b",
+                           "also same twice"]),
+         "lang": pa.array(["en"] * 6),
+         "source": pa.array(["feed1", "feed1", "feed2", "feed1", "feed2",
+                             "feed3"]),
+         "n_chars": pa.array([4, 4, 4, 6, 6, 15], type=pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from humid_ray.pipelines.dedup_text import dup_rate_by_source
+
+    got = (dup_rate_by_source(str(tmp_path)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.source.tolist() == ["feed1", "feed2", "feed3"]
+    assert got.n_docs.tolist() == [3, 2, 1]
+    # feed1: two "same" copies are dups; feed2's single copy is a dup
+    # because OTHER sources hold it; feed3's text is globally unique
+    assert got.n_dup_docs.tolist() == [2, 1, 0]

@@ -401,3 +401,33 @@ def test_funnel_matches_sql_oracle(ray_session):
     assert got.equals(exp)
     # monotone non-increasing by construction
     assert (np.diff(got.users.to_numpy()) <= 0).all()
+
+
+def test_window_spikes_planted(ray_session, tmp_path):
+    """A planted 100-event burst in one window is flagged; quiet
+    uniform windows are not."""
+    rows = []
+    # 20 quiet hourly windows with 1 event each, then one 100x burst
+    for w in range(20):
+        rows.append((w, w * 3_600_000_000, "click"))
+    rows += [(999, 20 * 3_600_000_000 + i, "click") for i in range(100)]
+    _write_events(tmp_path, rows)
+    from humid_ray.pipelines.events import window_spikes
+
+    got = window_spikes(str(tmp_path)).to_pandas()
+    assert len(got) == 1 and int(got.n.iloc[0]) == 100
+
+
+def test_window_spikes_matches_sql(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines.events import window_spikes, window_spikes_sql
+
+    got = (window_spikes(SF).to_pandas()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    exp = (con.sql(window_spikes_sql()).df()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    assert len(got) > 0 and got.equals(exp)
