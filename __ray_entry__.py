@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source duplication report (join-free combiner chain;
         # SQL-oracled)
         "dup_by_source_docs": dedup_text.dup_rate_by_source,
+        # sliding-window token chunk export (embedding-index prep;
+        # shuffle-free, SQL-oracled)
+        "chunk_export_docs": segdedup.chunk_export,
         # text analysis (SQL-oracled where exactly expressible)
         "lang_hist_docs": textstats.lang_hist,
         "token_count_docs": textstats.token_counts,
@@ -1072,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _events_mod.funnel_counts_sql(),
         "events_spikes": _events_mod.window_spikes_sql(),
         "dup_by_source_docs": _dedup_mod.dup_rate_by_source_sql(),
+        "chunk_export_docs": _segdedup.chunk_export_sql(),
         "cms_token_freq_docs": _textstats_mod.cms_token_freq_sql(),
         "mixture_rebalance_docs": _orc.mixture_rebalance_sql(),
         "quantile_filter_docs": _textstats_mod.quantile_filter_sql(),

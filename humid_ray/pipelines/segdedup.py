@@ -272,3 +272,84 @@ def chunk_dedup_sql(k: int = 4, min_count: int = 2) -> str:
         "FROM documents d LEFT JOIN nl USING (doc_id) "
         "LEFT JOIN agg a USING (doc_id)"
     )
+
+
+def chunk_export(sf_dir: str, size: int = 64, stride: int = 32):
+    """(doc_id, chunk_idx, n_tokens, chunk_text): sliding-window token
+    chunks — every document split into ``size``-token windows advancing
+    by ``stride`` (overlapping when stride < size), the standard prep
+    for embedding indexes / context-window training sets. chunk_text
+    is the normalized space-joined token rendering (the same rendering
+    ``chunk_dedup``'s oracle pins); zero-token docs emit no chunks.
+
+    Scale shape: shuffle-free — one streaming pass; chunk expansion is
+    pure repeat/arange index math and ONE Arrow take + binary_join per
+    batch (no per-doc or per-chunk Python). Output rows ~ n_tokens /
+    stride per doc, written directly to the sink."""
+    import pyarrow.compute as pc
+
+    from humid_ray.pipelines.textstats import _flat_tokens
+
+    assert 0 < stride <= size
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "chunk_idx": pa.array([], type=pa.int64()),
+         "n_tokens": pa.array([], type=pa.int64()),
+         "chunk_text": pa.array([], type=pa.string())}
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        kept, offs = _flat_tokens(batch.column("text"))
+        n = offs[1:] - offs[:-1]
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chunks = np.where(n > 0, (np.maximum(n, 1) - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return _empty
+        d_rep = np.repeat(doc, n_chunks).astype(np.int64)
+        base = np.repeat(offs[:-1], n_chunks)
+        ci = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(np.r_[0, n_chunks[:-1]]), n_chunks))
+        start = ci * stride
+        n_rep = np.repeat(n, n_chunks)
+        clen = np.minimum(start + size, n_rep) - start
+        tok_total = int(clen.sum())
+        pos_in = (np.arange(tok_total, dtype=np.int64)
+                  - np.repeat(np.r_[0, np.cumsum(clen)[:-1]], clen))
+        flat_idx = np.repeat(base + start, clen) + pos_in
+        flat = kept.take(pa.array(flat_idx))
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(clen)].astype(np.int32)), flat
+        )
+        return pa.table(
+            {"doc_id": pa.array(d_rep),
+             "chunk_idx": pa.array(ci),
+             "n_tokens": pa.array(clen.astype(np.int64)),
+             "chunk_text": pc.binary_join(lst, " ")}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def chunk_export_sql(size: int = 64, stride: int = 32,
+                     table: str = "documents") -> str:
+    """DuckDB oracle for ``chunk_export``."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t "
+        f"FROM {table}), "
+        "nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0), "
+        "x AS (SELECT doc_id, t, n, "
+        f"unnest(range(0, (n - 1) // {stride} + 1)) AS i FROM nn) "
+        "SELECT doc_id, i AS chunk_idx, "
+        f"CAST(least(i*{stride} + {size}, n) - i*{stride} AS BIGINT) "
+        "AS n_tokens, "
+        f"array_to_string(t[i*{stride} + 1 : least(i*{stride} + {size}, n)], "
+        "' ') AS chunk_text FROM x"
+    )

@@ -109,3 +109,48 @@ def test_chunk_dedup_sf_matches_duckdb(ray_session):
     )
     assert eng.n_removed.sum() > 0  # non-trivial on this corpus
     assert eng.equals(orc)
+
+
+def test_chunk_export_overlap_invariants(ray_session):
+    """Sliding chunks reconstruct the token stream: every stride-th
+    token starts exactly one chunk; consecutive chunks of a doc
+    overlap by size - stride tokens."""
+    from humid_ray.pipelines.segdedup import chunk_export
+
+    size, stride = 8, 3
+    got = (chunk_export("/root/testdata/sf0.001", size=size, stride=stride)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    assert len(got) > 0
+    for doc_id, g in got.groupby("doc_id"):
+        toks = []
+        for r in g.itertuples():
+            chunk = r.chunk_text.split(" ")
+            assert len(chunk) == r.n_tokens <= size
+            start = r.chunk_idx * stride
+            # rebuild the doc's token stream from chunk prefixes
+            toks[start:start + len(chunk)] = chunk
+        n = len(toks)
+        # chunk count matches the closed form
+        assert len(g) == (n - 1) // stride + 1
+        # every chunk is a faithful window of the rebuilt stream
+        for r in g.itertuples():
+            start = r.chunk_idx * stride
+            assert toks[start:start + size][:r.n_tokens] == \
+                r.chunk_text.split(" ")
+
+
+def test_chunk_export_matches_sql(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines.segdedup import chunk_export, chunk_export_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (chunk_export(sf).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    exp = (con.sql(chunk_export_sql()).df()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    assert got.equals(exp)
