@@ -1072,7 +1072,10 @@ def window_spikes(sf_dir: str, window_us: int = HOUR_US, z: int = 3):
     one vectorized pass over the windowed rows."""
     from ray.data.aggregate import Count as _Count
 
-    wc = windowed_counts(sf_dir, window_us=window_us)
+    # consumed twice (moments + spike filter): materialize the TINY
+    # combined aggregate (|windows x types| rows) so the events scan
+    # and window groupby don't re-execute per consumer
+    wc = windowed_counts(sf_dir, window_us=window_us).materialize()
 
     def with_sq(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy(zero_copy_only=False)
