@@ -1241,8 +1241,17 @@ def dup_rate_by_source(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs
-        g = (batch.select(["text", "source"])
-             .group_by(["text", "source"]).aggregate([("source", "count")]))
+        import pyarrow.compute as pc
+
+        # NULLs normalize to '' on BOTH sides (the oracle coalesces):
+        # Ray's sort-based groupby cannot partition None keys, and SQL
+        # JOIN USING(text) would silently drop null-text rows
+        g = pa.table(
+            {"text": pc.fill_null(
+                pc.cast(batch.column("text"), pa.string()), ""),
+             "source": pc.fill_null(
+                 pc.cast(batch.column("source"), pa.string()), "")}
+        ).group_by(["text", "source"]).aggregate([("source", "count")])
         return pa.table(
             {"text": g.column("text"), "source": g.column("source"),
              "c": g.column("source_count").cast(pa.int64())}
@@ -1283,7 +1292,8 @@ def dup_rate_by_source(sf_dir: str):
 def dup_rate_by_source_sql(table: str = "documents") -> str:
     """DuckDB oracle for ``dup_rate_by_source``."""
     return (
-        f"WITH t AS (SELECT source, text, CAST(count(*) AS BIGINT) AS c "
+        f"WITH t AS (SELECT coalesce(source, '') AS source, "
+        f"coalesce(text, '') AS text, CAST(count(*) AS BIGINT) AS c "
         f"FROM {table} GROUP BY 1, 2), "
         "tot AS (SELECT text, SUM(c) AS tc FROM t GROUP BY 1) "
         "SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, "

@@ -917,15 +917,12 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
     Scale shape: only funnel-type rows shuffle, carrying 4 small
     columns (user-hash bucket, user, ts, step index) — one shuffle
     into ``N_SESSION_BUCKETS`` user-hash buckets, never per-user
-    groups. The per-bucket kernel is one lexsort + per-step
-    searchsorted over (user-rank, ts)-encoded int64 keys (the
-    ``range_join`` encoding); partials are |steps| rows per bucket
+    groups. The per-bucket kernel sorts (user-rank, ts-rank)-encoded
+    int64 keys once per step and advances the surviving users with
+    one searchsorted per step; partials are |steps| rows per bucket
     and the final groupby sums |steps| x |buckets| rows.
     """
-    from humid_ray.util import UINT64, splitmix64
-
     n_steps = len(steps)
-    step_arr = pa.array(list(steps), type=pa.string())
 
     _empty_routed = {
         "bucket": pa.array([], type=pa.int64()),
@@ -937,22 +934,27 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
     def route(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(_empty_routed)
-        si = pc.index_in(batch.column("event_type"), value_set=step_arr)
-        keep = pc.is_valid(si)
-        if not pc.any(keep).as_py():
+        et = batch.column("event_type")
+        parts = []
+        # fan out per STEP POSITION (not per type): a steps tuple with
+        # a repeated type (view -> click -> view again) emits one row
+        # per matching position, which index_in could not express
+        for i, s in enumerate(steps):
+            m = pc.fill_null(pc.equal(et, s), False)
+            if not pc.any(m).as_py():
+                continue
+            t = batch.filter(m)
+            parts.append(pa.table(
+                {
+                    "bucket": pa.array(_user_buckets(t)),
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "ts_us": pa.array(_ts_us(t.column("ts"))),
+                    "si": pa.array(np.full(t.num_rows, i, dtype=np.int64)),
+                }
+            ))
+        if not parts:
             return pa.table(_empty_routed)
-        t = batch.filter(keep)
-        si = si.filter(keep).cast(pa.int64())
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        h = splitmix64(uid.astype(np.int64).view(UINT64))
-        return pa.table(
-            {
-                "bucket": pa.array((h % N_SESSION_BUCKETS).astype(np.int64)),
-                "user_id": pa.array(uid.astype(np.int64)),
-                "ts_us": pa.array(_ts_us(t.column("ts"))),
-                "si": si,
-            }
-        )
+        return pa.concat_tables(parts)
 
     _zero_partial = pa.table(
         {
@@ -967,31 +969,36 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         si = g.column("si").to_numpy(zero_copy_only=False)
-        # encode (user rank, ts offset) into one sortable int64 key —
-        # strictly-greater key ≡ same-user strictly-later event
+        # encode (user rank, ts RANK) into one sortable int64 key —
+        # strictly-greater key ≡ same-user strictly-later event, and
+        # ranks bound the product by rows² (a raw ts span would bind
+        # at |users|·span and overflow on year-long corpora); a task
+        # group would need ~2^31 rows to overflow this encode
         uranks = np.unique(uid)
         urank = np.searchsorted(uranks, uid).astype(np.int64)
-        t0 = int(ts.min())
-        span = int(ts.max()) - t0 + 2
+        ts_u = np.unique(ts)
+        tsr = np.searchsorted(ts_u, ts).astype(np.int64)
+        span = len(ts_u) + 1
         assert len(uranks) * span < (1 << 62), "funnel key encode overflow"
-        key = urank * span + (ts - t0)
+        key = urank * span + tsr
         counts = np.zeros(n_steps, dtype=np.int64)
-        cur_users = cur_keys = None
+        cur = None  # surviving users' threshold keys (urank·span + tsr)
         for i in range(n_steps):
             k_i = np.sort(key[si == i])
             if i == 0:
                 us = k_i // span
-                first = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], dtype=bool)
-                cur_users, cur_keys = us[first] if len(us) else us, k_i[first] if len(us) else k_i
-            elif len(cur_users) and len(k_i):
-                pos = np.searchsorted(k_i, cur_keys, side="right")
+                first = (np.r_[True, us[1:] != us[:-1]] if len(us)
+                         else np.array([], dtype=bool))
+                cur = k_i[first] if len(us) else k_i
+            elif len(cur) and len(k_i):
+                pos = np.searchsorted(k_i, cur, side="right")
                 valid = pos < len(k_i)
                 cand = k_i[np.minimum(pos, len(k_i) - 1)]
-                valid &= (cand // span) == cur_users
-                cur_users, cur_keys = cur_users[valid], cand[valid]
+                valid &= (cand // span) == (cur // span)
+                cur = cand[valid]
             else:
-                cur_users = cur_keys = np.array([], dtype=np.int64)
-            counts[i] = len(cur_users)
+                cur = np.array([], dtype=np.int64)
+            counts[i] = len(cur)
         return pa.table(
             {
                 "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64)),
@@ -1092,13 +1099,20 @@ def window_spikes(sf_dir: str, window_us: int = HOUR_US, z: int = 3):
                    Sum("n2", alias_name="q"))
         .take_all()
     )
-    mom = {r["event_type"]: (int(r["nw"]), int(r["s"]), int(r["q"]))
-           for r in moments}
-    # int64 headroom for the squared test (exactness bound; HUGEINT on
-    # the oracle side never overflows)
-    for nw, s, q in mom.values():
-        assert nw * q < (1 << 62) and s * s < (1 << 62), \
-            "spike moments exceed int64-exact range"
+    # the predicate  nw·c − S > 0 ∧ (nw·c − S)² > z²·(nw·Q − S²)  is
+    # MONOTONE in c, so fold it into one integer threshold per type,
+    # computed in unbounded Python ints (numpy int64 would wrap on
+    # lhs² for year-scale corpora with large bursts):
+    #   keep ⟺ nw·c − S > isqrt(z²·D)  with D = nw·Q − S²
+    #        ⟺ c ≥ (S + isqrt(z²·D)) // nw + 1
+    # (x² > y ⟺ x > isqrt(y) exactly, for integer x ≥ 0)
+    import math
+
+    cmin = {}
+    for r in moments:
+        nw, s, q = int(r["nw"]), int(r["s"]), int(r["q"])
+        rt = math.isqrt(z * z * (nw * q - s * s))
+        cmin[r["event_type"]] = min((s + rt) // nw + 1, (1 << 62))
 
     _empty = pa.table(
         {"window_start": pa.array([], type=pa.timestamp("us")),
@@ -1112,12 +1126,8 @@ def window_spikes(sf_dir: str, window_us: int = HOUR_US, z: int = 3):
         et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
         c = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(et, return_inverse=True)
-        nw = np.array([mom[v][0] for v in uniq], dtype=np.int64)[inv]
-        s = np.array([mom[v][1] for v in uniq], dtype=np.int64)[inv]
-        q = np.array([mom[v][2] for v in uniq], dtype=np.int64)[inv]
-        lhs = nw * c - s
-        keep = (lhs > 0) & (lhs * lhs > z * z * (nw * q - s * s))
-        kept = t.filter(pa.array(keep))
+        lim = np.array([cmin[v] for v in uniq], dtype=np.int64)[inv]
+        kept = t.filter(pa.array(c >= lim))
         return pa.table(
             {"window_start": kept.column("window_start"),
              "event_type": kept.column("event_type"),
@@ -1127,11 +1137,14 @@ def window_spikes(sf_dir: str, window_us: int = HOUR_US, z: int = 3):
     return wc.map_batches(spikes, batch_format="pyarrow")
 
 
-def window_spikes_sql(table: str = "events", z: int = 3) -> str:
+def window_spikes_sql(table: str = "events", window_us: int = HOUR_US,
+                      z: int = 3) -> str:
     """DuckDB oracle for ``window_spikes``: the identical integer
-    test in HUGEINT (overflow-free by construction)."""
+    test in HUGEINT (overflow-free by construction; any ``window_us``
+    / ``z`` the engine accepts is expressible here too)."""
     return (
-        "WITH wc AS (SELECT time_bucket(INTERVAL 1 hour, ts) AS "
+        f"WITH wc AS (SELECT time_bucket(INTERVAL '{window_us} "
+        "microseconds', ts) AS "
         "window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n "
         f"FROM {table} GROUP BY 1, 2), "
         "mom AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nw, "

@@ -1196,12 +1196,23 @@ def cms_token_freq(sf_dir: str, k: int = 20, w_bits: int = CMS_W_BITS,
         for v in b.column("cms"):
             cms += np.frombuffer(v.as_py(), dtype=np.int64).reshape(d, m)
 
-    top = (
-        vocab(sf_dir)
-        .sort(["n_occurrences", "token"], descending=[True, False])
-        .limit(k)
-        .take_all()
-    )
+    # probe top-k without a global sort: after the vocab groupby each
+    # token appears exactly once, so per-block local top-k (<= k rows
+    # leave each block) + a <= k x |blocks| driver merge is exact —
+    # the same cut top_bigrams uses
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_occurrences", "descending"),
+                          ("token", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    cand = (vocab(sf_dir)
+            .map_batches(local_topk, batch_format="pyarrow")
+            .take_all())
+    top = sorted(cand, key=lambda r: (-r["n_occurrences"], r["token"]))[:k]
     _empty = pa.table(
         {"token": pa.array([], type=pa.string()),
          "exact_count": pa.array([], type=pa.int64()),

@@ -367,3 +367,35 @@ def test_dup_rate_by_source_planted(ray_session, tmp_path):
     # feed1: two "same" copies are dups; feed2's single copy is a dup
     # because OTHER sources hold it; feed3's text is globally unique
     assert got.n_dup_docs.tolist() == [2, 1, 0]
+
+
+def test_dup_rate_by_source_null_text(ray_session, tmp_path):
+    """NULL texts normalize to '' on both sides (engine would
+    otherwise crash in the sort shuffle; the oracle would drop the
+    rows via null-inequality)."""
+    import duckdb
+    import pyarrow as pa
+
+    t = pa.table(
+        {"doc_id": pa.array(range(4), type=pa.int64()),
+         "text": pa.array([None, None, "x", None], type=pa.string()),
+         "lang": pa.array(["en"] * 4),
+         "source": pa.array(["a", "b", "a", None]),
+         "n_chars": pa.array([0, 0, 1, 0], type=pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from humid_ray.pipelines.dedup_text import (
+        dup_rate_by_source,
+        dup_rate_by_source_sql,
+    )
+
+    got = (dup_rate_by_source(str(tmp_path)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = (con.sql(dup_rate_by_source_sql()).df()
+           .sort_values("source").reset_index(drop=True))
+    assert got.equals(exp)
+    # the three ''-text docs count as mutual dups across sources
+    assert int(got.n_dup_docs.sum()) == 3
