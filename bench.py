@@ -48,6 +48,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep stdout pure JSON: raylet/worker warnings otherwise leak
+        # into the driver's captured output ahead of the result line
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

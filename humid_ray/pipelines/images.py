@@ -15,11 +15,10 @@ keep-list a training pipeline actually consumes:
 Payload bytes NEVER transit a shuffle: the only stage that touches
 ``bytes`` hashes it in-batch to a (h1, h2, len) triple; everything
 downstream moves 8-byte columns. Exact-byte identity is asserted on
-the 128-bit+length composite — two INDEPENDENT polynomial hashes over
-the payload (the second over a bitwise-rotated view), collision
-probability ~n^2 / 2^129 corpus-wide (zero at any feasible corpus
-size); the DuckDB oracle groups by the raw bytes, so the compare
-would catch a composite collision at test scale.
+the 128-bit+length composite — a BLAKE2b-128 digest split into two
+64-bit words, collision probability ~n^2 / 2^129 corpus-wide (zero at
+any feasible corpus size); the DuckDB oracle groups by the raw bytes,
+so the compare would catch a digest collision at test scale.
 """
 
 from __future__ import annotations
@@ -36,14 +35,14 @@ from humid_ray.config import HumidConfig
 from humid_ray.pipelines.multimodal import read_corpus
 from humid_ray.stages.components import connected_components
 from humid_ray.stages.lsh import band_bucket_counts, find_edges
-from humid_ray.util import UINT64, hash_bytes_segments, u64col
+from humid_ray.util import UINT64, u64col
 
 
 def _flat_binary(col) -> tuple[np.ndarray, np.ndarray]:
     """Binary column -> (flat uint8 buffer, absolute int64 offsets).
 
-    Zero-copy views of the Arrow buffers; ``hash_bytes_segments``
-    consumes absolute offsets directly.
+    Zero-copy views of the Arrow buffers; the identity kernel slices
+    the flat buffer per segment via the absolute offsets.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -79,12 +78,27 @@ def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
             return pa.table({k: pa.array([], type=t)
                              for k, t in out_schema.items()})
         data, offs = _flat_binary(batch.column("bytes"))
-        h1 = hash_bytes_segments(data, offs)
-        # independent second hash: same polynomial over a rotated view
-        # of every byte (x -> (x<<3 | x>>5) & 0xFF), so simultaneous
-        # collision needs two unrelated zero-sums
-        rot = ((data << np.uint8(3)) | (data >> np.uint8(5))).astype(np.uint8)
-        h2 = hash_bytes_segments(rot, offs)
+        # ONE C-speed BLAKE2b pass per payload, 16-byte digest split
+        # into (h1, h2). For ~100 KB payloads a per-segment C call at
+        # GB/s beats the "vectorized" byte-polynomial by >20x: that
+        # kernel materializes ~40 bytes of int64 temporaries PER
+        # PAYLOAD BYTE (and would do it twice) — memory traffic, not
+        # compute, was the wall. The rows-per-batch loop costs ~1 µs
+        # per row against ~70 µs of hashing. memoryview slices of the
+        # flat Arrow buffer keep it zero-copy.
+        import hashlib
+
+        n = batch.num_rows
+        h1 = np.empty(n, dtype=UINT64)
+        h2 = np.empty(n, dtype=UINT64)
+        mv = memoryview(data)
+        base = int(offs[0])
+        for i in range(n):
+            d = hashlib.blake2b(
+                mv[offs[i] - base:offs[i + 1] - base], digest_size=16
+            ).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
         cols = {
             "image_id": batch.column("image_id"),
             "h1": u64col(h1),
