@@ -1127,10 +1127,11 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
     new = docs.map_batches(split_kernel(True), batch_format="pyarrow",
                            zero_copy_batch=True)
-    if new.count() == 0:
-        return ray.data.from_arrow(_empty)
     base = docs.map_batches(split_kernel(False), batch_format="pyarrow",
                             zero_copy_batch=True)
+    # the ONLY full pre-pass: n_base sizes the filter. (An empty `new`
+    # side flows through every kernel and yields the empty result; no
+    # count pass is spent proving it first.)
     n_base = base.count()
     if n_base == 0:
         return new.map_batches(novel_rows, batch_format="pyarrow")
@@ -1182,6 +1183,12 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
 
     tagged = new.map_batches(BloomTag, batch_format="pyarrow",
                              zero_copy_batch=True, concurrency=(1, 8))
+    # tagged feeds BOTH branches and `cand` is additionally counted
+    # and joined: without a checkpoint the read+split+BloomTag lineage
+    # re-executes per consumer (~4 corpus scans). `cand` is the
+    # Bloom-positive slice — by construction the small dup fraction —
+    # so materializing IT is cheap; `novel` (the big side) stays lazy
+    # and re-derives from one tagged pass at final consumption.
     novel = tagged.map_batches(
         lambda t: novel_rows(t.filter(pc.invert(t.column("_pos").combine_chunks()
                                                 if isinstance(t.column("_pos"), pa.ChunkedArray)
@@ -1191,7 +1198,7 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
     cand = tagged.map_batches(
         lambda t: t.filter(t.column("_pos")).drop_columns(["_pos"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return novel
