@@ -512,3 +512,44 @@ def test_window_spikes_survives_int64_scale_moments(ray_session, tmp_path):
 
     got = window_spikes(str(tmp_path)).to_pandas()
     assert len(got) == 1 and int(got.n.iloc[0]) == 300
+
+
+def test_funnel_random_vs_bruteforce(ray_session, tmp_path):
+    """Randomized parity: funnel counts equal a per-user brute-force
+    ordered-subsequence check over many users/timestamps (seeded)."""
+    rng = np.random.default_rng(2026)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for u in range(60):
+        for _ in range(int(rng.integers(0, 12))):
+            rows.append((u, int(rng.integers(0, 50)) * 1_000_000,
+                         types[int(rng.integers(0, len(types)))]))
+    _write_events(tmp_path, rows)
+
+    def brute(steps):
+        per_user = {}
+        for u, t, e in rows:
+            per_user.setdefault(u, []).append((t, e))
+        counts = [0] * len(steps)
+        for evs in per_user.values():
+            evs.sort()
+            thr, depth = -1, 0
+            for want in steps:
+                nxt = [t for t, e in evs if e == want and t > thr]
+                if not nxt:
+                    break
+                thr = min(nxt)
+                depth += 1
+            for i in range(depth):
+                counts[i] += 1
+        return counts
+
+    from humid_ray.pipelines.events import funnel_counts
+
+    for steps in [("view", "click", "purchase"),
+                  ("click", "view"),
+                  ("view", "view", "view"),
+                  ("error", "purchase", "click", "view")]:
+        got = (funnel_counts(str(tmp_path), steps=steps).to_pandas()
+               .sort_values("step").users.tolist())
+        assert got == brute(steps), steps
