@@ -707,8 +707,13 @@ def hll_distinct_users_sql(table: str = "events", p: int = 12) -> str:
         f"rr AS (SELECT event_type, h // {1 << (64 - p)} AS idx, "
         f"(h * {1 << p}) % {two64} + {(1 << p) - 1} AS rest FROM hh), "
         f"pw AS (SELECT {_pow2_list()} AS p2), "
+        # clamp to 63: the DOUBLE cast of rest in the top binade can
+        # round UP to 2^64 making g=64, where both correction probes
+        # index past the 64-entry pow2 list (NULL) and the register
+        # silently drops from the sum; true floor(log2) is always <=63
         "g0 AS (SELECT event_type, idx, rest, "
-        "CAST(floor(log2(CAST(rest AS DOUBLE))) AS INT) AS g FROM rr), "
+        "LEAST(CAST(floor(log2(CAST(rest AS DOUBLE))) AS INT), 63) "
+        "AS g FROM rr), "
         "fl AS (SELECT event_type, idx, CASE "
         "WHEN coalesce(rest >= p2[g + 2], false) THEN g + 1 "
         "WHEN rest < p2[g + 1] THEN g - 1 ELSE g END AS f "

@@ -174,9 +174,20 @@ def orders_by_nation(sf_dir: str):
                 )
             oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.ck, oc)
-            # every order references an existing customer (FK); clip
-            # guards an out-of-range probe from crashing on bad input
             pos = np.minimum(pos, len(self.ck) - 1)
+            # drop orders whose custkey is ABSENT from customer — the
+            # inner-join semantics of the oracle (a clipped probe
+            # would silently attribute the order to a neighbor key)
+            found = self.ck[pos] == oc
+            if not found.all():
+                pos, oc = pos[found], oc[found]
+                t = t.filter(pa.array(found))
+                if t.num_rows == 0:
+                    return pa.table(
+                        {"c_nationkey": pa.array([], type=pa.int64()),
+                         "n_orders": pa.array([], type=pa.int64()),
+                         "total_cents": pa.array([], type=pa.int64())}
+                    )
             nat = self.nk[pos]
             tot = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
             unat, inv = np.unique(nat, return_inverse=True)

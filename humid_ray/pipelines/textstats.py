@@ -1114,8 +1114,13 @@ def normalize_text(sf_dir: str):
 
     def kernel(batch: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
-        norm = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " ")
+        # trim SPACES only (pc.utf8_trim_whitespace is Unicode-aware
+        # and would strip chars like \x0b/U+2028 that neither RE2 \s+
+        # nor DuckDB trim() touches — engine/oracle divergence); after
+        # the RE2 collapse every \s edge run is already ' '
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "),
+            characters=" ",
         )
         return pa.table(
             {
@@ -1134,9 +1139,9 @@ def normalize_text_sql(table: str = "documents") -> str:
     """DuckDB oracle for ``normalize_text`` (same RE2 semantics)."""
     return (
         "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
-        "'\\s+', ' ', 'g')) AS norm_text, "
+        "'\\s+', ' ', 'g'), ' ') AS norm_text, "
         "CAST(length(trim(regexp_replace(lower(coalesce(text, '')), "
-        "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+        "'\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_chars_norm "
         f"FROM {table}"
     )
 

@@ -134,3 +134,35 @@ def test_segment_revenue_three_table_chain(ray_session, tmp_path):
     # BUILDING: orders 1 (1000+400) + 2 (350) -> 1750 cents
     assert out.n_orders.tolist() == [1, 2]
     assert out.revenue_cents.tolist() == [200, 1750]
+
+
+def test_orders_by_nation_drops_orphan_custkeys(ray_session, tmp_path):
+    """An order whose o_custkey is absent from customer must be
+    DROPPED (inner-join oracle semantics), not attributed to a
+    neighboring customer's nation by the clipped searchsorted probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 5], type=pa.int64()),
+                  "c_nationkey": pa.array([10, 20], type=pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 5, 3, 99], type=pa.int64()),
+                  "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0])}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([10, 20], type=pa.int64()),
+                  "n_name": pa.array(["A", "B"])}),
+        tmp_path / "nation.parquet",
+    )
+    from humid_ray.pipelines.relational import orders_by_nation
+
+    got = (orders_by_nation(str(tmp_path)).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    # orphans 3 and 99 dropped: one order per nation, exact cents
+    assert got.n_name.tolist() == ["A", "B"]
+    assert got.n_orders.tolist() == [1, 1]
+    assert got.total_cents.tolist() == [1000, 2000]
