@@ -980,6 +980,54 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.8, k: int = 3,
 
 # --- incremental dedup (new shard vs existing corpus) ----------------------
 
+# shared by incremental_exact_dedup AND incremental_dedup_bloom (they
+# share one SQL oracle; a drifting copy would silently diverge them)
+_INCR_EMPTY = pa.table(
+    {"doc_id": pa.array([], type=pa.int64()),
+     "is_dup": pa.array([], type=pa.bool_()),
+     "base_rep": pa.array([], type=pa.int64())}
+)
+
+
+def _incr_split_kernel(new_side: bool, new_pct: int, n_buckets: int):
+    """Deterministic base/new split: splitmix64(doc_id) % n_buckets."""
+    from humid_ray.util import splitmix64
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = splitmix64(d.astype(np.int64).view(UINT64)) % UINT64(n_buckets)
+        mask = b < new_pct if new_side else b >= new_pct
+        return batch.filter(pa.array(mask))
+
+    return kernel
+
+
+def _incr_novel_rows(batch: pa.Table) -> pa.Table:
+    """Rows known novel without a join: is_dup=False, base_rep NULL."""
+    return pa.table(
+        {"doc_id": batch.column("doc_id"),
+         "is_dup": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+         "base_rep": pa.nulls(batch.num_rows, type=pa.int64())}
+    )
+
+
+def _incr_finish(batch: pa.Table) -> pa.Table:
+    """Left-join output -> (doc_id, is_dup, base_rep)."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return _INCR_EMPTY
+    rep = batch.column("base_rep")
+    rep = rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep
+    return pa.table(
+        {"doc_id": batch.column("doc_id"),
+         "is_dup": pc.is_valid(rep),
+         "base_rep": rep}
+    )
+
+
 def incremental_exact_dedup(sf_dir: str, new_pct: int = 20,
                             n_buckets: int = 100):
     """(doc_id, is_dup, base_rep): dedup NEW arrivals against the
@@ -997,66 +1045,29 @@ def incremental_exact_dedup(sf_dir: str, new_pct: int = 20,
     daily run reuses it instead of rescanning the base). Then ONE
     distributed left-outer ``Dataset.join`` co-partitions new rows
     with base reps by text; neither side is collected."""
-    from humid_ray.util import splitmix64
+    from humid_ray.stages.joins import join_kwargs
 
-    def split_kernel(new_side: bool):
-        def kernel(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            b = splitmix64(d.astype(np.int64).view(UINT64)) % UINT64(n_buckets)
-            mask = b < new_pct if new_side else b >= new_pct
-            return batch.filter(pa.array(mask))
-        return kernel
-
-    _empty = pa.table(
-        {"doc_id": pa.array([], type=pa.int64()),
-         "is_dup": pa.array([], type=pa.bool_()),
-         "base_rep": pa.array([], type=pa.int64())}
-    )
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    new = docs.map_batches(split_kernel(True), batch_format="pyarrow",
-                           zero_copy_batch=True)
+    new = docs.map_batches(_incr_split_kernel(True, new_pct, n_buckets),
+                           batch_format="pyarrow", zero_copy_batch=True)
     n_new = new.count()
     if n_new == 0:
-        return ray.data.from_arrow(_empty)
-    base = docs.map_batches(split_kernel(False), batch_format="pyarrow",
-                            zero_copy_batch=True)
+        return ray.data.from_arrow(_INCR_EMPTY)
+    base = docs.map_batches(_incr_split_kernel(False, new_pct, n_buckets),
+                            batch_format="pyarrow", zero_copy_batch=True)
     n_base = base.count()
     if n_base == 0:
-        def novel(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {"doc_id": batch.column("doc_id"),
-                 "is_dup": pa.array([False] * batch.num_rows),
-                 "base_rep": pa.nulls(batch.num_rows, type=pa.int64())}
-            )
-        return new.map_batches(novel, batch_format="pyarrow")
+        return new.map_batches(_incr_novel_rows, batch_format="pyarrow")
     base_reps = base.groupby("text").aggregate(
         Min("doc_id", alias_name="base_rep")
     )
-    from humid_ray.stages.joins import join_kwargs
-
     # texts are wide: size the hint by observed mean text bytes
     joined = new.join(
         base_reps,
         join_type="left_outer", on=("text",),
         **join_kwargs(n_new, n_base, bytes_per_row=1024),
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty
-        rep = batch.column("base_rep")
-        import pyarrow.compute as pc
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "is_dup": pc.is_valid(rep.combine_chunks()
-                                   if isinstance(rep, pa.ChunkedArray)
-                                   else rep),
-             "base_rep": rep}
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return joined.map_batches(_incr_finish, batch_format="pyarrow")
 
 
 def incremental_exact_dedup_sql(table: str = "documents",
@@ -1101,40 +1112,17 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
     from humid_ray.stages.joins import hash_string_column, join_kwargs
     from humid_ray.util import UINT64, splitmix64
 
-    def split_kernel(new_side: bool):
-        def kernel(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            b = splitmix64(d.astype(np.int64).view(UINT64)) % UINT64(n_buckets)
-            mask = b < new_pct if new_side else b >= new_pct
-            return batch.filter(pa.array(mask))
-        return kernel
-
-    _empty = pa.table(
-        {"doc_id": pa.array([], type=pa.int64()),
-         "is_dup": pa.array([], type=pa.bool_()),
-         "base_rep": pa.array([], type=pa.int64())}
-    )
-
-    def novel_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "is_dup": pa.array([False] * batch.num_rows),
-             "base_rep": pa.nulls(batch.num_rows, type=pa.int64())}
-        )
-
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    new = docs.map_batches(split_kernel(True), batch_format="pyarrow",
-                           zero_copy_batch=True)
-    base = docs.map_batches(split_kernel(False), batch_format="pyarrow",
-                            zero_copy_batch=True)
+    new = docs.map_batches(_incr_split_kernel(True, new_pct, n_buckets),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    base = docs.map_batches(_incr_split_kernel(False, new_pct, n_buckets),
+                            batch_format="pyarrow", zero_copy_batch=True)
     # the ONLY full pre-pass: n_base sizes the filter. (An empty `new`
     # side flows through every kernel and yields the empty result; no
     # count pass is spent proving it first.)
     n_base = base.count()
     if n_base == 0:
-        return new.map_batches(novel_rows, batch_format="pyarrow")
+        return new.map_batches(_incr_novel_rows, batch_format="pyarrow")
 
     m_bits = 1 << max(10, int(np.ceil(np.log2(bits_per_key * n_base))))
     mask = UINT64(m_bits - 1)
@@ -1145,25 +1133,32 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
         return h1, h2
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
-        bs = np.zeros(m_bits // 64, dtype=np.uint64)
-        if batch.num_rows:
+        # emit the batch's SET-BIT POSITIONS (deduped), not a full
+        # bitset: a partial is <= rows x n_hashes x 8 bytes regardless
+        # of filter size, where a per-batch bitset would ship
+        # m_bits/8 bytes per batch (2 GB per batch at the documented
+        # 10^9-key ceiling)
+        if batch.num_rows == 0:
+            pos = np.empty(0, dtype=UINT64)
+        else:
             h1, h2 = _positions(batch.column("text"))
-            for i in range(n_hashes):
-                pos = (h1 + UINT64(i) * h2) & mask
-                np.bitwise_or.at(
-                    bs, (pos >> UINT64(6)).astype(np.int64),
-                    UINT64(1) << (pos & UINT64(63)),
-                )
-        return pa.table({"bits": pa.array([bs.tobytes()], type=pa.binary())})
+            pos = np.unique(np.concatenate(
+                [(h1 + UINT64(i) * h2) & mask for i in range(n_hashes)]
+            ))
+        return pa.table({"pos": pa.array([pos.tobytes()], type=pa.binary())})
 
-    # OR-merge the fixed-size partials driver-side (one sketch, like
-    # the IVF centroids); n_partials x m_bits/8 bytes, never rows
+    # set the merged positions driver-side (one bitset, like the IVF
+    # centroids); total transfer ~ distinct positions, never rows
     bloom = np.zeros(m_bits // 64, dtype=np.uint64)
     for b in (base.map_batches(bloom_partial, batch_format="pyarrow",
                                zero_copy_batch=True)
               .iter_batches(batch_size=1024, batch_format="pyarrow")):
-        for v in b.column("bits"):
-            bloom |= np.frombuffer(v.as_py(), dtype=np.uint64)
+        for v in b.column("pos"):
+            pos = np.frombuffer(v.as_py(), dtype=UINT64)
+            np.bitwise_or.at(
+                bloom, (pos >> UINT64(6)).astype(np.int64),
+                UINT64(1) << (pos & UINT64(63)),
+            )
     bloom_ref = ray.put(bloom)
 
     class BloomTag:
@@ -1190,9 +1185,10 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
     # so materializing IT is cheap; `novel` (the big side) stays lazy
     # and re-derives from one tagged pass at final consumption.
     novel = tagged.map_batches(
-        lambda t: novel_rows(t.filter(pc.invert(t.column("_pos").combine_chunks()
-                                                if isinstance(t.column("_pos"), pa.ChunkedArray)
-                                                else t.column("_pos")))),
+        lambda t: _incr_novel_rows(
+            t.filter(pc.invert(t.column("_pos").combine_chunks()
+                               if isinstance(t.column("_pos"), pa.ChunkedArray)
+                               else t.column("_pos")))),
         batch_format="pyarrow",
     )
     cand = tagged.map_batches(
@@ -1209,19 +1205,8 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
         base_reps, join_type="left_outer", on=("text",),
         **join_kwargs(n_cand, n_base, bytes_per_row=1024),
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty
-        rep = batch.column("base_rep")
-        rep = rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "is_dup": pc.is_valid(rep),
-             "base_rep": rep}
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow").union(novel)
+    return joined.map_batches(_incr_finish,
+                              batch_format="pyarrow").union(novel)
 
 
 def dup_rate_by_source(sf_dir: str):

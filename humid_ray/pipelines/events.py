@@ -183,15 +183,9 @@ def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000,
         chunk_us = 256 * gap_us  # boundary sessions ~1/256 of chunks
 
     def bucket(batch: pa.Table) -> pa.Table:
-        from humid_ray.util import UINT64, splitmix64
-
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        # hash before bucketing: raw `uid % N` assumes well-distributed
-        # ids (stride-N id assignment would hammer one bucket)
-        h = splitmix64(uid.astype(np.int64).view(UINT64))
         ts = _ts_us(batch.column("ts"))
         return batch.append_column(
-            "bucket", pa.array((h % N_SESSION_BUCKETS).astype(np.int64))
+            "bucket", pa.array(_user_buckets(batch))
         ).append_column(
             "chunk", pa.array(np.floor_divide(ts, chunk_us))
         )
@@ -323,6 +317,9 @@ def sessionize(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000,
 
 
 def _user_buckets(t: pa.Table) -> np.ndarray:
+    """The ONE user->bucket routing rule (sessionize, boundary merge,
+    funnel): hash before bucketing — raw ``uid % N`` would assume
+    well-distributed ids (stride-N assignment hammers one bucket)."""
     from humid_ray.util import UINT64, splitmix64
 
     uid = t.column("user_id").to_numpy(zero_copy_only=False)

@@ -326,6 +326,26 @@ _PRIORITY_PARTIAL_EMPTY = {
 }
 
 
+def _order_revenue_partial(t: pa.Table) -> pa.Table:
+    """Per-batch lineitem -> (l_orderkey, revenue_cents) collapse —
+    the per-ORDER combiner shared by priority_revenue and
+    segment_revenue (both SQL oracles assume identical cents math)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"l_orderkey": pa.array([], type=pa.int64()),
+             "revenue_cents": pa.array([], type=pa.int64())}
+        )
+    ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+    rev = _cents(price * (1.0 - disc))
+    uok, inv = np.unique(ok, return_inverse=True)
+    return pa.table(
+        {"l_orderkey": pa.array(uok.astype(np.int64)),
+         "revenue_cents": pa.array(_bincount_i64(inv, rev, len(uok)))}
+    )
+
+
 def priority_revenue(sf_dir: str):
     """(o_orderpriority, n_orders, revenue_cents): discounted lineitem
     revenue rolled up to order priority — the FACT x FACT join shape
@@ -339,22 +359,6 @@ def priority_revenue(sf_dir: str):
     on the order key, and a second per-batch combiner reduces the
     joined stream to |priorities| partials. Revenue is int64 cents
     throughout, so every reduction order gives the same bits."""
-    def order_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"l_orderkey": pa.array([], type=pa.int64()),
-                 "revenue_cents": pa.array([], type=pa.int64())}
-            )
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = _cents(price * (1.0 - disc))
-        uok, inv = np.unique(ok, return_inverse=True)
-        return pa.table(
-            {"l_orderkey": pa.array(uok.astype(np.int64)),
-             "revenue_cents": pa.array(_bincount_i64(inv, rev, len(uok)))}
-        )
-
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders",
@@ -366,7 +370,7 @@ def priority_revenue(sf_dir: str):
         return ray.data.from_arrow(pa.table(_PRIORITY_PARTIAL_EMPTY))
     per_order = (
         lineitem
-        .map_batches(order_partial, batch_format="pyarrow",
+        .map_batches(_order_revenue_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
@@ -422,22 +426,6 @@ def segment_revenue(sf_dir: str):
     |segments|-row combiner. Two distributed ``Dataset.join``s
     co-partition the fact tables; revenue stays int64 cents end to
     end, so every reduction order gives the same bits."""
-    def order_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"l_orderkey": pa.array([], type=pa.int64()),
-                 "revenue_cents": pa.array([], type=pa.int64())}
-            )
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = _cents(price * (1.0 - disc))
-        uok, inv = np.unique(ok, return_inverse=True)
-        return pa.table(
-            {"l_orderkey": pa.array(uok.astype(np.int64)),
-             "revenue_cents": pa.array(_bincount_i64(inv, rev, len(uok)))}
-        )
-
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -449,7 +437,7 @@ def segment_revenue(sf_dir: str):
         return ray.data.from_arrow(pa.table(_SEGMENT_PARTIAL_EMPTY))
     per_order = (
         lineitem
-        .map_batches(order_partial, batch_format="pyarrow",
+        .map_batches(_order_revenue_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))

@@ -276,6 +276,45 @@ def fingerprints(sf_dir: str):
 QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+_LENGTH_HIST_EMPTY = {
+    "lang": pa.array([], type=pa.string()),
+    "n_chars": pa.array([], type=pa.int64()),
+    "n": pa.array([], type=pa.int64()),
+}
+
+
+def _length_hist_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (lang, n_chars) value-histogram combiner shared by
+    length_quantiles / quantile_filter / length_deciles: the shuffle
+    carries one row per distinct (lang, length) pair, never documents."""
+    if t.num_rows == 0:
+        return pa.table(_LENGTH_HIST_EMPTY)
+    lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    ln = t.column("n_chars").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ln, lang))
+    lang, ln = lang[order], ln[order]
+    new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
+    starts = np.flatnonzero(new)
+    return pa.table(
+        {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
+         "n_chars": pa.array(ln[starts].astype(np.int64)),
+         "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
+    )
+
+
+def _merged_length_hist(g: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Group-kernel prologue shared by the three consumers: partials
+    from different batches repeat values — sort by length and
+    re-aggregate to one (sorted lengths, counts) histogram."""
+    ln = g.column("n_chars").to_numpy(zero_copy_only=False)
+    cnt = g.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(ln, kind="stable")
+    ln, cnt = ln[order], cnt[order]
+    keep = np.r_[True, ln[1:] != ln[:-1]]
+    starts = np.flatnonzero(keep)
+    return ln[starts], np.add.reduceat(cnt, starts)
+
+
 def length_quantiles(sf_dir: str):
     """(lang, n_docs, p25, p50, p75, p90, p99): EXACT per-language
     discrete quantiles of document length.
@@ -289,26 +328,7 @@ def length_quantiles(sf_dir: str):
     precision, bit-matching DuckDB's quantile_disc."""
     import math
 
-    _empty = {
-        "lang": pa.array([], type=pa.string()),
-        "n_chars": pa.array([], type=pa.int64()),
-        "n": pa.array([], type=pa.int64()),
-    }
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(_empty)
-        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ln, lang))
-        lang, ln = lang[order], ln[order]
-        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
-             "n_chars": pa.array(ln[starts].astype(np.int64)),
-             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
-        )
+    partial = _length_hist_partial
 
     cols = ["p25", "p50", "p75", "p90", "p99"]
 
@@ -318,15 +338,7 @@ def length_quantiles(sf_dir: str):
                  **{c: pa.array([], type=pa.int64()) for c in cols}}
         if g.num_rows == 0:
             return pa.table(empty)
-        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
-        cnt = g.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(ln, kind="stable")
-        ln, cnt = ln[order], cnt[order]
-        # partials from different batches repeat values: re-aggregate
-        keep = np.r_[True, ln[1:] != ln[:-1]]
-        starts = np.flatnonzero(keep)
-        ln = ln[starts]
-        cnt = np.add.reduceat(cnt, starts)
+        ln, cnt = _merged_length_hist(g)
         cum = np.cumsum(cnt)
         n = int(cum[-1])
         out = {"lang": g.column("lang").slice(0, 1),
@@ -500,26 +512,7 @@ def quantile_filter(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     ceil(q*n)-1, bit-matching DuckDB quantile_disc."""
     import math
 
-    _empty = {
-        "lang": pa.array([], type=pa.string()),
-        "n_chars": pa.array([], type=pa.int64()),
-        "n": pa.array([], type=pa.int64()),
-    }
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(_empty)
-        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ln, lang))
-        lang, ln = lang[order], ln[order]
-        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
-             "n_chars": pa.array(ln[starts].astype(np.int64)),
-             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
-        )
+    partial = _length_hist_partial
 
     def band_group(g: pa.Table) -> pa.Table:
         empty = {"lang": pa.array([], type=pa.string()),
@@ -527,14 +520,7 @@ def quantile_filter(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
                  "qh": pa.array([], type=pa.int64())}
         if g.num_rows == 0:
             return pa.table(empty)
-        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
-        cnt = g.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(ln, kind="stable")
-        ln, cnt = ln[order], cnt[order]
-        keep = np.r_[True, ln[1:] != ln[:-1]]
-        starts = np.flatnonzero(keep)
-        ln = ln[starts]
-        cnt = np.add.reduceat(cnt, starts)
+        ln, cnt = _merged_length_hist(g)
         cum = np.cumsum(cnt)
         n = int(cum[-1])
         vals = []
@@ -692,26 +678,7 @@ def length_deciles(sf_dir: str):
     per-lang cumulative table is a broadcast dict keyed by lang with a
     sorted value array + decile array, probed by searchsorted in one
     streaming pass."""
-    _empty = {
-        "lang": pa.array([], type=pa.string()),
-        "n_chars": pa.array([], type=pa.int64()),
-        "n": pa.array([], type=pa.int64()),
-    }
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(_empty)
-        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        ln = t.column("n_chars").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ln, lang))
-        lang, ln = lang[order], ln[order]
-        new = np.r_[True, (lang[1:] != lang[:-1]) | (ln[1:] != ln[:-1])]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {"lang": pa.array(lang[starts].tolist(), type=pa.string()),
-             "n_chars": pa.array(ln[starts].astype(np.int64)),
-             "n": pa.array(np.diff(np.r_[starts, len(ln)]).astype(np.int64))}
-        )
+    partial = _length_hist_partial
 
     def decile_group(g: pa.Table) -> pa.Table:
         empty = {"lang": pa.array([], type=pa.string()),
@@ -719,14 +686,7 @@ def length_deciles(sf_dir: str):
                  "decile": pa.array([], type=pa.int64())}
         if g.num_rows == 0:
             return pa.table(empty)
-        ln = g.column("n_chars").to_numpy(zero_copy_only=False)
-        cnt = g.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(ln, kind="stable")
-        ln, cnt = ln[order], cnt[order]
-        keep = np.r_[True, ln[1:] != ln[:-1]]
-        starts = np.flatnonzero(keep)
-        ln = ln[starts]
-        cnt = np.add.reduceat(cnt, starts)
+        ln, cnt = _merged_length_hist(g)
         cle = np.cumsum(cnt)
         n = int(cle[-1])
         dec = (10 * cle + n - 1) // n
