@@ -4,6 +4,11 @@ sf dir and compare rows / schema / values (columns sorted by name, rows
 sorted by all columns — the driver's compare order).
 
 Usage: python tools/oracle_sweep.py [sf_dir] [query ...]
+
+CAVEAT: corpus-backed queries (humid_*, image/audio/video/multimodal)
+register oracles against the synthetic sf0.01 corpus glob — the scale
+the driver compares at. Sweeping them at any other sf_dir reports row
+mismatches BY DESIGN; only the tabular queries are scale-portable.
 """
 from __future__ import annotations
 
