@@ -523,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global permutation rank (seeded training
         # shuffle; scan instance with key=splitmix64(doc_id), SQL-oracled)
         "shuffle_rank_docs": shards.global_shuffle,
+        # global ORDER BY rank (curriculum/sorted export): the scan
+        # instance with key = -n_chars (SQL-oracled)
+        "rank_by_length_docs": shards.rank_by_length,
         # events: windowed aggregate + gap sessionization (SQL-oracled)
         "events_windowed": events.windowed_counts,
         # hopping (sliding) windows: in-kernel event fan-out, partials
@@ -803,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
     from humid_ray.pipelines import relational as _relational_mod
     from humid_ray.pipelines import sampling as _sampling_mod
     from humid_ray.pipelines import segdedup as _segdedup
+    from humid_ray.pipelines import shards as _shards_mod
     from humid_ray.pipelines import textstats as _textstats_mod
 
     return {
@@ -1116,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard_id FROM c"
         ),
         "shuffle_rank_docs": _orc.shuffle_rank_sql(),
+        "rank_by_length_docs": _shards_mod.rank_by_length_sql(),
         "shard_manifest_docs": (
             "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
             "lower(coalesce(text,'')), '[0-9a-z]+')) AS BIGINT) AS n_tokens "

@@ -294,3 +294,60 @@ def shard_manifest(sf_dir: str, capacity: int = 2048,
         .aggregate(Count(alias_name="n_docs"),
                    Sum("n_tokens", alias_name="n_tokens"))
     )
+
+
+_EMPTY_RANKED = {
+    "doc_id": pa.array([], type=pa.int64()),
+    "n_chars": pa.array([], type=pa.int64()),
+    "rank": pa.array([], type=pa.int64()),
+}
+
+
+def rank_by_length(sf_dir: str, n_buckets: int = N_RANGE_BUCKETS):
+    """(doc_id, n_chars, rank): global ORDER BY — every document's
+    1-based rank longest-first (ties by doc_id), the sorted-export /
+    "give me the corpus in curriculum order" operator.
+
+    The distributed-ORDER-BY instance of the exclusive scan: key =
+    -n_chars, weight = 1. No global sort shuffle of the corpus — a
+    sampled range partitioner buckets rows, each bucket lexsorts
+    locally, and the driver exscans |buckets| totals; identical output
+    at any parallelism and joinable back to payloads by doc_id."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "k": pa.array([], type=pa.int64())})
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": pa.array(nc),
+                         "k": pa.array(-nc)})
+
+    keyed = (
+        read_documents(sf_dir, columns=["doc_id", "n_chars"])
+        .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if keyed.count() == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_RANKED))
+
+    def finalize(cols, excl):
+        return pa.table(
+            {"doc_id": pa.array(cols["doc_id"].astype(np.int64)),
+             "n_chars": pa.array(cols["n_chars"].astype(np.int64)),
+             "rank": pa.array(excl + 1)}
+        )
+
+    return _exclusive_scan(keyed, "k", None, n_buckets,
+                           finalize, pa.table(_EMPTY_RANKED))
+
+
+def rank_by_length_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``rank_by_length``."""
+    return (
+        "SELECT doc_id, n_chars, CAST(row_number() OVER "
+        "(ORDER BY n_chars DESC, doc_id) AS BIGINT) AS \"rank\" "
+        f"FROM {table}"
+    )

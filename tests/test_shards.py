@@ -130,3 +130,27 @@ def test_global_shuffle_is_permutation_and_stable(ray_session, tmp_path):
     want = {int(np.array(ids)[order][r]): r + 1 for r in range(300)}
     for row in a.itertuples():
         assert want[row.doc_id] == row.rank
+
+
+def test_rank_by_length_matches_sql_and_bucket_invariant(ray_session):
+    """Global ORDER BY rank equals the SQL window; identical at any
+    bucket count (the parallelism-invariance property of the scan)."""
+    import duckdb
+
+    from humid_ray.pipelines.shards import rank_by_length, rank_by_length_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (rank_by_length(sf).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    exp = (con.sql(rank_by_length_sql()).df()
+           .sort_values("rank").reset_index(drop=True))
+    assert got.equals(exp)
+    # rank 1 is a longest doc; ranks are a permutation
+    assert got.n_chars.iloc[0] == got.n_chars.max()
+    assert sorted(got["rank"]) == list(range(1, len(got) + 1))
+    few = (rank_by_length(sf, n_buckets=3).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert few.equals(got)
