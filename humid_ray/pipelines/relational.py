@@ -39,7 +39,6 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from humid_ray.stages.joins import join_kwargs
 from humid_ray.util import round_half_away
 
 
@@ -317,13 +316,36 @@ def _part_revenue_partial(t: pa.Table) -> pa.Table:
     )
 
 
-# --- fact x fact distributed hash join -------------------------------------
+# --- fact x fact co-partitioned bucket join --------------------------------
 
 _PRIORITY_PARTIAL_EMPTY = {
     "o_orderpriority": pa.array([], type=pa.string()),
     "n_orders": pa.array([], type=pa.int64()),
     "revenue_cents": pa.array([], type=pa.int64()),
 }
+
+
+def _copart_buckets(*side_counts: int, per_bucket: int = 65536,
+                    lo: int = 8, hi: int = 4096) -> int:
+    """Bucket count for a co-partitioned fact x fact join: enough
+    buckets that one bucket's rows (both sides) fit comfortably in a
+    task's heap, floored so small inputs still spread across workers.
+    Scales with the LARGER side — at 100 TB the bucket count grows
+    linearly while per-task work stays ~per_bucket rows."""
+    import math
+
+    largest = max(side_counts) if side_counts else 0
+    return int(min(hi, max(lo, math.ceil(largest / per_bucket))))
+
+
+def _key_buckets(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """splitmix64-mixed bucket ids — raw TPC-H keys are sequential, so
+    a plain ``%`` would stripe instead of hash."""
+    from humid_ray.util import splitmix64
+
+    return (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
 
 
 def _order_revenue_partial(t: pa.Table) -> pa.Table:
@@ -346,56 +368,112 @@ def _order_revenue_partial(t: pa.Table) -> pa.Table:
     )
 
 
+def _li_bucket_side(t: pa.Table, n_buckets: int, tag_type: pa.DataType,
+                    tag_name: str) -> pa.Table:
+    """Lineitem batch -> tagged co-partition rows: collapse to one
+    partial row per order seen in the batch, bucket by hashed order
+    key. ``tag_name`` carries the orders-side payload column (null on
+    this side so the union schemas line up)."""
+    p = _order_revenue_partial(t)
+    k = p.column("l_orderkey").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "bucket": pa.array(_key_buckets(k, n_buckets)),
+            "key": p.column("l_orderkey"),
+            "revenue_cents": p.column("revenue_cents"),
+            tag_name: pa.nulls(len(k), tag_type),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+        }
+    )
+
+
 def priority_revenue(sf_dir: str):
     """(o_orderpriority, n_orders, revenue_cents): discounted lineitem
     revenue rolled up to order priority — the FACT x FACT join shape
     (`orders_by_nation` broadcasts its small dimension; here BOTH
     sides are fact tables, so neither may be collected).
 
-    Scale shape: lineitem first collapses to one row per order (a
-    per-batch combiner, then a groupby carrying only (orderkey,
-    cents) partials — never line items), then a distributed hash
-    `Dataset.join` against orders co-partitions the two fact tables
-    on the order key, and a second per-batch combiner reduces the
-    joined stream to |priorities| partials. Revenue is int64 cents
-    throughout, so every reduction order gives the same bits."""
+    Scale shape: a SINGLE co-partitioning exchange. Each side tags its
+    rows with ``bucket = splitmix64(order key) % P`` (lineitem first
+    collapses per batch to one partial row per order), the union
+    groups by bucket, and one numpy kernel per bucket finishes the
+    collapse, probes the orders side with ``searchsorted`` and emits
+    <= |priorities| partial rows. A prior version spelled the same
+    semantics as groupby + distributed ``Dataset.join`` + groupby —
+    three all-to-all exchanges whose fixed hash-shuffle cost dominated
+    at bench scale; co-locating both sides by one hashed key does the
+    join task-locally, which is also the shape that survives 100 TB
+    (bucket count scales with rows, per-task work stays ~constant).
+    Revenue is int64 cents throughout, so every reduction order gives
+    the same bits."""
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderpriority"])
     # parquet-metadata counts (no scan): an empty side loses its
-    # schema through groupby/join, so short-circuit the inner join
+    # schema through groupby/map_groups, so short-circuit the inner join
     n_li, n_ord = lineitem.count(), orders.count()
     if n_li == 0 or n_ord == 0:
         return ray.data.from_arrow(pa.table(_PRIORITY_PARTIAL_EMPTY))
-    per_order = (
-        lineitem
-        .map_batches(_order_revenue_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    )
-    joined = per_order.join(
-        orders,
-        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        **join_kwargs(n_li, n_ord),
-    )
+    n_buckets = _copart_buckets(n_li, n_ord)
 
-    def priority_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(_PRIORITY_PARTIAL_EMPTY)
-        pr = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
-        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
-        up, inv = np.unique(pr, return_inverse=True)
+    def ord_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         return pa.table(
-            {"o_orderpriority": pa.array(up.tolist(), type=pa.string()),
-             "n_orders": pa.array(np.bincount(inv, minlength=len(up))
-                                  .astype(np.int64)),
-             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(up)))}
+            {
+                "bucket": pa.array(_key_buckets(k, n_buckets)),
+                "key": pa.array(k),
+                "revenue_cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
         )
 
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        rc = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        li = side == 0
+        if not li.any() or li.all():
+            return pa.table(_PRIORITY_PARTIAL_EMPTY)
+        # finish the per-order collapse (batch partials may repeat keys)
+        uok, inv = np.unique(key[li], return_inverse=True)
+        orev = _bincount_i64(inv, rc[li], len(uok))
+        # probe the orders side (o_orderkey is unique per order)
+        oi = np.flatnonzero(~li)
+        osort = oi[np.argsort(key[oi])]
+        oks = key[osort]
+        pos = np.searchsorted(oks, uok)
+        m = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == uok)
+        if not m.any():
+            return pa.table(_PRIORITY_PARTIAL_EMPTY)
+        pr_all = g.column("o_orderpriority")
+        if isinstance(pr_all, pa.ChunkedArray):
+            pr_all = pr_all.combine_chunks()
+        pr = pr_all.take(pa.array(osort[pos[m]])).to_numpy(
+            zero_copy_only=False
+        )
+        up, pinv = np.unique(pr, return_inverse=True)
+        return pa.table(
+            {"o_orderpriority": pa.array(up.tolist(), type=pa.string()),
+             "n_orders": pa.array(np.bincount(pinv, minlength=len(up))
+                                  .astype(np.int64)),
+             "revenue_cents": pa.array(_bincount_i64(pinv, orev[m], len(up)))}
+        )
+
+    li_rows = lineitem.map_batches(
+        lambda t: _li_bucket_side(t, n_buckets, pa.string(), "o_orderpriority"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ord_rows = orders.map_batches(
+        ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
     return (
-        joined.map_batches(priority_partial, batch_format="pyarrow")
+        li_rows.union(ord_rows)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
@@ -417,15 +495,16 @@ def segment_revenue(sf_dir: str):
     the THREE-fact-table join chain (lineitem |><| orders |><| customer;
     none of the three is broadcastable at scale).
 
-    Scale shape: each join is preceded by a collapse so the smallest
-    possible row set transits the shuffle — lineitem folds to one row
-    per ORDER before join #1 (the priority_revenue combiner), the
-    joined stream folds to one row per CUSTOMER before join #2 (orders
-    per customer collapse in-batch, then a groupby carries (custkey,
-    n_orders, cents) partials), and the final segment rollup is a
-    |segments|-row combiner. Two distributed ``Dataset.join``s
-    co-partition the fact tables; revenue stays int64 cents end to
-    end, so every reduction order gives the same bits."""
+    Scale shape: TWO co-partitioning exchanges, one per join key (the
+    priority_revenue bucket-join pattern chained). Exchange #1 buckets
+    lineitem partials and orders by hashed ORDER key; its per-bucket
+    kernel joins them and collapses to (custkey, n_orders, cents)
+    partials, already tagged with the hashed-CUSTOMER bucket for
+    exchange #2, whose kernel joins against customer and emits
+    <= |segments| rows. The earlier spelling (two ``Dataset.join``s
+    with groupbys around them) paid five all-to-all exchanges of
+    fixed hash-shuffle cost for the same result. Revenue stays int64
+    cents end to end, so every reduction order gives the same bits."""
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -435,64 +514,135 @@ def segment_revenue(sf_dir: str):
                            customer.count())
     if n_li == 0 or n_ord == 0 or n_cust == 0:
         return ray.data.from_arrow(pa.table(_SEGMENT_PARTIAL_EMPTY))
-    per_order = (
-        lineitem
-        .map_batches(_order_revenue_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    )
-    with_cust = per_order.join(
-        orders,
-        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        **join_kwargs(n_li, n_ord),
-    )
+    nb1 = _copart_buckets(n_li, n_ord)
+    nb2 = _copart_buckets(n_ord, n_cust)
 
-    def cust_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"o_custkey": pa.array([], type=pa.int64()),
-                 "n_orders": pa.array([], type=pa.int64()),
-                 "revenue_cents": pa.array([], type=pa.int64())}
-            )
-        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
-        uck, inv = np.unique(ck, return_inverse=True)
+    def ord_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         return pa.table(
-            {"o_custkey": pa.array(uck.astype(np.int64)),
-             "n_orders": pa.array(np.bincount(inv, minlength=len(uck))
-                                  .astype(np.int64)),
-             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(uck)))}
+            {
+                "bucket": pa.array(_key_buckets(k, nb1)),
+                "key": pa.array(k),
+                "revenue_cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
         )
 
-    per_cust = (
-        with_cust
-        .map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("revenue_cents", alias_name="revenue_cents"))
-    )
-    with_seg = per_cust.join(
-        customer,
-        join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
-        **join_kwargs(n_ord, n_cust),
-    )
+    _CUST_PARTIAL_EMPTY = {
+        "bucket": pa.array([], type=pa.int64()),
+        "key": pa.array([], type=pa.int64()),
+        "n_orders": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+        "c_mktsegment": pa.array([], type=pa.string()),
+        "side": pa.array([], type=pa.int8()),
+    }
 
-    def seg_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+    def order_bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        rc = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        li = side == 0
+        if not li.any() or li.all():
+            return pa.table(_CUST_PARTIAL_EMPTY)
+        uok, inv = np.unique(key[li], return_inverse=True)
+        orev = _bincount_i64(inv, rc[li], len(uok))
+        oi = np.flatnonzero(~li)
+        osort = oi[np.argsort(key[oi])]
+        oks = key[osort]
+        pos = np.searchsorted(oks, uok)
+        m = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == uok)
+        if not m.any():
+            return pa.table(_CUST_PARTIAL_EMPTY)
+        ck_all = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        ck = ck_all[osort[pos[m]]].astype(np.int64)
+        # collapse matched orders to one partial row per customer
+        uck, cinv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(_key_buckets(uck, nb2)),
+                "key": pa.array(uck),
+                "n_orders": pa.array(np.bincount(cinv, minlength=len(uck))
+                                     .astype(np.int64)),
+                "revenue_cents": pa.array(
+                    _bincount_i64(cinv, orev[m], len(uck))
+                ),
+                "c_mktsegment": pa.nulls(len(uck), pa.string()),
+                "side": pa.array(np.zeros(len(uck), dtype=np.int8)),
+            }
+        )
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_key_buckets(k, nb2)),
+                "key": pa.array(k),
+                "n_orders": pa.array(z),
+                "revenue_cents": pa.array(z),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def cust_bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        no = g.column("n_orders").to_numpy(zero_copy_only=False)
+        rc = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        pp = side == 0
+        if not pp.any() or pp.all():
             return pa.table(_SEGMENT_PARTIAL_EMPTY)
-        seg = np.asarray(t.column("c_mktsegment").to_pylist(), dtype=object)
-        no = t.column("n_orders").to_numpy(zero_copy_only=False)
-        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
-        useg, inv = np.unique(seg, return_inverse=True)
+        # finish the per-customer collapse (one partial per exchange-#1
+        # bucket may repeat a custkey)
+        uck, inv = np.unique(key[pp], return_inverse=True)
+        cno = _bincount_i64(inv, no[pp], len(uck))
+        crev = _bincount_i64(inv, rc[pp], len(uck))
+        ci = np.flatnonzero(~pp)
+        csort = ci[np.argsort(key[ci])]
+        cks = key[csort]
+        pos = np.searchsorted(cks, uck)
+        m = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)] == uck)
+        if not m.any():
+            return pa.table(_SEGMENT_PARTIAL_EMPTY)
+        seg_all = g.column("c_mktsegment")
+        if isinstance(seg_all, pa.ChunkedArray):
+            seg_all = seg_all.combine_chunks()
+        seg = seg_all.take(pa.array(csort[pos[m]])).to_numpy(
+            zero_copy_only=False
+        )
+        useg, sinv = np.unique(seg, return_inverse=True)
         return pa.table(
             {"c_mktsegment": pa.array(useg.tolist(), type=pa.string()),
-             "n_orders": pa.array(_bincount_i64(inv, no, len(useg))),
-             "revenue_cents": pa.array(_bincount_i64(inv, rc, len(useg)))}
+             "n_orders": pa.array(_bincount_i64(sinv, cno[m], len(useg))),
+             "revenue_cents": pa.array(_bincount_i64(sinv, crev[m],
+                                                     len(useg)))}
         )
 
+    li_rows = lineitem.map_batches(
+        lambda t: _li_bucket_side(t, nb1, pa.int64(), "o_custkey"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ord_rows = orders.map_batches(
+        ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cust = (
+        li_rows.union(ord_rows)
+        .groupby("bucket")
+        .map_groups(order_bucket_join, batch_format="pyarrow")
+    )
+    cust_rows = customer.map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
     return (
-        with_seg.map_batches(seg_partial, batch_format="pyarrow")
+        per_cust.union(cust_rows)
+        .groupby("bucket")
+        .map_groups(cust_bucket_join, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
