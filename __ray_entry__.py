@@ -436,6 +436,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (SQL-oracled: MinHash-in-SQL + recursive closure)
         "minhash_cluster_docs": dedup_text.minhash_clusters,
         "minhash_keep_docs": dedup_text.minhash_dedup_keep,
+        # quality-aware keep list: per cluster, the most-token-rich
+        # member wins (tie -> min doc_id); one co-partitioned bucket
+        # argmax exchange (SQL-oracled: closure CTEs + window rank)
+        "minhash_keep_best_docs": dedup_text.minhash_dedup_keep_best,
         # benchmark decontamination (distinct-shingle overlap vs the
         # deterministic doc_id % 20 == 0 "eval suite"; SQL-oracled)
         "decontaminate_docs": dedup_text.decontaminate,
@@ -476,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # intra-document repetition (Gopher-style duplicate-ngram
         # fraction; SQL-oracled)
         "repetition_stats_docs": textstats.repetition_stats,
+        # self-trained unigram LM quality proxy (two-pass broadcast
+        # model, int64 micro-nat quantization; SQL-oracled bit-exact)
+        "unigram_logprob_docs": textstats.unigram_logprob,
         # deterministic hash-based splitting / sampling (SQL-oracled)
         "hash_split_docs": sampling.hash_split,
         "hash_sample_docs": sampling.hash_sample,
@@ -824,9 +831,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_lsh": _orc.ngram_jaccard_lsh_sql(),
         "minhash_cluster_docs": _orc.minhash_cluster_sql(),
         "minhash_keep_docs": _orc.minhash_keep_sql(),
+        "minhash_keep_best_docs": _orc.minhash_keep_best_sql(),
         "decontaminate_docs": _orc.decontaminate_sql(),
         "curate_docs": _orc.curate_docs_sql(),
         "repetition_stats_docs": _orc.repetition_stats_sql(),
+        "unigram_logprob_docs": _textstats_mod.unigram_logprob_sql(),
         "hash_split_docs": _orc.hash_split_sql(),
         "hash_sample_docs": _orc.hash_sample_sql(),
         "top_docs_per_lang": (

@@ -477,6 +477,29 @@ def minhash_keep_sql(
     )
 
 
+def minhash_keep_best_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(doc_id, cluster_id, cluster_size, n_tokens) — engine parity
+    for pipelines.dedup_text.minhash_dedup_keep_best: per near-dup
+    cluster, the member with the most tokens (tie -> min doc_id)."""
+    return (
+        f"{_minhash_cluster_ctes(table, threshold, n_perms, n_bands)}, "
+        "q AS (SELECT doc_id, CAST(len(regexp_extract_all("
+        "lower(coalesce(text,'')), '[0-9a-z]+')) AS BIGINT) AS n_tokens "
+        f"FROM {table}), "
+        "ranked AS (SELECT c.doc_id, c.cluster_id, c.cluster_size, "
+        "q.n_tokens, row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY q.n_tokens DESC, c.doc_id ASC) AS rn "
+        "FROM compsz c JOIN q USING (doc_id)) "
+        "SELECT doc_id, cluster_id, cluster_size, n_tokens "
+        "FROM ranked WHERE rn = 1"
+    )
+
+
 def decontaminate_sql(
     table: str = "documents",
     bench_mod: int = 20,

@@ -467,18 +467,19 @@ BROADCAST_MAX_COMPONENT_MEMBERS = 4_000_000
 
 
 def _singleton_clusters(docs):
-    """Every doc its own cluster of size 1 (the no-edges degenerate case)."""
+    """Every doc its own cluster of size 1 (the no-edges degenerate
+    case). Non-doc_id columns pass through."""
     def kernel(t: pa.Table) -> pa.Table:
         d = t.column("doc_id")
-        return pa.table(
-            {
-                "doc_id": d,
-                "cluster_id": d,
-                "cluster_size": pa.array(
-                    np.ones(t.num_rows, dtype=np.int64)
-                ),
-            }
-        )
+        cols = {
+            "doc_id": d,
+            "cluster_id": d,
+            "cluster_size": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }
+        for name in t.column_names:
+            if name != "doc_id":
+                cols[name] = t.column(name)
+        return pa.table(cols)
 
     return docs.map_batches(kernel, batch_format="pyarrow")
 
@@ -507,18 +508,24 @@ class _AssignDocCluster:
         else:
             cluster = d
             size = np.ones(len(d), dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "cluster_id": pa.array(cluster.astype(np.int64)),
-                "cluster_size": pa.array(size.astype(np.int64)),
-            }
-        )
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "cluster_id": pa.array(cluster.astype(np.int64)),
+            "cluster_size": pa.array(size.astype(np.int64)),
+        }
+        for name in t.column_names:
+            if name != "doc_id":
+                cols[name] = t.column(name)
+        return pa.table(cols)
 
 
 def minhash_clusters_over(docs, threshold: float = 0.8,
-                          broadcast_max_members: int | None = None):
-    """minhash_clusters over an arbitrary (doc_id, text) Dataset."""
+                          broadcast_max_members: int | None = None,
+                          with_n_tokens: bool = False):
+    """minhash_clusters over an arbitrary (doc_id, text) Dataset.
+    ``with_n_tokens`` adds an ``n_tokens`` column computed in the same
+    streaming pass (no extra exchange) — the quality signal the
+    best-representative selection ranks on."""
     from humid_ray.config import HumidConfig
     from humid_ray.stages.components import connected_components
 
@@ -527,7 +534,19 @@ def minhash_clusters_over(docs, threshold: float = 0.8,
     # docs is consumed twice (bands, then assignment) — lineage
     # re-execution keeps both passes streaming; never materialized
     pairs = minhash_neardup_pairs_over(docs, threshold=threshold).materialize()
-    docs = docs.select_columns(["doc_id"])
+    if with_n_tokens:
+        def _ntok(t: pa.Table) -> pa.Table:
+            _, offs = tokenize_batch(t.column("text"))
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "n_tokens": pa.array(
+                     (offs[1:] - offs[:-1]).astype(np.int64))}
+            )
+
+        docs = docs.map_batches(_ntok, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        docs = docs.select_columns(["doc_id"])
     if pairs.count() == 0:
         return _singleton_clusters(docs)
     edges = pairs.map_batches(
@@ -612,15 +631,21 @@ def _assign_clusters_joined(docs, comp):
 
     def resolve(t: pa.Table) -> pa.Table:
         cid = pc.coalesce(t.column("comp_label"), t.column("doc_id"))
-        return pa.table({"doc_id": t.column("doc_id"), "cluster_id": cid})
+        cols = {"doc_id": t.column("doc_id"), "cluster_id": cid}
+        for name in t.column_names:
+            if name not in ("doc_id", "comp_label"):
+                cols[name] = t.column(name)
+        return pa.table(cols)
 
     assigned = j.map_batches(resolve, batch_format="pyarrow").materialize()
+    passthrough = [c for c in assigned.schema().names
+                   if c not in ("doc_id", "cluster_id")]
     sizes = assigned.groupby("cluster_id").aggregate(_Count(alias_name="cluster_size"))
     out = assigned.join(sizes, join_type="inner", on=("cluster_id",),
                         num_partitions=nparts)
+    keep_cols = ["doc_id", "cluster_id", "cluster_size"] + passthrough
     return out.map_batches(
-        lambda t: t.select(["doc_id", "cluster_id", "cluster_size"]),
-        batch_format="pyarrow",
+        lambda t: t.select(keep_cols), batch_format="pyarrow"
     )
 
 
@@ -638,6 +663,71 @@ def minhash_dedup_keep(sf_dir: str, threshold: float = 0.8,
             pc.equal(t.column("doc_id"), t.column("cluster_id"))
         ).select(["doc_id", "cluster_size"]),
         batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_keep_best(sf_dir: str, threshold: float = 0.8,
+                            broadcast_max_members: int | None = None):
+    """QUALITY-AWARE fuzzy-dedup keep list: per near-dup cluster, keep
+    the member with the MOST tokens (tie -> min doc_id) instead of
+    minhash_dedup_keep's arbitrary min-id — the usual production rule
+    (drop the truncated / boilerplate copy, keep the content-rich one;
+    cf. Lee et al. 2022 keep-longest). Returns (doc_id, cluster_id,
+    cluster_size, n_tokens) for the kept representative of every
+    cluster. n_tokens is integer-exact, so the argmax is deterministic
+    and SQL-oracle-able.
+
+    Scale shape: cluster assignment computes n_tokens in its own
+    streaming pass (no extra exchange), then ONE co-partitioning
+    exchange buckets rows by hashed cluster_id and a vectorized kernel
+    (one lexsort per bucket) takes each cluster's first row — the
+    bucket-join pattern (stages/joins.py), never a per-cluster
+    map_groups or a driver-sized broadcast."""
+    from humid_ray.stages.joins import copart_buckets, key_buckets
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    assigned = minhash_clusters_over(
+        docs, threshold=threshold,
+        broadcast_max_members=broadcast_max_members, with_n_tokens=True,
+    )
+    n_buckets = copart_buckets(n_docs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(key_buckets(cid, n_buckets))
+        )
+
+    def best(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "cluster_id": pa.array([], type=pa.int64()),
+             "cluster_size": pa.array([], type=pa.int64()),
+             "n_tokens": pa.array([], type=pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        cid = g.column("cluster_id").to_numpy(zero_copy_only=False)
+        ntok = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -ntok, cid))
+        first = np.r_[True, cid[order][1:] != cid[order][:-1]]
+        idx = pa.array(order[first])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").take(idx),
+                "cluster_id": g.column("cluster_id").take(idx),
+                "cluster_size": g.column("cluster_size").take(idx),
+                "n_tokens": g.column("n_tokens").take(idx),
+            }
+        )
+
+    return (
+        assigned.map_batches(tag, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(best, batch_format="pyarrow")
     )
 
 

@@ -311,23 +311,51 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
 
         labeled = joined.map_batches(fill, batch_format="pyarrow")
 
-    def rep_group(g: pa.Table) -> pa.Table:
+    # cluster_rep = min image_id per label. One co-partitioning
+    # exchange on hashed label + a vectorized per-bucket segment kernel
+    # (the stages/joins.py bucket pattern) — a per-LABEL map_groups
+    # here would invoke a Python kernel once per cluster (~corpus-many
+    # tiny groups), which measured as the dominant cost of this query.
+    from humid_ray.stages.joins import copart_buckets, key_buckets
+
+    nb = copart_buckets(canon.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(key_buckets(lab, nb)))
+
+    def rep_bucket(g: pa.Table) -> pa.Table:
         out = {"image_id": pa.array([], type=pa.string()),
                "canonical_id": pa.array([], type=pa.string()),
                "cluster_rep": pa.array([], type=pa.string()),
                "keep": pa.array([], type=pa.bool_())}
         if g.num_rows == 0:
             return pa.table(out)
-        ids = g.column("image_id")
-        rep = pc.min_max(ids)["min"].as_py()
-        rep_col = pa.array([rep] * g.num_rows, type=pa.string())
-        return pa.table({"image_id": ids,
-                         "canonical_id": g.column("canonical_id"),
-                         "cluster_rep": rep_col,
-                         "keep": pc.equal(ids, rep_col)})
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lab))
+        labs = lab[order]
+        new = np.r_[True, labs[1:] != labs[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0)
+        )
+        ids_sorted = ids[order]
+        rep_sorted = ids_sorted[seg_start]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        rep = rep_sorted[inv]
+        return pa.table({
+            "image_id": g.column("image_id"),
+            "canonical_id": g.column("canonical_id"),
+            "cluster_rep": pa.array(rep.tolist(), type=pa.string()),
+            "keep": pa.array(ids == rep),
+        })
 
-    return labeled.groupby("label").map_groups(
-        rep_group, batch_format="pyarrow"
+    return (
+        labeled.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rep_bucket, batch_format="pyarrow")
     )
 
 

@@ -325,27 +325,10 @@ _PRIORITY_PARTIAL_EMPTY = {
 }
 
 
-def _copart_buckets(*side_counts: int, per_bucket: int = 65536,
-                    lo: int = 8, hi: int = 4096) -> int:
-    """Bucket count for a co-partitioned fact x fact join: enough
-    buckets that one bucket's rows (both sides) fit comfortably in a
-    task's heap, floored so small inputs still spread across workers.
-    Scales with the LARGER side — at 100 TB the bucket count grows
-    linearly while per-task work stays ~per_bucket rows."""
-    import math
-
-    largest = max(side_counts) if side_counts else 0
-    return int(min(hi, max(lo, math.ceil(largest / per_bucket))))
-
-
-def _key_buckets(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    """splitmix64-mixed bucket ids — raw TPC-H keys are sequential, so
-    a plain ``%`` would stripe instead of hash."""
-    from humid_ray.util import splitmix64
-
-    return (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(
-        np.int64
-    )
+# co-partition sizing + hashed bucket ids shared with the other
+# bucket-join operators (stages/joins.py)
+from humid_ray.stages.joins import copart_buckets as _copart_buckets
+from humid_ray.stages.joins import key_buckets as _key_buckets
 
 
 def _order_revenue_partial(t: pa.Table) -> pa.Table:

@@ -1239,3 +1239,156 @@ def cms_token_freq_sql(table: str = "documents", k: int = 20,
         "SELECT tok AS token, n AS exact_count, CAST(e AS BIGINT) "
         "AS cms_count FROM est"
     )
+
+
+# --- unigram LM log-probability scoring ------------------------------------
+
+class _UnigramScorer:
+    """Per-doc average unigram log-probability under a broadcast
+    (token -> quantized log-prob) model — ray.get once per actor,
+    ``pc.index_in`` probe per batch (C-speed string lookup)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.tokens, self.llq = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kept, offs = _flat_tokens(batch.column("text"))
+        ntok = (offs[1:] - offs[:-1]).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(kept):
+            idx = pc.fill_null(
+                pc.index_in(kept, value_set=self.tokens), -1
+            ).to_numpy(zero_copy_only=False)
+            # every scored token was seen in the training pass (same
+            # corpus); an out-of-vocab token would only appear if the
+            # two passes read different data — score it 0 rather than
+            # crash (the filtered-record rule)
+            llq_tok = np.where(idx >= 0, self.llq[np.maximum(idx, 0)], 0)
+            has = ntok > 0
+            sums[has] = np.add.reduceat(llq_tok, offs[:-1][has])
+        avg = np.zeros(n, dtype=np.float64)
+        nz = ntok > 0
+        avg[nz] = round_half_away(
+            (sums[nz].astype(np.float64) / ntok[nz]) / 1e6, 6
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "logprob_micro": pa.array(sums),
+                "avg_logprob": pa.array(avg),
+            }
+        )
+
+
+def unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, logprob_micro, avg_logprob): each document's
+    average token log-probability under the corpus's OWN unigram
+    distribution — the CCNet/KenLM-class LM quality proxy (Wenzek et
+    al. 2020 use an external LM; self-trained unigram is its
+    model-free analog: gibberish and boilerplate-free rare-token soup
+    score low, fluent common-token text scores high).
+
+    Two-pass broadcast-model shape: pass 1 trains (the skew-proof
+    ``vocab`` combiner collapses batches to distinct-token partials,
+    one small groupby yields corpus counts; the vocabulary — NOT the
+    corpus — is pulled once and quantized); pass 2 streams documents
+    through an actor pool probing the broadcast model. Per-token
+    log-probs are quantized to int64 MICRO-NATS before summation so
+    the per-doc sum is associative and bit-equal to the SQL oracle
+    regardless of reduction order (ln itself is bit-identical here:
+    both numpy-side ``math.log`` and DuckDB ``ln`` call the platform
+    libm; verified empirically over 3k values). At 100 TB the model is
+    vocab-sized (a few MB) — broadcast once, never reshuffled."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        kept, _ = _flat_tokens(batch.column("text"))
+        if len(kept) == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        agg = pa.table({"token": kept}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {"token": agg.column("token"),
+             "cnt": agg.column("token_count").cast(pa.int64())}
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+    )
+    tok_chunks, cnt_chunks = [], []
+    for b in counts.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        tok_chunks.append(b.column("token"))
+        cnt_chunks.append(
+            b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    if not tok_chunks:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_tokens": pa.array([], type=pa.int64()),
+             "logprob_micro": pa.array([], type=pa.int64()),
+             "avg_logprob": pa.array([], type=pa.float64())}
+        ))
+    tokens = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in tok_chunks]
+    )
+    cnt = np.concatenate(cnt_chunks)
+    total = int(cnt.sum())
+    # math.log (libm) per DISTINCT count value — bit-parity with
+    # DuckDB ln, and distinct counts are few even for huge vocabularies
+    ucnt, inv = np.unique(cnt, return_inverse=True)
+    ullq = np.array(
+        [math.log(int(c) / total) * 1e6 for c in ucnt], dtype=np.float64
+    )
+    llq = round_half_away(ullq, 0).astype(np.int64)[inv]
+    model_ref = ray.put((tokens, llq))
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _UnigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``unigram_logprob``: same tokenization as
+    ``vocab``, per-token log-prob quantized to int64 micro-nats before
+    the per-doc sum (associative — any reduction order gives the same
+    bits), average divided in the same (sum / n) / 1e6 order."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) "
+        f"AS token FROM {table}), "
+        "freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM toks GROUP BY token), "
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq), "
+        "llq AS (SELECT token, CAST(round(ln(CAST(cnt AS DOUBLE) / total) "
+        "* 1000000.0, 0) AS BIGINT) AS q FROM freq, tot), "
+        "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(l.q) AS BIGINT) AS s FROM toks t "
+        "JOIN llq l USING (token) GROUP BY t.doc_id) "
+        "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+        "coalesce(p.s, 0) AS logprob_micro, "
+        "round(CASE WHEN coalesce(p.n_tokens, 0) > 0 "
+        "THEN (CAST(p.s AS DOUBLE) / p.n_tokens) / 1000000.0 "
+        "ELSE 0 END, 6) AS avg_logprob "
+        f"FROM {table} d LEFT JOIN per p USING (doc_id)"
+    )

@@ -120,3 +120,29 @@ def join_partitions(*side_counts: int, per_partition: int = 1024,
     smallest = max(0, min(side_counts))
     return max(1, min(cap, cpus // 2,
                       math.ceil(smallest / per_partition)))
+
+
+def copart_buckets(*side_counts: int, per_bucket: int = 65536,
+                   lo: int = 8, hi: int = 4096) -> int:
+    """Bucket count for a co-partitioned bucket join / bucketed
+    groupby: enough buckets that one bucket's rows (all sides) fit
+    comfortably in a task's heap, floored so small inputs still spread
+    across workers. Scales with the LARGER side — at 100 TB the bucket
+    count grows linearly while per-task work stays ~per_bucket rows."""
+    import math
+
+    largest = max(side_counts) if side_counts else 0
+    return int(min(hi, max(lo, math.ceil(largest / per_bucket))))
+
+
+def key_buckets(keys, n_buckets: int):
+    """splitmix64-mixed int64 bucket ids for a key column — raw
+    sequential ids would stripe instead of hash under a plain ``%``."""
+    import numpy as np
+
+    from humid_ray.util import splitmix64
+
+    return (
+        splitmix64(np.asarray(keys).astype(np.uint64))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)

