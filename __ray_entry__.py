@@ -440,6 +440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # member wins (tie -> min doc_id); one co-partitioned bucket
         # argmax exchange (SQL-oracled: closure CTEs + window rank)
         "minhash_keep_best_docs": dedup_text.minhash_dedup_keep_best,
+        # the tier-dedup funnel: raw -> exact dedup -> fuzzy (MinHash)
+        # dedup among exact survivors, survivors/removed per tier
+        # (SQL-oracled: exact GROUP BY + closure CTEs over survivors)
+        "tiered_dedup_report_docs": dedup_text.tiered_dedup_report,
         # benchmark decontamination (distinct-shingle overlap vs the
         # deterministic doc_id % 20 == 0 "eval suite"; SQL-oracled)
         "decontaminate_docs": dedup_text.decontaminate,
@@ -483,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-trained unigram LM quality proxy (two-pass broadcast
         # model, int64 micro-nat quantization; SQL-oracled bit-exact)
         "unigram_logprob_docs": textstats.unigram_logprob,
+        # CCNet head/middle/tail per-language LM-quality thirds
+        # (broadcast unigram model + distributed rank scan; SQL-oracled
+        # bit-exact via integer micro-nat scores + window rank)
+        "ccnet_buckets_docs": textstats.ccnet_buckets,
         # deterministic hash-based splitting / sampling (SQL-oracled)
         "hash_split_docs": sampling.hash_split,
         "hash_sample_docs": sampling.hash_sample,
@@ -832,10 +840,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_docs": _orc.minhash_cluster_sql(),
         "minhash_keep_docs": _orc.minhash_keep_sql(),
         "minhash_keep_best_docs": _orc.minhash_keep_best_sql(),
+        "tiered_dedup_report_docs": _orc.tiered_dedup_report_sql(),
         "decontaminate_docs": _orc.decontaminate_sql(),
         "curate_docs": _orc.curate_docs_sql(),
         "repetition_stats_docs": _orc.repetition_stats_sql(),
         "unigram_logprob_docs": _textstats_mod.unigram_logprob_sql(),
+        "ccnet_buckets_docs": _textstats_mod.ccnet_buckets_sql(),
         "hash_split_docs": _orc.hash_split_sql(),
         "hash_sample_docs": _orc.hash_sample_sql(),
         "top_docs_per_lang": (

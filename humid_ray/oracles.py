@@ -422,15 +422,18 @@ def _minhash_cluster_ctes(
     threshold: float = 0.8,
     n_perms: int = 128,
     n_bands: int = 16,
+    pre: str = "",
 ) -> str:
     """WITH RECURSIVE prefix ending in compsz(doc_id, cluster_id,
     cluster_size): connected components (transitive closure) over the
     MinHash-LSH near-dup pairs at estimated Jaccard >= threshold;
     every document is seeded into the closure, so edge-free docs come
     out as singletons of themselves — engine parity for
-    pipelines.dedup_text.minhash_clusters."""
+    pipelines.dedup_text.minhash_clusters. ``pre`` injects extra CTE
+    definitions ahead of the chain so ``table`` may itself be a CTE
+    (e.g. the exact-dedup survivor set in the tiered report)."""
     return (
-        f"WITH RECURSIVE {_minhash_pair_ctes(table, n_perms, n_bands)}, "
+        f"WITH RECURSIVE {pre}{_minhash_pair_ctes(table, n_perms, n_bands)}, "
         "e AS (SELECT da, db FROM mhagg WHERE sb = 1 "
         f"AND CAST(neq AS DOUBLE) / {n_perms} >= {threshold}), "
         "ee AS (SELECT da AS a, db AS b FROM e "
@@ -497,6 +500,38 @@ def minhash_keep_best_sql(
         "FROM compsz c JOIN q USING (doc_id)) "
         "SELECT doc_id, cluster_id, cluster_size, n_tokens "
         "FROM ranked WHERE rn = 1"
+    )
+
+
+def tiered_dedup_report_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 16,
+) -> str:
+    """(tier, name, survivors, removed) — engine parity for
+    pipelines.dedup_text.tiered_dedup_report: the tier-dedup funnel.
+    Tier 0 = raw rows; tier 1 = exact dedup (one MIN(doc_id) rep per
+    byte-identical text, NULL text one group — GROUP BY semantics on
+    both sides); tier 2 = MinHash-LSH fuzzy dedup among the exact
+    survivors (the proven cluster CTE chain pointed at the survivor
+    CTE via ``pre``)."""
+    pre = (
+        f"survt AS (SELECT MIN(doc_id) AS doc_id, text FROM {table} "
+        "GROUP BY text), "
+    )
+    return (
+        f"{_minhash_cluster_ctes('survt', threshold, n_perms, n_bands, pre=pre)}, "
+        f"tot AS (SELECT COUNT(*) AS n FROM {table}), "
+        "exn AS (SELECT COUNT(*) AS n FROM survt), "
+        "mhn AS (SELECT COUNT(DISTINCT cluster_id) AS n FROM compsz) "
+        "SELECT CAST(0 AS BIGINT) AS tier, 'total' AS name, "
+        "CAST(t.n AS BIGINT) AS survivors, CAST(0 AS BIGINT) AS removed "
+        "FROM tot t "
+        "UNION ALL SELECT 1, 'exact', CAST(e.n AS BIGINT), "
+        "CAST(t.n - e.n AS BIGINT) FROM tot t, exn e "
+        "UNION ALL SELECT 2, 'minhash', CAST(m.n AS BIGINT), "
+        "CAST(e.n - m.n AS BIGINT) FROM exn e, mhn m"
     )
 
 

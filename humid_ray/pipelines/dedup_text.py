@@ -731,6 +731,56 @@ def minhash_dedup_keep_best(sf_dir: str, threshold: float = 0.8,
     )
 
 
+def tiered_dedup_report(sf_dir: str, threshold: float = 0.8):
+    """The TIER-DEDUP funnel report: how many rows each dedup tier
+    keeps and removes. Tier 0 = raw corpus; tier 1 = exact dedup (one
+    min-doc_id representative per byte-identical text); tier 2 =
+    MinHash-LSH fuzzy dedup among the exact survivors — the standard
+    staged production pipeline (cheap exact pass first so the fuzzy
+    tier never re-verifies byte-identical copies). Returns one row per
+    tier: (tier, name, survivors, removed-at-this-tier).
+
+    Scale shape: counts only — the exact tier is the uniq-table
+    groupby the flagship already checkpoints; the fuzzy tier streams
+    the survivor set through minhash_clusters_over and counts cluster
+    representatives. Nothing corpus-sized ever reaches the driver (the
+    result is 3 rows). At 100 TB you would checkpoint the survivor
+    table between tiers (state/checkpoints.py) instead of re-deriving
+    it by lineage, exactly like the flagship's 02_uniq phase."""
+    import pyarrow.compute as _pc
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    total = docs.count()
+    reps = exact_dedup(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("rep_id"), "text": t.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    n_exact = reps.count()
+    clusters = minhash_clusters_over(reps, threshold=threshold)
+    # cluster label = min member doc_id, so representatives are the
+    # rows with doc_id == cluster_id; their count = number of clusters
+    n_fuzzy = clusters.map_batches(
+        lambda t: t.filter(
+            _pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).count()
+    return pa.table(
+        {
+            "tier": pa.array([0, 1, 2], type=pa.int64()),
+            "name": pa.array(["total", "exact", "minhash"],
+                             type=pa.string()),
+            "survivors": pa.array([total, n_exact, n_fuzzy],
+                                  type=pa.int64()),
+            "removed": pa.array(
+                [0, total - n_exact, n_exact - n_fuzzy], type=pa.int64()
+            ),
+        }
+    )
+
+
 # --- decontamination against a benchmark shingle set ----------------------
 
 def _bench_overlap(bench: np.ndarray, text_col, k: int):

@@ -1284,25 +1284,17 @@ class _UnigramScorer:
         )
 
 
-def unigram_logprob(sf_dir: str):
-    """(doc_id, n_tokens, logprob_micro, avg_logprob): each document's
-    average token log-probability under the corpus's OWN unigram
-    distribution — the CCNet/KenLM-class LM quality proxy (Wenzek et
-    al. 2020 use an external LM; self-trained unigram is its
-    model-free analog: gibberish and boilerplate-free rare-token soup
-    score low, fluent common-token text scores high).
-
-    Two-pass broadcast-model shape: pass 1 trains (the skew-proof
-    ``vocab`` combiner collapses batches to distinct-token partials,
-    one small groupby yields corpus counts; the vocabulary — NOT the
-    corpus — is pulled once and quantized); pass 2 streams documents
-    through an actor pool probing the broadcast model. Per-token
-    log-probs are quantized to int64 MICRO-NATS before summation so
-    the per-doc sum is associative and bit-equal to the SQL oracle
-    regardless of reduction order (ln itself is bit-identical here:
-    both numpy-side ``math.log`` and DuckDB ``ln`` call the platform
-    libm; verified empirically over 3k values). At 100 TB the model is
-    vocab-sized (a few MB) — broadcast once, never reshuffled."""
+def _train_unigram_model(sf_dir: str):
+    """Pass 1 of the unigram LM operators: corpus token counts via the
+    skew-proof distinct-token combiner + one vocab-sized groupby, then
+    per-token log-probs quantized to int64 MICRO-NATS (``math.log`` per
+    DISTINCT count value — libm bit-parity with DuckDB ``ln``, and
+    distinct counts are few even for huge vocabularies). Returns a
+    ray.put ref to (tokens: pa.Array, llq: int64 np.ndarray); a
+    token-free corpus yields an empty-vocab model (every doc then
+    scores 0, matching the oracles' LEFT JOIN zeros). At 100 TB the
+    model is vocab-sized (a few MB) — broadcast once, never
+    reshuffled."""
     import math
 
     import ray
@@ -1342,39 +1334,54 @@ def unigram_logprob(sf_dir: str):
             b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         )
     if not tok_chunks:
-        return ray.data.from_arrow(pa.table(
-            {"doc_id": pa.array([], type=pa.int64()),
-             "n_tokens": pa.array([], type=pa.int64()),
-             "logprob_micro": pa.array([], type=pa.int64()),
-             "avg_logprob": pa.array([], type=pa.float64())}
-        ))
+        return ray.put((pa.array([], type=pa.string()),
+                        np.empty(0, dtype=np.int64)))
     tokens = pa.concat_arrays(
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
          for c in tok_chunks]
     )
     cnt = np.concatenate(cnt_chunks)
     total = int(cnt.sum())
-    # math.log (libm) per DISTINCT count value — bit-parity with
-    # DuckDB ln, and distinct counts are few even for huge vocabularies
     ucnt, inv = np.unique(cnt, return_inverse=True)
     ullq = np.array(
         [math.log(int(c) / total) * 1e6 for c in ucnt], dtype=np.float64
     )
     llq = round_half_away(ullq, 0).astype(np.int64)[inv]
-    model_ref = ray.put((tokens, llq))
+    return ray.put((tokens, llq))
+
+
+def unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, logprob_micro, avg_logprob): each document's
+    average token log-probability under the corpus's OWN unigram
+    distribution — the CCNet/KenLM-class LM quality proxy (Wenzek et
+    al. 2020 use an external LM; self-trained unigram is its
+    model-free analog: gibberish and boilerplate-free rare-token soup
+    score low, fluent common-token text scores high).
+
+    Two-pass broadcast-model shape: pass 1 trains (the skew-proof
+    ``vocab`` combiner collapses batches to distinct-token partials,
+    one small groupby yields corpus counts; the vocabulary — NOT the
+    corpus — is pulled once and quantized); pass 2 streams documents
+    through an actor pool probing the broadcast model. Per-token
+    log-probs are quantized to int64 MICRO-NATS before summation so
+    the per-doc sum is associative and bit-equal to the SQL oracle
+    regardless of reduction order (ln itself is bit-identical here:
+    both numpy-side ``math.log`` and DuckDB ``ln`` call the platform
+    libm; verified empirically over 3k values). At 100 TB the model is
+    vocab-sized (a few MB) — broadcast once, never reshuffled."""
+    model_ref = _train_unigram_model(sf_dir)
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         _UnigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     )
 
 
-def unigram_logprob_sql(table: str = "documents") -> str:
-    """DuckDB oracle for ``unigram_logprob``: same tokenization as
-    ``vocab``, per-token log-prob quantized to int64 micro-nats before
-    the per-doc sum (associative — any reduction order gives the same
-    bits), average divided in the same (sum / n) / 1e6 order."""
+def _unigram_per_ctes(table: str) -> str:
+    """CTE chain ending in per(doc_id, n_tokens, s): per-doc token
+    count and int64 micro-nat quantized unigram log-prob sum — shared
+    by the unigram LM oracles."""
     return (
-        "WITH toks AS (SELECT doc_id, "
+        "toks AS (SELECT doc_id, "
         "unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) "
         f"AS token FROM {table}), "
         "freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
@@ -1384,11 +1391,173 @@ def unigram_logprob_sql(table: str = "documents") -> str:
         "* 1000000.0, 0) AS BIGINT) AS q FROM freq, tot), "
         "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
         "CAST(SUM(l.q) AS BIGINT) AS s FROM toks t "
-        "JOIN llq l USING (token) GROUP BY t.doc_id) "
+        "JOIN llq l USING (token) GROUP BY t.doc_id)"
+    )
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``unigram_logprob``: same tokenization as
+    ``vocab``, per-token log-prob quantized to int64 micro-nats before
+    the per-doc sum (associative — any reduction order gives the same
+    bits), average divided in the same (sum / n) / 1e6 order."""
+    return (
+        f"WITH {_unigram_per_ctes(table)} "
         "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
         "coalesce(p.s, 0) AS logprob_micro, "
         "round(CASE WHEN coalesce(p.n_tokens, 0) > 0 "
         "THEN (CAST(p.s AS DOUBLE) / p.n_tokens) / 1000000.0 "
         "ELSE 0 END, 6) AS avg_logprob "
         f"FROM {table} d LEFT JOIN per p USING (doc_id)"
+    )
+
+
+# --- CCNet-style head/middle/tail quality buckets ---------------------------
+
+_EMPTY_CCNET = pa.table(
+    {"doc_id": pa.array([], type=pa.int64()),
+     "lang": pa.array([], type=pa.string()),
+     "avg_micro": pa.array([], type=pa.int64()),
+     "bucket_id": pa.array([], type=pa.int64()),
+     "bucket": pa.array([], type=pa.string())}
+)
+
+
+class _CcnetScorer:
+    """Like ``_UnigramScorer`` but emits the per-doc INTEGER average
+    (micro-nats per token, round half away from zero) plus the lang
+    column — the exact sort key the bucket rank runs on."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.tokens, self.llq = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kept, offs = _flat_tokens(batch.column("text"))
+        ntok = (offs[1:] - offs[:-1]).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(kept):
+            idx = pc.fill_null(
+                pc.index_in(kept, value_set=self.tokens), -1
+            ).to_numpy(zero_copy_only=False)
+            llq_tok = np.where(idx >= 0, self.llq[np.maximum(idx, 0)], 0)
+            has = ntok > 0
+            sums[has] = np.add.reduceat(llq_tok, offs[:-1][has])
+        avg_micro = np.zeros(n, dtype=np.int64)
+        nz = ntok > 0
+        avg_micro[nz] = round_half_away(
+            sums[nz].astype(np.float64) / ntok[nz], 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "avg_micro": pa.array(avg_micro),
+            }
+        )
+
+
+def ccnet_buckets(sf_dir: str):
+    """(doc_id, lang, avg_micro, bucket_id, bucket): the CCNet
+    head/middle/tail split (Wenzek et al. 2020) — per LANGUAGE, rank
+    documents by LM quality (average unigram log-prob, integer
+    micro-nats; best first, doc_id tiebreak) and cut the ranking into
+    thirds: bucket 1 = 'head' (most fluent), 2 = 'middle',
+    3 = 'tail'. The bucket rule is ntile-style EXACT integer math,
+    ceil(3*rank/n) — deterministic under ties and bit-matched by the
+    SQL window oracle.
+
+    Scale shape: pass 1 trains the broadcast unigram model; pass 2
+    streams docs through the scorer actor pool; the per-lang rank is
+    the shared distributed exclusive scan (sampled range partitioner,
+    |buckets|-row driver exscan) over a composite int64 key
+    (lang_idx << 34 | 2^32 - avg_micro), with per-lang rank offsets
+    from a |langs|-row count groupby — no corpus-sized sort or
+    materialization anywhere."""
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    from humid_ray.pipelines.shards import N_RANGE_BUCKETS, _exclusive_scan
+
+    model_ref = _train_unigram_model(sf_dir)
+    scored = read_documents(
+        sf_dir, columns=["doc_id", "lang", "text"]
+    ).map_batches(
+        _CcnetScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).materialize()
+    # |langs|-row stats: deterministic lang -> idx, per-lang start rank
+    lang_rows: dict = {}
+    for b in (
+        scored.groupby("lang").aggregate(_Count(alias_name="n"))
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ):
+        lang_rows.update(zip(b.column("lang").to_pylist(),
+                             b.column("n").to_pylist()))
+    if not lang_rows:
+        # an empty Ray Data groupby drops its schema — hand back a
+        # typed empty table instead of running the scan on nothing
+        return ray.data.from_arrow(_EMPTY_CCNET)
+    langs = sorted(lang_rows, key=lambda x: (x is None, x))
+    lang_idx = {v: i for i, v in enumerate(langs)}
+    lang_n = np.array([lang_rows[v] for v in langs], dtype=np.int64)
+    lang_start = np.zeros(len(langs), dtype=np.int64)
+    np.cumsum(lang_n[:-1], out=lang_start[1:])
+    idx_ref = ray.put(lang_idx)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("key", pa.array([], type=pa.int64()))
+        lm = ray.get(idx_ref)
+        li = np.array([lm[v] for v in t.column("lang").to_pylist()],
+                      dtype=np.int64)
+        am = t.column("avg_micro").to_numpy(zero_copy_only=False)
+        key = (li << 34) | ((np.int64(1) << 32) - am)
+        return t.append_column("key", pa.array(key))
+
+    keyed_ds = scored.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    names = np.array(["head", "middle", "tail"], dtype=object)
+
+    def finalize(cols, excl):
+        li = (cols["key"] >> 34).astype(np.int64)
+        rn = excl - lang_start[li] + 1
+        n = lang_n[li]
+        bucket_id = (3 * rn + n - 1) // n
+        return pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"].astype(np.int64)),
+                "lang": pa.array(cols["lang"].tolist(), type=pa.string()),
+                "avg_micro": pa.array(cols["avg_micro"].astype(np.int64)),
+                "bucket_id": pa.array(bucket_id.astype(np.int64)),
+                "bucket": pa.array(names[bucket_id - 1].tolist(),
+                                   type=pa.string()),
+            }
+        )
+
+    return _exclusive_scan(keyed_ds, "key", None, N_RANGE_BUCKETS,
+                           finalize, _EMPTY_CCNET)
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``ccnet_buckets``: the same quantized unigram
+    scores, ranked per lang by avg_micro DESC (doc_id tiebreak) with
+    the identical ceil(3*rank/n) integer cut."""
+    return (
+        f"WITH {_unigram_per_ctes(table)}, "
+        "sc AS (SELECT d.doc_id, d.lang, "
+        "CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN "
+        "CAST(round(CAST(p.s AS DOUBLE) / p.n_tokens, 0) AS BIGINT) "
+        "ELSE 0 END AS avg_micro "
+        f"FROM {table} d LEFT JOIN per p USING (doc_id)), "
+        "r AS (SELECT doc_id, lang, avg_micro, "
+        "row_number() OVER (PARTITION BY lang "
+        "ORDER BY avg_micro DESC, doc_id ASC) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM sc) "
+        "SELECT doc_id, lang, avg_micro, "
+        "CAST((3 * rn + n - 1) // n AS BIGINT) AS bucket_id, "
+        "CASE (3 * rn + n - 1) // n WHEN 1 THEN 'head' "
+        "WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r"
     )

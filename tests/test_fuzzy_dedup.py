@@ -205,3 +205,33 @@ def test_unigram_logprob_invariants(ray_session):
     # avg is the quantized sum divided by n (engine-side rounding rule)
     recon = (nz["logprob_micro"] / nz["n_tokens"]) / 1e6
     assert np.allclose(nz["avg_logprob"], recon, atol=5e-7)
+
+
+def test_tiered_dedup_report_funnel(ray_session):
+    """The tier funnel is internally consistent and each tier's count
+    matches the independently-computed pandas value: tier 1 = distinct
+    texts, tier 2 = number of MinHash clusters among the exact
+    representatives."""
+    from humid_ray.pipelines import dedup_text
+
+    rep = dedup_text.tiered_dedup_report(SF).to_pandas()
+    rep = rep.sort_values("tier").reset_index(drop=True)
+    assert list(rep["name"]) == ["total", "exact", "minhash"]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assert rep.loc[0, "survivors"] == len(docs)
+    assert rep.loc[0, "removed"] == 0
+    n_exact = docs.groupby("text", dropna=False)["doc_id"].min().size
+    assert rep.loc[1, "survivors"] == n_exact
+    # survivors monotone non-increasing; removed telescopes
+    s = rep["survivors"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (rep["removed"].to_numpy()[1:] == s[:-1] - s[1:]).all()
+    # tier 2 equals the cluster count of minhash over the exact reps
+    reps = docs.loc[docs.groupby("text", dropna=False)["doc_id"]
+                    .idxmin()].reset_index(drop=True)
+    import ray
+
+    reps_ds = ray.data.from_pandas(reps[["doc_id", "text"]])
+    cl = dedup_text.minhash_clusters_over(reps_ds).to_pandas()
+    assert rep.loc[2, "survivors"] == cl["cluster_id"].nunique()

@@ -317,3 +317,38 @@ def test_top_bigrams_matches_duckdb(ray_session):
     assert got.bigram.tolist() == want.bigram.tolist()
     assert got.n.tolist() == want.n.tolist()
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_ccnet_buckets_invariants(ray_session):
+    """Head/middle/tail cover every doc once; per-lang bucket sizes
+    follow the exact ntile-of-3 rule; within a language every head doc
+    scores >= every middle doc >= every tail doc; and avg_micro equals
+    the rounded unigram average from unigram_logprob."""
+    from humid_ray.pipelines import textstats
+
+    b = textstats.ccnet_buckets(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    assert sorted(b["doc_id"]) == sorted(docs["doc_id"])
+    assert (b["bucket"].map({"head": 1, "middle": 2, "tail": 3})
+            == b["bucket_id"]).all()
+    lp = textstats.unigram_logprob(SF).to_pandas().set_index("doc_id")
+    want_micro = (lp["avg_logprob"] * 1e6).round().astype("int64")
+    got_micro = b.set_index("doc_id")["avg_micro"]
+    assert (got_micro == want_micro.reindex(got_micro.index)).all()
+    for lang, grp in b.groupby("lang"):
+        n = len(grp)
+        sizes = grp["bucket_id"].value_counts().to_dict()
+        # ntile rule: ceil(3*r/n) cut — bucket k holds the ranks r with
+        # ceil(3r/n) = k
+        r = np.arange(1, n + 1)
+        want = np.bincount((3 * r + n - 1) // n, minlength=4)
+        for k in (1, 2, 3):
+            assert sizes.get(k, 0) == want[k], (lang, k)
+        hi = grp.loc[grp["bucket_id"] == 1, "avg_micro"]
+        mid = grp.loc[grp["bucket_id"] == 2, "avg_micro"]
+        lo = grp.loc[grp["bucket_id"] == 3, "avg_micro"]
+        if len(hi) and len(mid):
+            assert hi.min() >= mid.max()
+        if len(mid) and len(lo):
+            assert mid.min() >= lo.max()
