@@ -685,8 +685,18 @@ def minhash_dedup_keep_best(sf_dir: str, threshold: float = 0.8,
     map_groups or a driver-sized broadcast."""
     from humid_ray.stages.joins import copart_buckets, key_buckets
 
+    _empty_best = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "cluster_id": pa.array([], type=pa.int64()),
+         "cluster_size": pa.array([], type=pa.int64()),
+         "n_tokens": pa.array([], type=pa.int64())}
+    )
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
     n_docs = docs.count()
+    if n_docs == 0:
+        # a Ray Data groupby on an empty dataset drops its schema —
+        # hand back the typed empty table instead
+        return ray.data.from_arrow(_empty_best)
     assigned = minhash_clusters_over(
         docs, threshold=threshold,
         broadcast_max_members=broadcast_max_members, with_n_tokens=True,
@@ -751,12 +761,18 @@ def tiered_dedup_report(sf_dir: str, threshold: float = 0.8):
 
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
     total = docs.count()
+    # materialize the survivor set: it is consumed three times (count
+    # here, band pass + assignment pass inside minhash_clusters_over),
+    # and without this the corpus-wide exact-dedup text shuffle — the
+    # funnel's most expensive exchange — would re-execute per consumer
+    # via lineage (the in-sandbox stand-in for the per-tier checkpoint
+    # the docstring describes)
     reps = exact_dedup(sf_dir).map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("rep_id"), "text": t.column("text")}
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     n_exact = reps.count()
     clusters = minhash_clusters_over(reps, threshold=threshold)
     # cluster label = min member doc_id, so representatives are the

@@ -329,6 +329,8 @@ _PRIORITY_PARTIAL_EMPTY = {
 # bucket-join operators (stages/joins.py)
 from humid_ray.stages.joins import copart_buckets as _copart_buckets
 from humid_ray.stages.joins import key_buckets as _key_buckets
+from humid_ray.stages.joins import probe_sorted_side as _probe_sorted_side
+from humid_ray.stages.joins import take_column as _take_column
 
 
 def _order_revenue_partial(t: pa.Table) -> pa.Table:
@@ -425,17 +427,10 @@ def priority_revenue(sf_dir: str):
         uok, inv = np.unique(key[li], return_inverse=True)
         orev = _bincount_i64(inv, rc[li], len(uok))
         # probe the orders side (o_orderkey is unique per order)
-        oi = np.flatnonzero(~li)
-        osort = oi[np.argsort(key[oi])]
-        oks = key[osort]
-        pos = np.searchsorted(oks, uok)
-        m = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == uok)
+        m, rows = _probe_sorted_side(key, np.flatnonzero(~li), uok)
         if not m.any():
             return pa.table(_PRIORITY_PARTIAL_EMPTY)
-        pr_all = g.column("o_orderpriority")
-        if isinstance(pr_all, pa.ChunkedArray):
-            pr_all = pr_all.combine_chunks()
-        pr = pr_all.take(pa.array(osort[pos[m]])).to_numpy(
+        pr = _take_column(g, "o_orderpriority", rows).to_numpy(
             zero_copy_only=False
         )
         up, pinv = np.unique(pr, return_inverse=True)
@@ -532,15 +527,15 @@ def segment_revenue(sf_dir: str):
             return pa.table(_CUST_PARTIAL_EMPTY)
         uok, inv = np.unique(key[li], return_inverse=True)
         orev = _bincount_i64(inv, rc[li], len(uok))
-        oi = np.flatnonzero(~li)
-        osort = oi[np.argsort(key[oi])]
-        oks = key[osort]
-        pos = np.searchsorted(oks, uok)
-        m = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == uok)
+        m, rows = _probe_sorted_side(key, np.flatnonzero(~li), uok)
         if not m.any():
             return pa.table(_CUST_PARTIAL_EMPTY)
-        ck_all = g.column("o_custkey").to_numpy(zero_copy_only=False)
-        ck = ck_all[osort[pos[m]]].astype(np.int64)
+        # Arrow take, NOT a whole-column to_numpy: o_custkey carries
+        # nulls on the lineitem side, and numpy's null handling would
+        # route every value through float64 (keys beyond 2**53 collapse)
+        ck = _take_column(g, "o_custkey", rows).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         # collapse matched orders to one partial row per customer
         uck, cinv = np.unique(ck, return_inverse=True)
         return pa.table(
@@ -586,17 +581,10 @@ def segment_revenue(sf_dir: str):
         uck, inv = np.unique(key[pp], return_inverse=True)
         cno = _bincount_i64(inv, no[pp], len(uck))
         crev = _bincount_i64(inv, rc[pp], len(uck))
-        ci = np.flatnonzero(~pp)
-        csort = ci[np.argsort(key[ci])]
-        cks = key[csort]
-        pos = np.searchsorted(cks, uck)
-        m = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)] == uck)
+        m, rows = _probe_sorted_side(key, np.flatnonzero(~pp), uck)
         if not m.any():
             return pa.table(_SEGMENT_PARTIAL_EMPTY)
-        seg_all = g.column("c_mktsegment")
-        if isinstance(seg_all, pa.ChunkedArray):
-            seg_all = seg_all.combine_chunks()
-        seg = seg_all.take(pa.array(csort[pos[m]])).to_numpy(
+        seg = _take_column(g, "c_mktsegment", rows).to_numpy(
             zero_copy_only=False
         )
         useg, sinv = np.unique(seg, return_inverse=True)

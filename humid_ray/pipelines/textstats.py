@@ -1243,6 +1243,35 @@ def cms_token_freq_sql(table: str = "documents", k: int = 20,
 
 # --- unigram LM log-probability scoring ------------------------------------
 
+def _unigram_sums(batch: pa.Table, tokens, llq) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Shared token-scoring body of the unigram LM scorers: tokenize
+    the batch, probe the broadcast model with ``pc.index_in`` (C-speed
+    string lookup), and return (n_tokens, int64 micro-nat log-prob
+    sums) per document."""
+    n = batch.num_rows
+    kept, offs = _flat_tokens(batch.column("text"))
+    ntok = (offs[1:] - offs[:-1]).astype(np.int64)
+    sums = np.zeros(n, dtype=np.int64)
+    if len(kept):
+        idx = pc.fill_null(
+            pc.index_in(kept, value_set=tokens), -1
+        ).to_numpy(zero_copy_only=False)
+        # every scored token was seen in the training pass (same
+        # corpus); an out-of-vocab token would only appear if the two
+        # passes read different data — score it 0 rather than crash
+        # (the filtered-record rule). The empty-model branch matters:
+        # np.where evaluates both arms, so indexing a zero-length llq
+        # would raise even under the mask.
+        if len(llq):
+            llq_tok = np.where(idx >= 0, llq[np.maximum(idx, 0)], 0)
+        else:
+            llq_tok = np.zeros(len(idx), dtype=np.int64)
+        has = ntok > 0
+        sums[has] = np.add.reduceat(llq_tok, offs[:-1][has])
+    return ntok, sums
+
+
 class _UnigramScorer:
     """Per-doc average unigram log-probability under a broadcast
     (token -> quantized log-prob) model — ray.get once per actor,
@@ -1254,21 +1283,8 @@ class _UnigramScorer:
         self.tokens, self.llq = ray.get(model_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ntok, sums = _unigram_sums(batch, self.tokens, self.llq)
         n = batch.num_rows
-        kept, offs = _flat_tokens(batch.column("text"))
-        ntok = (offs[1:] - offs[:-1]).astype(np.int64)
-        sums = np.zeros(n, dtype=np.int64)
-        if len(kept):
-            idx = pc.fill_null(
-                pc.index_in(kept, value_set=self.tokens), -1
-            ).to_numpy(zero_copy_only=False)
-            # every scored token was seen in the training pass (same
-            # corpus); an out-of-vocab token would only appear if the
-            # two passes read different data — score it 0 rather than
-            # crash (the filtered-record rule)
-            llq_tok = np.where(idx >= 0, self.llq[np.maximum(idx, 0)], 0)
-            has = ntok > 0
-            sums[has] = np.add.reduceat(llq_tok, offs[:-1][has])
         avg = np.zeros(n, dtype=np.float64)
         nz = ntok > 0
         avg[nz] = round_half_away(
@@ -1425,26 +1441,25 @@ _EMPTY_CCNET = pa.table(
 class _CcnetScorer:
     """Like ``_UnigramScorer`` but emits the per-doc INTEGER average
     (micro-nats per token, round half away from zero) plus the lang
-    column — the exact sort key the bucket rank runs on."""
+    column — the exact sort key the bucket rank runs on.
+
+    Token-free documents (empty text, punctuation-only) carry NO
+    fluency evidence, so they must rank WORST, not best: every real
+    score is strictly negative, and a 0 average would put garbage at
+    the head of the ranking. They get a sentinel one micro-nat below
+    the rarest token's log-prob (``min(llq) - 1``; ``-1`` for an
+    empty-vocab corpus, where every doc ties) — matched bit-for-bit
+    by the oracle's ``coalesce(min(q), 0) - 1``."""
 
     def __init__(self, model_ref):
         import ray
 
         self.tokens, self.llq = ray.get(model_ref)
+        self.sentinel = (int(self.llq.min()) - 1) if len(self.llq) else -1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        kept, offs = _flat_tokens(batch.column("text"))
-        ntok = (offs[1:] - offs[:-1]).astype(np.int64)
-        sums = np.zeros(n, dtype=np.int64)
-        if len(kept):
-            idx = pc.fill_null(
-                pc.index_in(kept, value_set=self.tokens), -1
-            ).to_numpy(zero_copy_only=False)
-            llq_tok = np.where(idx >= 0, self.llq[np.maximum(idx, 0)], 0)
-            has = ntok > 0
-            sums[has] = np.add.reduceat(llq_tok, offs[:-1][has])
-        avg_micro = np.zeros(n, dtype=np.int64)
+        ntok, sums = _unigram_sums(batch, self.tokens, self.llq)
+        avg_micro = np.full(batch.num_rows, self.sentinel, dtype=np.int64)
         nz = ntok > 0
         avg_micro[nz] = round_half_away(
             sums[nz].astype(np.float64) / ntok[nz], 0
@@ -1550,7 +1565,7 @@ def ccnet_buckets_sql(table: str = "documents") -> str:
         "sc AS (SELECT d.doc_id, d.lang, "
         "CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN "
         "CAST(round(CAST(p.s AS DOUBLE) / p.n_tokens, 0) AS BIGINT) "
-        "ELSE 0 END AS avg_micro "
+        "ELSE (SELECT coalesce(min(q), 0) - 1 FROM llq) END AS avg_micro "
         f"FROM {table} d LEFT JOIN per p USING (doc_id)), "
         "r AS (SELECT doc_id, lang, avg_micro, "
         "row_number() OVER (PARTITION BY lang "

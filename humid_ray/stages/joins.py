@@ -135,6 +135,35 @@ def copart_buckets(*side_counts: int, per_bucket: int = 65536,
     return int(min(hi, max(lo, math.ceil(largest / per_bucket))))
 
 
+def probe_sorted_side(key: np.ndarray, side_idx: np.ndarray,
+                      probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort-merge probe of a bucket's dimension-side rows.
+
+    ``key`` is the bucket table's full key column, ``side_idx`` the row
+    indices belonging to the probed (dimension) side, ``probe`` the
+    sorted-unique keys to look up. Sorts the side rows once, binary
+    searches each probe key, and returns ``(match_mask_over_probe,
+    original_row_indices_of_matches)`` — indices into the ORIGINAL
+    bucket table, so callers fetch payload columns with Arrow ``take``
+    (exact for null-bearing int64 columns, where a ``to_numpy`` of the
+    whole column would detour through float64 and corrupt keys beyond
+    2**53)."""
+    ssort = side_idx[np.argsort(key[side_idx])]
+    ks = key[ssort]
+    pos = np.searchsorted(ks, probe)
+    m = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == probe)
+    return m, ssort[pos[m]]
+
+
+def take_column(t: pa.Table, name: str, rows: np.ndarray) -> pa.Array:
+    """Exact row gather of one column: combine chunks once, Arrow
+    ``take`` — never converts the whole column through numpy first."""
+    col = t.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(rows, type=pa.int64()))
+
+
 def key_buckets(keys, n_buckets: int):
     """splitmix64-mixed int64 bucket ids for a key column — raw
     sequential ids would stripe instead of hash under a plain ``%``."""

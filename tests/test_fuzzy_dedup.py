@@ -235,3 +235,21 @@ def test_tiered_dedup_report_funnel(ray_session):
     reps_ds = ray.data.from_pandas(reps[["doc_id", "text"]])
     cl = dedup_text.minhash_clusters_over(reps_ds).to_pandas()
     assert rep.loc[2, "survivors"] == cl["cluster_id"].nunique()
+
+
+def test_minhash_keep_best_empty_corpus(ray_session, tmp_path):
+    """An empty documents table yields the TYPED empty keep list (a
+    bare groupby on nothing would drop the schema)."""
+    from humid_ray.pipelines import dedup_text
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = dedup_text.minhash_dedup_keep_best(str(tmp_path))
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id", "cluster_size",
+                                  "n_tokens"]

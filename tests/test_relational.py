@@ -166,3 +166,32 @@ def test_orders_by_nation_drops_orphan_custkeys(ray_session, tmp_path):
     assert got.n_name.tolist() == ["A", "B"]
     assert got.n_orders.tolist() == [1, 1]
     assert got.total_cents.tolist() == [1000, 2000]
+
+
+def test_segment_revenue_custkeys_beyond_float53(ray_session, tmp_path):
+    """Custkeys above 2**53 are NOT representable in float64: two
+    distinct keys one float-ULP apart must stay distinct through the
+    bucket-join chain (the probe fetches o_custkey with Arrow ``take``,
+    never a whole-column to_numpy that would detour through float64
+    because of the lineitem side's nulls)."""
+    from humid_ray.pipelines.relational import segment_revenue
+
+    big1, big2 = (1 << 53) + 1, (1 << 53) + 3  # both round to 2**53 in f64
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0], type=pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], type=pa.float64()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([big1, big2], type=pa.int64()),
+    }))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([big1, big2], type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTO", "BUILDING"], type=pa.string()),
+    }))
+    out = (segment_revenue(str(tmp_path)).to_pandas()
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    assert out.c_mktsegment.tolist() == ["AUTO", "BUILDING"]
+    assert out.n_orders.tolist() == [1, 1]
+    assert out.revenue_cents.tolist() == [1000, 2000]

@@ -352,3 +352,50 @@ def test_ccnet_buckets_invariants(ray_session):
             assert hi.min() >= mid.max()
         if len(mid) and len(lo):
             assert mid.min() >= lo.max()
+
+
+def test_ccnet_zero_token_docs_rank_tail(ray_session, tmp_path):
+    """Token-free docs (empty / punctuation-only) carry no fluency
+    evidence: they must score the sentinel (one micro-nat below the
+    rarest token's log-prob) and land at the BOTTOM of the ranking
+    (tail), never the head — and the DuckDB oracle agrees bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import ccnet_buckets, ccnet_buckets_sql
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "lang": pa.array(["en"] * 6, type=pa.string()),
+            "text": pa.array(
+                [
+                    "the common words the common words",
+                    "the common words again and again",
+                    "rare zyzzyva qoph",
+                    "another ordinary sentence of words",
+                    "",          # token-free
+                    "!!! ???",   # punctuation-only -> token-free
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    b = ccnet_buckets(str(tmp_path)).to_pandas().set_index("doc_id")
+    # the two garbage docs tie on the sentinel, rank 5-6 of 6 -> tail
+    assert b.loc[5, "bucket"] == "tail"
+    assert b.loc[6, "bucket"] == "tail"
+    assert b.loc[5, "avg_micro"] == b.loc[6, "avg_micro"]
+    real = b.drop([5, 6])
+    assert (b.loc[5, "avg_micro"] < real["avg_micro"]).all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (con.execute(ccnet_buckets_sql()).df()
+            .set_index("doc_id").sort_index())
+    got = b.sort_index()
+    assert (got["avg_micro"] == want["avg_micro"]).all()
+    assert (got["bucket_id"] == want["bucket_id"]).all()
