@@ -469,6 +469,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-prefiltered variant: identical output (exact join is
         # the backstop), join pruned to Bloom-positive rows
         "incremental_dedup_bloom": dedup_text.incremental_dedup_bloom,
+        # FUZZY incremental: new arrivals scored against the base by
+        # MinHash-LSH near-duplication (one band co-shuffle, new x base
+        # verify only; SQL-oracled via the MinHash-in-SQL machinery)
+        "incremental_minhash_dedup": dedup_text.incremental_minhash_dedup,
         # per-source duplication report (join-free combiner chain;
         # SQL-oracled)
         "dup_by_source_docs": dedup_text.dup_rate_by_source,
@@ -1110,6 +1114,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_docs": _textstats_mod.inverted_index_sql(),
         "incremental_dedup_docs": _dedup_mod.incremental_exact_dedup_sql(),
         "incremental_dedup_bloom": _dedup_mod.incremental_exact_dedup_sql(),
+        "incremental_minhash_dedup":
+            _dedup_mod.incremental_minhash_dedup_sql(),
         "image_exact_dedup": _images_mod.image_exact_dedup_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),

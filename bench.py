@@ -211,6 +211,8 @@ def run_bench() -> dict:
     timed("normalize_text_docs", lambda: textstats.normalize_text(SF_DIR))
     timed("incremental_dedup_bloom",
           lambda: dedup_text.incremental_dedup_bloom(SF_DIR))
+    timed("incremental_minhash_dedup",
+          lambda: dedup_text.incremental_minhash_dedup(SF_DIR))
     timed("events_funnel", lambda: events.funnel_counts(SF_DIR))
     timed("weighted_sample_docs", lambda: sampling.weighted_sample(SF_DIR))
     timed("cms_token_freq_docs",

@@ -1365,6 +1365,220 @@ def incremental_dedup_bloom(sf_dir: str, new_pct: int = 20,
                               batch_format="pyarrow").union(novel)
 
 
+_INCR_MH_EMPTY = pa.table(
+    {"doc_id": pa.array([], type=pa.int64()),
+     "is_dup": pa.array([], type=pa.bool_()),
+     "base_rep": pa.array([], type=pa.int64()),
+     "jaccard": pa.array([], type=pa.float64())}
+)
+
+
+def _verify_minhash_cross(threshold: float):
+    """Per-(band, band_key) bucket kernel for the incremental fuzzy
+    path: verify NEW docs against BASE docs only (never new x new or
+    base x base — incremental dedup scores arrivals, it does not
+    re-dedup either side). Same chunked lane-equality tensor as
+    ``_verify_minhash_group`` so a hot bucket stays memory-bounded."""
+    from humid_ray.stages.lsh import _minhash_of
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "base_doc": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())}
+    )
+
+    def _side_rows(doc: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        if not len(idx):  # np.r_[True, ...] would index the empty array
+            return idx
+        order = idx[np.argsort(doc[idx], kind="stable")]
+        keep = np.r_[True, doc[order][1:] != doc[order][:-1]]
+        return order[keep]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ni = _side_rows(doc, np.flatnonzero(side == 1))
+        bi = _side_rows(doc, np.flatnonzero(side == 0))
+        if not len(ni) or not len(bi):
+            return empty
+        mh = _minhash_of(group)
+        mn, mb = mh[ni], mh[bi]
+        dn, db = doc[ni], doc[bi]
+        n_perms = mh.shape[1]
+        chunk = max(1, min(len(ni), 32_000_000 // max(len(bi) * n_perms, 1)))
+        out_n, out_b, out_j = [], [], []
+        for s in range(0, len(ni), chunk):
+            e = min(len(ni), s + chunk)
+            sim = (mn[s:e, None, :] == mb[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(sim >= threshold)
+            out_n.append(dn[ii + s].astype(np.int64))
+            out_b.append(db[jj].astype(np.int64))
+            out_j.append(sim[ii, jj].astype(np.float64))
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_n)),
+             "base_doc": pa.array(np.concatenate(out_b)),
+             "jaccard": pa.array(np.concatenate(out_j))}
+        )
+
+    return kernel
+
+
+def incremental_minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                              new_pct: int = 20, n_buckets: int = 100):
+    """(doc_id, is_dup, base_rep, jaccard): FUZZY incremental dedup —
+    score NEW arrivals against the EXISTING corpus by MinHash-LSH
+    near-duplication, the operation a production pipeline runs when a
+    fresh crawl shard lands (its boilerplate-mutated copies of base
+    documents won't be byte-identical, so ``incremental_exact_dedup``
+    misses them). A new doc is a dup iff it shares >= 1 full LSH band
+    with some base doc at estimated Jaccard >= threshold; base_rep is
+    the smallest matching base doc_id and jaccard the lane-equality
+    estimate against it (both NULL for novel rows). The base/new split
+    is the same deterministic splitmix64(doc_id) hash split as the
+    exact variant.
+
+    Scale shape: both sides band with the streaming ``MinHashDocs``
+    kernel (at 100 TB the base's band table is the checkpointed
+    artifact of yesterday's run — only the shard is re-banded), ONE
+    (band, key) co-shuffle brings candidates together, and the bucket
+    kernel verifies new x base ONLY with the chunked lane-equality
+    tensor. Per-new-doc representative selection is a hash-bucketed
+    lexsort kernel (the keep_best pattern); novel rows join back via
+    one distributed left-outer join — nothing corpus-sized is
+    collected."""
+    from humid_ray.stages.joins import (copart_buckets, join_kwargs,
+                                        key_buckets)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    new = docs.map_batches(_incr_split_kernel(True, new_pct, n_buckets),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    n_new = new.count()
+    if n_new == 0:
+        return ray.data.from_arrow(_INCR_MH_EMPTY)
+    base = docs.map_batches(_incr_split_kernel(False, new_pct, n_buckets),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    n_base = base.count()
+
+    def _tag(side_val: int):
+        def kernel(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side_val,
+                                         dtype=np.int8))
+            )
+
+        return kernel
+
+    def _novel_mh(t: pa.Table) -> pa.Table:
+        return _incr_novel_rows(t).append_column(
+            "jaccard", pa.nulls(t.num_rows, type=pa.float64())
+        )
+
+    if n_base == 0:
+        return new.map_batches(_novel_mh, batch_format="pyarrow")
+    new_bands = new.map_batches(
+        MinHashDocs, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    base_bands = base.map_batches(
+        MinHashDocs, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).map_batches(_tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    pairs = new_bands.union(base_bands).groupby(
+        ["band_id", "band_key"]
+    ).map_groups(_verify_minhash_cross(threshold), batch_format="pyarrow")
+    # a pair can surface from several bands (same estimate each time);
+    # the per-new-doc rep is min base_doc — one bucketed lexsort kernel
+    nb = copart_buckets(n_new)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(key_buckets(d, nb)))
+
+    def _rep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "base_rep": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        b = g.column("base_doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, d))
+        first = np.r_[True, d[order][1:] != d[order][:-1]]
+        idx = pa.array(order[first])
+        return pa.table(
+            {"doc_id": g.column("doc_id").take(idx),
+             "base_rep": g.column("base_doc").take(idx),
+             "jaccard": g.column("jaccard").take(idx)}
+        )
+
+    reps = (
+        pairs.map_batches(_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_rep, batch_format="pyarrow")
+    )
+    joined = new.select_columns(["doc_id"]).join(
+        reps, join_type="left_outer", on=("doc_id",),
+        **join_kwargs(n_new, n_new, bytes_per_row=32),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _INCR_MH_EMPTY
+        rep = t.column("base_rep")
+        rep = rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "is_dup": pc.is_valid(rep),
+             "base_rep": rep,
+             "jaccard": t.column("jaccard")}
+        )
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def incremental_minhash_dedup_sql(table: str = "documents",
+                                  threshold: float = 0.8,
+                                  new_pct: int = 20,
+                                  n_buckets: int = 100,
+                                  n_perms: int = 128,
+                                  n_bands: int = 16) -> str:
+    """DuckDB oracle for ``incremental_minhash_dedup``: the MinHash
+    machinery re-derived in HUGEINT SQL (oracles._minhash_pair_ctes),
+    restricted to pairs crossing the splitmix64 new/base split; rep =
+    min matching base doc, jaccard = that pair's equal-lane fraction
+    (exactly representable in float64 on both sides)."""
+    from humid_ray.oracles import _minhash_pair_ctes, _sm64_cols
+
+    return (
+        f"WITH {_minhash_pair_ctes(table, n_perms, n_bands)}, "
+        f"sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}), "
+        f"split AS (SELECT doc_id, (z % {n_buckets} < {new_pct}) AS is_new "
+        "FROM sm), "
+        "xp AS (SELECT CASE WHEN sa.is_new THEN m.da ELSE m.db END AS nd, "
+        "CASE WHEN sa.is_new THEN m.db ELSE m.da END AS bd, m.neq "
+        "FROM mhagg m JOIN split sa ON sa.doc_id = m.da "
+        "JOIN split sb2 ON sb2.doc_id = m.db "
+        f"WHERE m.sb = 1 AND CAST(m.neq AS DOUBLE) / {n_perms} >= "
+        f"{threshold} AND sa.is_new <> sb2.is_new), "
+        "rep AS (SELECT nd, min(bd) AS base_rep FROM xp GROUP BY nd), "
+        "repj AS (SELECT r.nd, r.base_rep, "
+        f"CAST(max(x.neq) AS DOUBLE) / {n_perms} AS jaccard "
+        "FROM rep r JOIN xp x ON x.nd = r.nd AND x.bd = r.base_rep "
+        "GROUP BY r.nd, r.base_rep) "
+        "SELECT s.doc_id, j.base_rep IS NOT NULL AS is_dup, "
+        "j.base_rep, j.jaccard "
+        "FROM split s LEFT JOIN repj j ON j.nd = s.doc_id WHERE s.is_new"
+    )
+
+
 def dup_rate_by_source(sf_dir: str):
     """(source, n_docs, n_dup_docs): per-source duplication report —
     for every source, how many of its documents' texts also appear

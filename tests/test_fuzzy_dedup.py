@@ -253,3 +253,70 @@ def test_minhash_keep_best_empty_corpus(ray_session, tmp_path):
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id", "cluster_size",
                                   "n_tokens"]
+
+
+def test_incremental_minhash_dedup_planted(ray_session, tmp_path):
+    """Fuzzy incremental dedup: a NEW doc that is a near-copy (one
+    token changed) of a BASE doc must be flagged with that base doc as
+    its rep; novel new docs come back null; base docs never appear in
+    the output. Pinned against the MinHash-in-SQL oracle."""
+    import duckdb
+
+    from humid_ray.pipelines import dedup_text
+    from humid_ray.util import splitmix64
+
+    ids = np.arange(1, 401, dtype=np.int64)
+    is_new = (splitmix64(ids.view(np.uint64)) % np.uint64(100)) < 20
+    new_ids = ids[is_new]
+    base_ids = ids[~is_new]
+    assert len(new_ids) >= 10 and len(base_ids) >= 10
+    # every base doc is 30 UNIQUE tokens (no shared template), so a
+    # near-copy can only match its own source and the 29/31 shingle
+    # overlap makes both the banding hit and the >= 0.5 estimate
+    # deterministic (seeded permutations, no test-time randomness)
+    base_text = {
+        int(b): " ".join(f"w{i}x{j}" for j in range(30))
+        for i, b in enumerate(base_ids)
+    }
+    texts = {}
+    planted = {}
+    for j, nid in enumerate(new_ids):
+        if j < 5:  # near-copy of base_ids[j]: mutate ONE middle token
+            src = int(base_ids[j])
+            planted[int(nid)] = src
+            texts[int(nid)] = base_text[src].replace(f"w{j}x15", "changed")
+        else:
+            texts[int(nid)] = " ".join(f"n{j}y{t}" for t in range(12))
+    texts.update(base_text)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array([texts[int(i)] for i in ids],
+                             type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = dedup_text.incremental_minhash_dedup(
+        str(tmp_path), threshold=0.5
+    ).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == sorted(new_ids.tolist())
+    for nid, src in planted.items():
+        assert bool(out.loc[nid, "is_dup"]), nid
+        assert out.loc[nid, "base_rep"] == src
+        assert out.loc[nid, "jaccard"] >= 0.5
+    novel = out.drop(planted.keys())
+    assert not novel["is_dup"].any()
+    assert novel["base_rep"].isna().all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (con.execute(
+        dedup_text.incremental_minhash_dedup_sql(threshold=0.5)
+    ).df().set_index("doc_id").sort_index())
+    got = out.sort_index()
+    assert (got["is_dup"] == want["is_dup"]).all()
+    gr, wr = got["base_rep"], want["base_rep"]
+    assert (gr.isna() == wr.isna()).all()
+    assert (gr.dropna() == wr.dropna()).all()
