@@ -532,6 +532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scrub: email-then-long-number RE2 redaction (SQL-oracled;
         # planted-PII parity pinned in tests/test_textstats.py)
         "redact_pii_docs": textstats.redact_pii,
+        # blocklist keyword screen: shuffle-free per-term substring
+        # counts (SQL-oracled via replace-shrinkage math)
+        "keyword_filter_docs": textstats.keyword_filter,
         # global vocabulary: corpus-wide token + document frequency
         # (hot-key-proof per-batch combiner; SQL-oracled)
         "vocab_docs": textstats.vocab,
@@ -571,6 +574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered funnel completion (greedy earliest chain ≡ existence;
         # SQL-oracled via chained min-ts CTEs)
         "events_funnel": events.funnel_counts,
+        # retention triangle: first-event-week cohorts x week offsets
+        # (distinct (user, week) combiner + ONE user-bucket exchange;
+        # SQL-oracled)
+        "events_cohort_retention": events.cohort_retention,
         # anomaly windows: count > mean + 3σ, tested in EXACT integer
         # arithmetic so the boundary can't float-flip (SQL-oracled)
         "events_spikes": events.window_spikes,
@@ -1101,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _sampling_mod.weighted_sample_sql(),
         "events_funnel": _events_mod.funnel_counts_sql(),
         "events_spikes": _events_mod.window_spikes_sql(),
+        "events_cohort_retention": _events_mod.cohort_retention_sql(),
+        "keyword_filter_docs": _textstats_mod.keyword_filter_sql(),
         "dup_by_source_docs": _dedup_mod.dup_rate_by_source_sql(),
         "chunk_export_docs": _segdedup.chunk_export_sql(),
         "cms_token_freq_docs": _textstats_mod.cms_token_freq_sql(),

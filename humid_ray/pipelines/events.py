@@ -1151,3 +1151,112 @@ def window_spikes_sql(table: str = "events", window_us: int = HOUR_US,
         "FROM wc JOIN mom USING (event_type) "
         f"WHERE nw*n > s AND (nw*n - s)*(nw*n - s) > {z * z}*(nw*q - s*s)"
     )
+
+
+# --- cohort retention ------------------------------------------------------
+
+WEEK_US = 7 * DAY_US
+
+_COHORT_PARTIAL_EMPTY = {
+    "cohort_us": pa.array([], type=pa.int64()),
+    "week_offset": pa.array([], type=pa.int64()),
+    "n_users": pa.array([], type=pa.int64()),
+}
+
+
+def cohort_retention(sf_dir: str):
+    """(cohort_week, week_offset, n_users): the retention triangle —
+    users are cohorted by the week of their FIRST event; for each
+    cohort and each week offset k, count the distinct cohort members
+    active k weeks later (offset 0 = the cohort size itself). The
+    classic warehouse/product-analytics operator the funnel and
+    sessionization queries don't cover.
+
+    Scale shape: the per-batch combiner dedupes (user, week) tuples —
+    shuffle volume is distinct activity tuples, never events — and ONE
+    exchange routes them into user-hash buckets (``_user_buckets``
+    rule), so each user's full week set lands in exactly one kernel:
+    per-user min is a lexsort + segment scan, offsets are vectorized,
+    and the kernel emits |cohorts x offsets| local partial counts.
+    Bucketed users are disjoint, so the final |cohorts x offsets|-row
+    groupby sums exact distinct counts. A hot week skews nothing
+    (bucketing is by user); a pathological single user contributes at
+    most |weeks| tuples."""
+    from humid_ray.util import UINT64, splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "user_id": pa.array([], type=pa.int64()),
+                 "week_us": pa.array([], type=pa.int64())}
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        week = (_ts_us(t.column("ts")) // WEEK_US) * WEEK_US
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (week[1:] != week[:-1])]
+        uid, week = uid[keep], week[keep]
+        bucket = (splitmix64(uid.astype(np.int64).view(UINT64))
+                  % UINT64(N_SESSION_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(bucket),
+             "user_id": pa.array(uid),
+             "week_us": pa.array(week)}
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_COHORT_PARTIAL_EMPTY)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        week = g.column("week_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        # partials from different batches may repeat a (user, week)
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (week[1:] != week[:-1])]
+        uid, week = uid[keep], week[keep]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        # per-user cohort week = the user's first (sorted-min) week,
+        # fanned back over the user's rows
+        cohort = week[first][np.cumsum(first) - 1]
+        offset = (week - cohort) // WEEK_US
+        key = np.stack([cohort, offset], axis=1)
+        ukey, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ukey)).astype(np.int64)
+        return pa.table(
+            {"cohort_us": pa.array(ukey[:, 0].astype(np.int64)),
+             "week_offset": pa.array(ukey[:, 1].astype(np.int64)),
+             "n_users": pa.array(n)}
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cohort_week": t.column("cohort_us").cast(pa.timestamp("us")),
+             "week_offset": t.column("week_offset"),
+             "n_users": t.column("n_users")}
+        )
+
+    return (
+        read_events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["cohort_us", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def cohort_retention_sql(table: str = "events") -> str:
+    """DuckDB oracle for ``cohort_retention``: distinct (user, week)
+    activity, per-user min week as cohort, grouped offsets — identical
+    integer epoch-microsecond week math."""
+    return (
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        f"(epoch_us(ts) // {WEEK_US}) * {WEEK_US} AS w FROM {table}), "
+        "fw AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id) "
+        "SELECT make_timestamp(cw) AS cohort_week, "
+        f"(uw.w - fw.cw) // {WEEK_US} AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM uw JOIN fw USING (user_id) GROUP BY 1, 2"
+    )

@@ -1576,3 +1576,66 @@ def ccnet_buckets_sql(table: str = "documents") -> str:
         "CASE (3 * rn + n - 1) // n WHEN 1 THEN 'head' "
         "WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r"
     )
+
+
+# --- keyword blocklist filter ----------------------------------------------
+
+BLOCKLIST_TERMS = ("casino", "viagra", "lottery", "jackpot", "betting")
+
+
+def keyword_filter(sf_dir: str, terms: tuple[str, ...] = BLOCKLIST_TERMS):
+    """(doc_id, n_hits, blocked): per-document occurrence count of a
+    blocklist term set (case-insensitive substring semantics — the
+    standard spam/toxicity keyword screen a curation pipeline runs
+    before any model-based scoring). ``n_hits`` sums non-overlapping
+    occurrences over all terms; ``blocked`` flags any hit.
+
+    Scale shape: shuffle-free — the term list is a constant closure
+    (broadcast-by-capture; for a 10^5-term production list swap the
+    per-term loop for one Aho-Corasick automaton in an actor pool,
+    same stage shape), each batch is lowered once and scanned with
+    Arrow's C-speed ``count_substring`` per term."""
+    terms = tuple(t.lower() for t in terms)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_hits": pa.array([], type=pa.int64()),
+                 "blocked": pa.array([], type=pa.bool_())}
+            )
+        lt = pc.utf8_lower(pc.coalesce(t.column("text"), ""))
+        hits = np.zeros(n, dtype=np.int64)
+        for term in terms:
+            hits += pc.count_substring(lt, term).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_hits": pa.array(hits),
+             "blocked": pa.array(hits > 0)}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def keyword_filter_sql(table: str = "documents",
+                       terms: tuple[str, ...] = BLOCKLIST_TERMS) -> str:
+    """DuckDB oracle for ``keyword_filter``: per term, the
+    replace-shrinkage count (character-length delta / term length)
+    equals Arrow's non-overlapping ``count_substring`` for terms that
+    cannot overlap themselves (true of the default list); summed over
+    a VALUES term table."""
+    vals = ", ".join(f"('{t.lower()}')" for t in terms)
+    return (
+        f"WITH pats(p) AS (VALUES {vals}), "
+        "lt AS (SELECT doc_id, lower(coalesce(text, '')) AS s "
+        f"FROM {table}), "
+        "h AS (SELECT doc_id, CAST(SUM((length(s) - "
+        "length(replace(s, p, ''))) // length(p)) AS BIGINT) "
+        "AS n_hits FROM lt CROSS JOIN pats GROUP BY doc_id) "
+        "SELECT doc_id, n_hits, n_hits > 0 AS blocked FROM h"
+    )

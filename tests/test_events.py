@@ -553,3 +553,40 @@ def test_funnel_random_vs_bruteforce(ray_session, tmp_path):
         got = (funnel_counts(str(tmp_path), steps=steps).to_pandas()
                .sort_values("step").users.tolist())
         assert got == brute(steps), steps
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Hand-built activity: user 1 first-seen week 0, active weeks
+    0/1/3; user 2 first-seen week 1, active week 1; user 3 first-seen
+    week 0, active week 0 only. Duplicate events within a (user, week)
+    must not double-count."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.events import WEEK_US, cohort_retention
+
+    def ts(week, hour=0):
+        return (week * WEEK_US + hour * 3_600_000_000)
+
+    rows = [
+        (1, ts(0)), (1, ts(0, 5)),  # dup within week 0
+        (1, ts(1)), (1, ts(3)),
+        (2, ts(1)), (2, ts(1, 2)),
+        (3, ts(0)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = cohort_retention(str(tmp_path)).to_pandas()
+    got["cohort_week_us"] = got["cohort_week"].astype("int64")
+    key = {(int(r.cohort_week_us // WEEK_US), int(r.week_offset)):
+           int(r.n_users) for r in got.itertuples()}
+    assert key == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}

@@ -399,3 +399,33 @@ def test_ccnet_zero_token_docs_rank_tail(ray_session, tmp_path):
     got = b.sort_index()
     assert (got["avg_micro"] == want["avg_micro"]).all()
     assert (got["bucket_id"] == want["bucket_id"]).all()
+
+
+def test_keyword_filter_planted(ray_session, tmp_path):
+    """Blocklist screening: counts are case-insensitive, sum across
+    terms and repeats, and clean/empty/null docs pass."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import keyword_filter
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "Visit our CASINO today — best casino bonus, viagra!",
+                    "a perfectly ordinary document",
+                    "",
+                    None,
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (keyword_filter(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "n_hits"] == 3 and bool(out.loc[1, "blocked"])
+    assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "blocked"])
+    assert out.loc[3, "n_hits"] == 0
+    assert out.loc[4, "n_hits"] == 0
