@@ -535,6 +535,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocklist keyword screen: shuffle-free per-term substring
         # counts (SQL-oracled via replace-shrinkage math)
         "keyword_filter_docs": textstats.keyword_filter,
+        # corpus drift monitor: JS divergence between the base/new
+        # hash splits' token distributions, nano-nat-quantized for a
+        # bit-exact integer-sum oracle
+        "corpus_drift_docs": textstats.corpus_drift,
         # global vocabulary: corpus-wide token + document frequency
         # (hot-key-proof per-batch combiner; SQL-oracled)
         "vocab_docs": textstats.vocab,
@@ -1110,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "events_spikes": _events_mod.window_spikes_sql(),
         "events_cohort_retention": _events_mod.cohort_retention_sql(),
         "keyword_filter_docs": _textstats_mod.keyword_filter_sql(),
+        "corpus_drift_docs": _textstats_mod.corpus_drift_sql(),
         "dup_by_source_docs": _dedup_mod.dup_rate_by_source_sql(),
         "chunk_export_docs": _segdedup.chunk_export_sql(),
         "cms_token_freq_docs": _textstats_mod.cms_token_freq_sql(),

@@ -1639,3 +1639,143 @@ def keyword_filter_sql(table: str = "documents",
         "AS n_hits FROM lt CROSS JOIN pats GROUP BY doc_id) "
         "SELECT doc_id, n_hits, n_hits > 0 AS blocked FROM h"
     )
+
+
+# --- corpus drift report (Jensen-Shannon divergence) ------------------------
+
+def corpus_drift(sf_dir: str, new_pct: int = 20, n_buckets: int = 100):
+    """One-row report (base_tokens, new_tokens, base_vocab, new_vocab,
+    js_nano, js_divergence): token-distribution drift between the BASE
+    corpus and the NEW shard (same deterministic splitmix64(doc_id)
+    split as the incremental-dedup family) measured as Jensen-Shannon
+    divergence — the monitor a production pipeline alarms on when a
+    new crawl's language mix shifts. JS is computed per token as
+    0.5*p*ln(p/m) + 0.5*q*ln(q/m) (m the mixture), each contribution
+    QUANTIZED to int64 nano-nats before summation, so the total is
+    associative and bit-equal to the SQL oracle in any reduction
+    order (ln is the platform libm on both sides — the unigram-LM
+    precedent).
+
+    Scale shape: one streaming pass; the per-batch combiner collapses
+    each batch to (token, side) counts via Arrow's C-speed group_by,
+    one vocab-sized groupby sums them, and only the VOCABULARY (a few
+    MB at 100 TB — the unigram-model precedent) reaches the driver
+    for the scalar fold."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from humid_ray.util import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], type=pa.string()),
+             "nb": pa.array([], type=pa.int64()),
+             "nn": pa.array([], type=pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is_new = (splitmix64(d.astype(np.int64).view(UINT64))
+                  % UINT64(n_buckets)) < new_pct
+        kept, offs = _flat_tokens(batch.column("text"))
+        if len(kept) == 0:
+            return empty
+        side = np.repeat(is_new, (offs[1:] - offs[:-1]))
+        agg = pa.table(
+            {"token": kept, "new": pa.array(side)}
+        ).group_by(["token", "new"]).aggregate([("token", "count")])
+        cnt = agg.column("token_count").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nw = agg.column("new").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"token": agg.column("token"),
+             "nb": pa.array(np.where(nw, 0, cnt)),
+             "nn": pa.array(np.where(nw, cnt, 0))}
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(_Sum("nb", alias_name="nb"),
+                   _Sum("nn", alias_name="nn"))
+    )
+    nb_parts, nn_parts = [], []
+    for b in counts.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        nb_parts.append(b.column("nb").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        nn_parts.append(b.column("nn").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+    nb = np.concatenate(nb_parts) if nb_parts else np.empty(0, np.int64)
+    nn = np.concatenate(nn_parts) if nn_parts else np.empty(0, np.int64)
+    tb, tn = int(nb.sum()), int(nn.sum())
+    js_nano = np.int64(0)
+    if len(nb):
+        # per-token double math in the EXACT association order of the
+        # SQL oracle; only the final int64 sum is order-free
+        p = np.where(nb > 0, nb.astype(np.float64) / max(tb, 1), 0.0)
+        q = np.where(nn > 0, nn.astype(np.float64) / max(tn, 1), 0.0)
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cb = np.where(nb > 0, 0.5 * (p * np.log(p / m)), 0.0)
+            cn = np.where(nn > 0, 0.5 * (q * np.log(q / m)), 0.0)
+        js_nano = round_half_away((cb + cn) * 1e9, 0).astype(np.int64).sum()
+    return pa.table(
+        {
+            "base_tokens": pa.array([tb], type=pa.int64()),
+            "new_tokens": pa.array([tn], type=pa.int64()),
+            "base_vocab": pa.array([int((nb > 0).sum())], type=pa.int64()),
+            "new_vocab": pa.array([int((nn > 0).sum())], type=pa.int64()),
+            "js_nano": pa.array([int(js_nano)], type=pa.int64()),
+            "js_divergence": pa.array([round(int(js_nano) / 1e9, 6)],
+                                      type=pa.float64()),
+        }
+    )
+
+
+def corpus_drift_sql(table: str = "documents", new_pct: int = 20,
+                     n_buckets: int = 100) -> str:
+    """DuckDB oracle for ``corpus_drift``: identical tokenization,
+    split, and per-token double arithmetic (CAST-to-DOUBLE divisions,
+    same association order, libm ln), quantized to nano-nats before
+    the integer sum."""
+    from humid_ray.oracles import _sm64_cols
+
+    return (
+        f"WITH sm AS (SELECT doc_id, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'z')} FROM {table}), "
+        f"split AS (SELECT d.doc_id, d.text, "
+        f"(z % {n_buckets} < {new_pct}) AS is_new "
+        f"FROM {table} d JOIN sm USING (doc_id)), "
+        "toks AS (SELECT is_new, "
+        "unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) "
+        "AS token FROM split), "
+        "f AS (SELECT token, "
+        "CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS nb, "
+        "CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS nn "
+        "FROM toks GROUP BY token), "
+        "tot AS (SELECT CAST(coalesce(SUM(nb), 0) AS BIGINT) AS tb, "
+        "CAST(coalesce(SUM(nn), 0) AS BIGINT) AS tn FROM f), "
+        "c AS (SELECT CAST(round(("
+        "CASE WHEN nb > 0 THEN 0.5 * ((CAST(nb AS DOUBLE) / "
+        "greatest(tb, 1)) * ln((CAST(nb AS DOUBLE) / greatest(tb, 1)) / "
+        "(0.5 * ((CASE WHEN nb > 0 THEN CAST(nb AS DOUBLE) / "
+        "greatest(tb, 1) ELSE 0 END) + (CASE WHEN nn > 0 THEN "
+        "CAST(nn AS DOUBLE) / greatest(tn, 1) ELSE 0 END))))) ELSE 0 END "
+        "+ CASE WHEN nn > 0 THEN 0.5 * ((CAST(nn AS DOUBLE) / "
+        "greatest(tn, 1)) * ln((CAST(nn AS DOUBLE) / greatest(tn, 1)) / "
+        "(0.5 * ((CASE WHEN nb > 0 THEN CAST(nb AS DOUBLE) / "
+        "greatest(tb, 1) ELSE 0 END) + (CASE WHEN nn > 0 THEN "
+        "CAST(nn AS DOUBLE) / greatest(tn, 1) ELSE 0 END))))) ELSE 0 END"
+        ") * 1e9, 0) AS BIGINT) AS cn FROM f, tot) "
+        "SELECT tot.tb AS base_tokens, tot.tn AS new_tokens, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f WHERE nb > 0) "
+        "AS base_vocab, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f WHERE nn > 0) "
+        "AS new_vocab, "
+        "CAST(coalesce((SELECT SUM(cn) FROM c), 0) AS BIGINT) AS js_nano, "
+        "round(CAST(coalesce((SELECT SUM(cn) FROM c), 0) AS DOUBLE) "
+        "/ 1e9, 6) AS js_divergence FROM tot"
+    )

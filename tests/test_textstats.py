@@ -429,3 +429,38 @@ def test_keyword_filter_planted(ray_session, tmp_path):
     assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "blocked"])
     assert out.loc[3, "n_hits"] == 0
     assert out.loc[4, "n_hits"] == 0
+
+
+def test_corpus_drift_planted(ray_session, tmp_path):
+    """Disjoint vocabularies between the base and new splits drive JS
+    to its ln(2) maximum; identical ones drive it to ~0; an empty
+    corpus reports zeros."""
+    import math
+
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import corpus_drift
+    from humid_ray.util import splitmix64
+
+    ids = np.arange(1, 301, dtype=np.int64)
+    is_new = (splitmix64(ids.view(np.uint64)) % np.uint64(100)) < 20
+    texts = ["newish tokens only here" if n else "basely words alone there"
+             for n in is_new]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts, type=pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = corpus_drift(str(tmp_path)).to_pandas().iloc[0]
+    assert out.base_vocab == 4 and out.new_vocab == 4
+    assert abs(out.js_divergence - math.log(2)) < 1e-6
+    # same text on both sides -> zero drift
+    tbl2 = pa.table({"doc_id": pa.array(ids),
+                     "text": pa.array(["same words everywhere"] * len(ids))})
+    pq.write_table(tbl2, tmp_path / "documents.parquet")
+    out2 = corpus_drift(str(tmp_path)).to_pandas().iloc[0]
+    assert out2.js_divergence == 0.0
+    # empty corpus -> one zero row
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())}),
+                   tmp_path / "documents.parquet")
+    out3 = corpus_drift(str(tmp_path)).to_pandas().iloc[0]
+    assert out3.base_tokens == 0 and out3.js_nano == 0
