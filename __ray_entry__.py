@@ -607,6 +607,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF coarse-quantizer ANN (scale path; full-probe degenerate
         # case proven equal to brute force in tests/test_ann.py)
         "ann_ivf": ann.ann_ivf,
+        # IVF-PQ: product-quantized codes (uint8 per subspace) + ADC
+        # LUT scoring + exact re-rank of the shortlist — the
+        # memory-scale ANN tier; codebook-recovery config pinned
+        # equal to brute force in tests/test_ann.py
+        "ann_ivfpq": ann.ann_ivfpq,
         # degenerate IVF config (nprobe == n_centroids) is EXACTLY
         # brute force, so the whole IVF machinery (kmeans training,
         # inverted-list tagging, probe + partial top-k merge) gets the

@@ -213,6 +213,7 @@ def run_bench() -> dict:
           lambda: dedup_text.incremental_dedup_bloom(SF_DIR))
     timed("incremental_minhash_dedup",
           lambda: dedup_text.incremental_minhash_dedup(SF_DIR))
+    timed("ann_ivfpq", lambda: ann.ann_ivfpq(SF_DIR), consume=None)
     timed("events_funnel", lambda: events.funnel_counts(SF_DIR))
     timed("weighted_sample_docs", lambda: sampling.weighted_sample(SF_DIR))
     timed("cms_token_freq_docs",

@@ -646,3 +646,209 @@ def semantic_dedup_exact(sf_dir: str, threshold: float = 0.4, ds=None):
     min-id-per-component keep)."""
     return semantic_dedup(sf_dir, threshold=threshold, n_clusters=1,
                           keep="min_id", ds=ds)
+
+
+# --- IVF-PQ: product-quantized inverted lists (the memory-scale path) ------
+
+def _farthest_first(x: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-first-traversal k-means init (start at
+    point 0, repeatedly add the point farthest from its nearest chosen
+    center; ties -> lowest index). When the data has <= k distinct
+    values this provably selects ALL of them (every uncovered value
+    keeps a positive distance), which makes exact-codebook recovery —
+    and the PQ == brute-force degenerate test — deterministic."""
+    n = len(x)
+    k = min(k, n)
+    centers = np.zeros(k, dtype=np.int64)
+    d2 = np.full(n, np.inf)
+    for i in range(k):
+        if i:
+            centers[i] = int(np.argmax(d2))
+        nd = ((x - x[centers[i]]) ** 2).sum(axis=1)
+        d2 = np.minimum(d2, nd)
+    return x[centers].copy()
+
+
+def _kmeans_l2(x: np.ndarray, k: int, iters: int = 15) -> np.ndarray:
+    """Plain Euclidean Lloyd with farthest-first init; an emptied
+    cluster keeps its previous center. Tiny driver-side fit."""
+    c = _farthest_first(x, k)
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c
+
+
+def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
+              n_centroids: int = 64, nprobe: int = 8, m_sub: int = 8,
+              ksub: int = 32, sample: int = 4096, refine: int = 4,
+              ds=None):
+    """IVF-PQ ANN with exact re-ranking — the memory-scale tier of the
+    ANN family (brute force -> LSH -> IVF -> IVF-PQ). Vectors are
+    normalized once and stored as ``m_sub`` uint8 codes (8 bytes here
+    vs 256 for float32x64: the compression that makes 10^12-vector
+    indexes fit a cluster); cosine decomposes EXACTLY across PQ
+    subspaces (sum of per-subspace inner products), so query-time
+    scoring is a pure table lookup: per query, an (m_sub x ksub) LUT
+    of subquery x codeword dot products is broadcast and each
+    candidate costs m_sub gathers + adds, no FLOPs against the
+    original vectors. The approximate top-(refine*k) per query is then
+    re-ranked EXACTLY against the true embeddings of only those
+    candidates (pc.is_in-pruned scan — the top_parts join-back
+    pattern).
+
+    Scale shape: codebooks train driver-side on the seeded cross-block
+    hash sample; the encode stage is an actor pool writing the
+    code table (checkpointed once at scale, re-queried forever);
+    candidate scan = LUT gathers over probed lists only; the refine
+    scan touches <= n_queries*refine*k full vectors."""
+    import pyarrow.compute as pc
+
+    if ds is None:
+        ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(max(n_queries, 1)).take_all()
+    if not first:
+        return _empty_topk()
+    q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
+    q = _normalize(np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in first]
+    ))
+    dim = q.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    dsub = dim // m_sub
+
+    _, xs = _hash_sample(ds, sample)
+    if not len(xs):
+        return _empty_topk()
+    xn = _normalize(xs)
+    coarse = _spherical_kmeans(xn, n_centroids)
+    books = np.stack([
+        _kmeans_l2(np.ascontiguousarray(xn[:, j * dsub:(j + 1) * dsub]),
+                   ksub)
+        for j in range(m_sub)
+    ])  # (m_sub, ksub, dsub)
+    model_ref = ray.put((coarse, books))
+
+    class PqEncode:
+        def __init__(self):
+            self.coarse, self.books = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], type=pa.int64()),
+                     "ivf_list": pa.array([], type=pa.int64()),
+                     "code": pa.FixedSizeListArray.from_arrays(
+                         pa.array([], type=pa.uint8()), m_sub)}
+                )
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            lst = np.argmax(mn @ self.coarse.T, axis=1).astype(np.int64)
+            codes = np.empty((len(ids), m_sub), dtype=np.uint8)
+            for j in range(m_sub):
+                sub = mn[:, j * dsub:(j + 1) * dsub]
+                cb = self.books[j]
+                # argmin ||sub - c||^2 == argmax (sub.c - ||c||^2/2)
+                codes[:, j] = np.argmax(
+                    sub @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :],
+                    axis=1,
+                ).astype(np.uint8)
+            return pa.table(
+                {"vec_id": pa.array(ids),
+                 "ivf_list": pa.array(lst),
+                 "code": pa.FixedSizeListArray.from_arrays(
+                     pa.array(codes.reshape(-1)), m_sub)}
+            )
+
+    codes_ds = ds.map_batches(PqEncode, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+    probe = np.argsort(-(q @ coarse.T), axis=1)[:, : min(nprobe, len(coarse))]
+    probe_arr = pa.array(sorted(set(probe.reshape(-1).tolist())),
+                         type=pa.int64())
+    cand = codes_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("ivf_list"),
+                                    value_set=probe_arr))
+        .select(["vec_id", "code"]),
+        batch_format="pyarrow",
+    )
+    # per-query ADC lookup tables: LUT[qi, j, c] = q_sub . codeword
+    lut = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m_sub, dsub), books)
+    lut_ref = ray.put((q_ids, lut))
+    kprime = max(k, refine * k)
+
+    class AdcTopK:
+        def __init__(self):
+            self.q_ids, self.lut = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+            if batch.num_rows == 0:
+                return empty
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            code_col = batch.column("code")
+            if isinstance(code_col, pa.ChunkedArray):
+                code_col = code_col.combine_chunks()
+            codes = np.asarray(code_col.flatten()).reshape(len(ids), m_sub)
+            cols = np.arange(m_sub)[None, :]
+            out_q, out_n, out_s = [], [], []
+            kk = min(kprime, len(ids))
+            for qi in range(len(self.q_ids)):
+                s = self.lut[qi][cols, codes].sum(axis=1)
+                idx = np.lexsort((ids, -s))[:kk]
+                out_q.append(np.full(len(idx), self.q_ids[qi],
+                                     dtype=np.int64))
+                out_n.append(ids[idx].astype(np.int64))
+                out_s.append(s[idx].astype(np.float64))
+            return pa.table(
+                {"query_id": pa.array(np.concatenate(out_q)),
+                 "neighbor_id": pa.array(np.concatenate(out_n)),
+                 "cosine": pa.array(np.concatenate(out_s))}
+            )
+
+    partial = cand.map_batches(AdcTopK, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=(1, 4))
+    approx = _merge_topk(partial, q_ids, kprime)
+    cand_ids = sorted({int(v) for v in approx.column("neighbor_id").to_pylist()})
+    if not cand_ids:
+        return _empty_topk()
+    # exact re-rank: fetch ONLY the shortlisted vectors
+    cand_set = pa.array(cand_ids, type=pa.int64())
+    chunks = list(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                        value_set=cand_set)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(chunks)
+    cids, cm = _to_matrix(t)
+    cmn = _normalize(cm)
+    shortlist: dict[int, set] = {}
+    for row in approx.to_pylist():
+        shortlist.setdefault(int(row["query_id"]), set()).add(
+            int(row["neighbor_id"])
+        )
+    pos = {int(v): i for i, v in enumerate(cids)}
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        members = sorted(shortlist.get(int(qid), ()))
+        if not members:
+            continue
+        idx = np.array([pos[m] for m in members], dtype=np.int64)
+        s = cmn[idx] @ q[qi]
+        order = np.lexsort((np.array(members), -s))[:k]
+        for rank, oi in enumerate(order, 1):
+            rows.append({"query_id": int(qid),
+                         "neighbor_id": int(members[oi]),
+                         "rank": rank,
+                         "cosine": round(float(s[oi]), 6)})
+    return pa.Table.from_pylist(rows) if rows else _empty_topk()

@@ -340,3 +340,63 @@ def test_semantic_dedup_centroid_far_keeps_outlier(ray_session):
     res = semantic_dedup(None, threshold=0.95, n_clusters=1,
                          keep="centroid_far", ds=ds).to_pandas()
     assert set(res[res.keep].vec_id.tolist()) == {12}
+
+
+def test_ann_ivfpq_exact_codebook_recovery(ray_session, tmp_path):
+    """When every subvector is drawn from <= ksub distinct values, the
+    farthest-first-initialized PQ training recovers the codebook
+    exactly, ADC scores equal true cosines, and full-probe IVF-PQ
+    equals brute force row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from humid_ray.pipelines.ann import ann_ivfpq, knn_bruteforce
+
+    rng = np.random.default_rng(11)
+    m_sub, dsub, kv, n = 4, 4, 6, 120
+    vocabs = rng.normal(size=(m_sub, kv, dsub))
+    picks = rng.integers(0, kv, size=(n, m_sub))
+    vecs = np.concatenate(
+        [vocabs[j][picks[:, j]] for j in range(m_sub)], axis=1
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), m_sub * dsub
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    bf = knn_bruteforce(str(tmp_path), k=5, n_queries=6).to_pandas()
+    # sample = n covers every row; ksub >= the number of distinct
+    # normalized subvectors (normalization varies them, so give slack)
+    pqr = ann_ivfpq(str(tmp_path), k=5, n_queries=6, n_centroids=8,
+                    nprobe=8, m_sub=m_sub, ksub=64, sample=n,
+                    refine=8).to_pandas()
+    cols = ["query_id", "rank"]
+    bf = bf.sort_values(cols).reset_index(drop=True)
+    pqr = pqr.sort_values(cols).reset_index(drop=True)
+    assert bf.equals(pqr)
+
+
+def test_ann_ivfpq_recall_on_testdata(ray_session):
+    """Compressed codes + partial probing keep useful recall@k on the
+    real embeddings table, and the re-ranked cosines are TRUE cosines
+    (every returned score matches brute force's score for that pair)."""
+    from humid_ray.pipelines.ann import ann_ivfpq, knn_bruteforce
+
+    bf = knn_bruteforce(SF, k=5, n_queries=8).to_pandas()
+    got = ann_ivfpq(SF, k=5, n_queries=8, n_centroids=16, nprobe=8,
+                    refine=8).to_pandas()
+    hits = tot = 0
+    for qid in bf.query_id.unique():
+        want = set(bf[bf.query_id == qid].neighbor_id)
+        have = set(got[got.query_id == qid].neighbor_id)
+        hits += len(want & have)
+        tot += len(want)
+    assert hits / tot >= 0.5, hits / tot
+    # exact re-rank: overlapping pairs carry identical scores
+    m = bf.merge(got, on=["query_id", "neighbor_id"], suffixes=("_bf", "_pq"))
+    assert (m["cosine_bf"] == m["cosine_pq"]).all()
