@@ -1452,13 +1452,20 @@ def incremental_minhash_dedup(sf_dir: str, threshold: float = 0.8,
                                         key_buckets)
 
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    # both splits are consumed more than once (count + banding, and
+    # the new side again as the join's left): materialize each so the
+    # corpus read + splitmix64 split doesn't re-execute per consumer
+    # via lineage (the in-sandbox stand-in for the checkpointed split
+    # the docstring describes; the Bloom variant does the same)
     new = docs.map_batches(_incr_split_kernel(True, new_pct, n_buckets),
-                           batch_format="pyarrow", zero_copy_batch=True)
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
     n_new = new.count()
     if n_new == 0:
         return ray.data.from_arrow(_INCR_MH_EMPTY)
     base = docs.map_batches(_incr_split_kernel(False, new_pct, n_buckets),
-                            batch_format="pyarrow", zero_copy_batch=True)
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
     n_base = base.count()
 
     def _tag(side_val: int):
@@ -1520,24 +1527,28 @@ def incremental_minhash_dedup(sf_dir: str, threshold: float = 0.8,
                           zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(_rep, batch_format="pyarrow")
-    )
+    ).materialize()
+    # size the join by the ACTUAL reps count: a mostly-novel shard has
+    # few (or zero) dup rows, and partition count keyed to n_new would
+    # leave right-side partitions empty — the acero crash
+    # join_partitions' docstring warns about
+    n_reps = reps.count()
+    if n_reps == 0:
+        return new.map_batches(_novel_mh, batch_format="pyarrow")
     joined = new.select_columns(["doc_id"]).join(
         reps, join_type="left_outer", on=("doc_id",),
-        **join_kwargs(n_new, n_new, bytes_per_row=32),
+        **join_kwargs(n_new, n_reps, bytes_per_row=32),
     )
 
     def _finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _INCR_MH_EMPTY
-        rep = t.column("base_rep")
-        rep = rep.combine_chunks() if isinstance(rep, pa.ChunkedArray) else rep
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {"doc_id": t.column("doc_id"),
-             "is_dup": pc.is_valid(rep),
-             "base_rep": rep,
-             "jaccard": t.column("jaccard")}
+        jac = t.column("jaccard")
+        jac = jac.combine_chunks() if isinstance(jac, pa.ChunkedArray) else jac
+        # shared left-join finalization (doc_id, is_dup, base_rep) +
+        # this operator's jaccard column
+        return _incr_finish(t.select(["doc_id", "base_rep"])).append_column(
+            "jaccard", jac
         )
 
     return joined.map_batches(_finish, batch_format="pyarrow")

@@ -1629,7 +1629,9 @@ def keyword_filter_sql(table: str = "documents",
     equals Arrow's non-overlapping ``count_substring`` for terms that
     cannot overlap themselves (true of the default list); summed over
     a VALUES term table."""
-    vals = ", ".join(f"('{t.lower()}')" for t in terms)
+    vals = ", ".join(
+        "('{}')".format(t.lower().replace("'", "''")) for t in terms
+    )
     return (
         f"WITH pats(p) AS (VALUES {vals}), "
         "lt AS (SELECT doc_id, lower(coalesce(text, '')) AS s "
@@ -1729,8 +1731,13 @@ def corpus_drift(sf_dir: str, new_pct: int = 20, n_buckets: int = 100):
             "base_vocab": pa.array([int((nb > 0).sum())], type=pa.int64()),
             "new_vocab": pa.array([int((nn > 0).sum())], type=pa.int64()),
             "js_nano": pa.array([int(js_nano)], type=pa.int64()),
-            "js_divergence": pa.array([round(int(js_nano) / 1e9, 6)],
-                                      type=pa.float64()),
+            # half-AWAY rounding like DuckDB round(); Python's builtin
+            # round is half-to-even and diverges on representable ties
+            "js_divergence": pa.array(
+                [float(round_half_away(
+                    np.float64(int(js_nano) / 1e9), 6))],
+                type=pa.float64(),
+            ),
         }
     )
 

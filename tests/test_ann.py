@@ -354,7 +354,20 @@ def test_ann_ivfpq_exact_codebook_recovery(ray_session, tmp_path):
 
     rng = np.random.default_rng(11)
     m_sub, dsub, kv, n = 4, 4, 6, 120
-    vocabs = rng.normal(size=(m_sub, kv, dsub))
+    # codewords are +-0.5 sign patterns: EXACTLY unit norm in float32
+    # and float64, so every composed row has norm exactly 2 and
+    # per-row normalization maps each subspace onto the same kv
+    # (<= ksub) distinct values — the codebook-recovery premise.
+    # (Gaussian codewords fail it: float32 storage perturbs row norms
+    # per pick combination, fanning kv values into ~n scaled copies.)
+    # All products are exact binary fractions, so ADC sums equal
+    # brute-force dots bit-for-bit.
+    patterns = np.array(
+        [[1 if (i >> b) & 1 else -1 for b in range(dsub)]
+         for i in range(kv)],
+        dtype=np.float64,
+    )
+    vocabs = np.stack([patterns * 0.5 for _ in range(m_sub)])
     picks = rng.integers(0, kv, size=(n, m_sub))
     vecs = np.concatenate(
         [vocabs[j][picks[:, j]] for j in range(m_sub)], axis=1
@@ -370,11 +383,12 @@ def test_ann_ivfpq_exact_codebook_recovery(ray_session, tmp_path):
     )
     pq.write_table(tbl, tmp_path / "embeddings.parquet")
     bf = knn_bruteforce(str(tmp_path), k=5, n_queries=6).to_pandas()
-    # sample = n covers every row; ksub >= the number of distinct
-    # normalized subvectors (normalization varies them, so give slack)
+    # sample = n covers every row; refine=1 so the shortlist is the
+    # ADC top-k itself — parity here pins the ADC scoring path, not
+    # just the exact re-rank
     pqr = ann_ivfpq(str(tmp_path), k=5, n_queries=6, n_centroids=8,
-                    nprobe=8, m_sub=m_sub, ksub=64, sample=n,
-                    refine=8).to_pandas()
+                    nprobe=8, m_sub=m_sub, ksub=16, sample=n,
+                    refine=1).to_pandas()
     cols = ["query_id", "rank"]
     bf = bf.sort_values(cols).reset_index(drop=True)
     pqr = pqr.sort_values(cols).reset_index(drop=True)

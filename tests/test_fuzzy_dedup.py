@@ -320,3 +320,31 @@ def test_incremental_minhash_dedup_planted(ray_session, tmp_path):
     gr, wr = got["base_rep"], want["base_rep"]
     assert (gr.isna() == wr.isna()).all()
     assert (gr.dropna() == wr.dropna()).all()
+
+
+def test_incremental_minhash_dedup_no_dups(ray_session, tmp_path):
+    """The common production case — a mostly/entirely NOVEL shard —
+    must not crash the join-back (an empty or tiny reps side once
+    aborted acero with partition counts keyed to the new-side rows):
+    every new doc comes back novel with null rep/jaccard."""
+    from humid_ray.pipelines import dedup_text
+    from humid_ray.util import splitmix64
+
+    ids = np.arange(1, 1001, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(
+                [" ".join(f"u{i}t{j}" for j in range(10)) for i in ids],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = dedup_text.incremental_minhash_dedup(str(tmp_path)).to_pandas()
+    n_new = int(((splitmix64(ids.view(np.uint64)) % np.uint64(100)) < 20)
+                .sum())
+    assert len(out) == n_new
+    assert not out["is_dup"].any()
+    assert out["base_rep"].isna().all()
+    assert out["jaccard"].isna().all()
