@@ -718,8 +718,10 @@ def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
         [np.asarray(r["embedding"], dtype=np.float64) for r in first]
     ))
     dim = q.shape[1]
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    # adapt the subspace count down to a divisor of dim (1 always
+    # works) so low-dimensional tables run instead of erroring
+    while dim % m_sub:
+        m_sub -= 1
     dsub = dim // m_sub
 
     _, xs = _hash_sample(ds, sample)

@@ -18,10 +18,12 @@ CORPUS_QUERIES_PREFIXES = (
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on
-# an empty input (their SQL oracles do the same); the funnel emits one
-# zero row PER STEP (its oracle's count(*) CTEs do too)
-SCALAR_SUMMARIES = {"dedup_stats_docs", "events_session_stats"}
-EXPECTED_EMPTY_ROWS = {"events_funnel": 3}
+# an empty input (their SQL oracles do the same); the funnel and the
+# tier-dedup report emit one zero row PER STEP/TIER (their oracles'
+# count(*) CTEs do too)
+SCALAR_SUMMARIES = {"dedup_stats_docs", "events_session_stats",
+                    "corpus_drift_docs"}
+EXPECTED_EMPTY_ROWS = {"events_funnel": 3, "tiered_dedup_report_docs": 3}
 
 
 @pytest.fixture(scope="module")
