@@ -650,6 +650,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against raw-bytes windows + a recursive Hamming closure)
         "image_exact_dedup": lambda sf: images.image_exact_dedup(_corpus_for(sf)),
         "curate_images": lambda sf: images.curate_images(_corpus_for(sf)),
+        # per-format payload footprint (combiner partials; avg is ONE
+        # float64 division after the integer sums — DuckDB-bit-equal)
+        "image_format_stats":
+            lambda sf: images.image_format_stats(_corpus_for(sf)),
+        # label-quality screen: captions reused across DISTINCT
+        # payloads (identity triple in-batch; bytes never shuffle)
+        "caption_collisions":
+            lambda sf: images.caption_collisions(_corpus_for(sf)),
+        # joint A+B near-dup: caption-equality blocking + pHash
+        # Hamming verify over distinct (caption, phash) nodes
+        "caption_phash_neardup":
+            lambda sf: images.caption_phash_neardup(_corpus_for(sf)),
+        # the image-axis tier-dedup funnel (total -> usable ->
+        # byte-exact -> pHash-cluster), flagship machinery throughout
+        "tiered_dedup_report_images":
+            lambda sf: images.tiered_dedup_report_images(_corpus_for(sf)),
     }
 
 
@@ -1141,6 +1157,19 @@ def oracle_sql() -> dict[str, str]:
         "curate_images": _images_mod.curate_images_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
+        "image_format_stats": _images_mod.image_format_stats_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "caption_collisions": _images_mod.caption_collisions_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "caption_phash_neardup": _images_mod.caption_phash_neardup_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "tiered_dedup_report_images":
+            _images_mod.tiered_dedup_report_images_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

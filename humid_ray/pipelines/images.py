@@ -57,6 +57,32 @@ def _flat_binary(col) -> tuple[np.ndarray, np.ndarray]:
 _CANON_BUCKETS = 256
 
 
+def _payload_digests(data: np.ndarray, offs: np.ndarray,
+                     n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 digests per payload segment.
+
+    ONE C-speed BLAKE2b pass per payload, 16-byte digest split into
+    (h1, h2). For ~100 KB payloads a per-segment C call at GB/s beats
+    the "vectorized" byte-polynomial by >20x: that kernel materializes
+    ~40 bytes of int64 temporaries PER PAYLOAD BYTE (and would do it
+    twice) — memory traffic, not compute, was the wall. The
+    rows-per-batch loop costs ~1 µs per row against ~70 µs of hashing.
+    memoryview slices of the flat Arrow buffer keep it zero-copy."""
+    import hashlib
+
+    h1 = np.empty(n, dtype=UINT64)
+    h2 = np.empty(n, dtype=UINT64)
+    mv = memoryview(data)
+    base = int(offs[0])
+    for i in range(n):
+        d = hashlib.blake2b(
+            mv[offs[i] - base:offs[i + 1] - base], digest_size=16
+        ).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
+
+
 def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
     """map_batches kernel: (image_id, bytes, *extra) ->
     (image_id, h1, h2, ln, bucket, *extra) — the payload stays in this
@@ -78,27 +104,8 @@ def _byte_identity_kernel(extra_cols: tuple[str, ...] = ()):
             return pa.table({k: pa.array([], type=t)
                              for k, t in out_schema.items()})
         data, offs = _flat_binary(batch.column("bytes"))
-        # ONE C-speed BLAKE2b pass per payload, 16-byte digest split
-        # into (h1, h2). For ~100 KB payloads a per-segment C call at
-        # GB/s beats the "vectorized" byte-polynomial by >20x: that
-        # kernel materializes ~40 bytes of int64 temporaries PER
-        # PAYLOAD BYTE (and would do it twice) — memory traffic, not
-        # compute, was the wall. The rows-per-batch loop costs ~1 µs
-        # per row against ~70 µs of hashing. memoryview slices of the
-        # flat Arrow buffer keep it zero-copy.
-        import hashlib
-
         n = batch.num_rows
-        h1 = np.empty(n, dtype=UINT64)
-        h2 = np.empty(n, dtype=UINT64)
-        mv = memoryview(data)
-        base = int(offs[0])
-        for i in range(n):
-            d = hashlib.blake2b(
-                mv[offs[i] - base:offs[i + 1] - base], digest_size=16
-            ).digest()
-            h1[i] = int.from_bytes(d[:8], "little")
-            h2[i] = int.from_bytes(d[8:], "little")
+        h1, h2 = _payload_digests(data, offs, n)
         cols = {
             "image_id": batch.column("image_id"),
             "h1": u64col(h1),
@@ -384,4 +391,436 @@ def curate_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "min(image_id) OVER (PARTITION BY label) AS cluster_rep, "
         "image_id = min(image_id) OVER (PARTITION BY label) AS \"keep\" "
         "FROM lab"
+    )
+
+
+# --- per-format payload stats ---------------------------------------------
+
+def image_format_stats(corpus_dir: str):
+    """(fmt, n, total_bytes, avg_bytes): payload footprint per encoded
+    format — the storage-planning report an image-corpus ingester runs
+    first (which formats dominate, what a re-encode pass would save).
+
+    Scale shape: one pruned (fmt, bytes) scan; byte lengths come from
+    the Arrow offsets (the payload itself is never copied), per-batch
+    Arrow ``group_by`` collapses to |fmts| partial rows, so the global
+    groupby moves |fmts| x blocks tiny rows. ``avg_bytes`` is one
+    float64 division per format performed once after the integer sums
+    (order-independent-exact, DuckDB-bit-equal)."""
+    from ray.data.aggregate import Sum
+
+    from humid_ray.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"fmt": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "total_bytes": pa.array([], type=pa.int64())})
+        _, offs = _flat_binary(batch.column("bytes"))
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        t = pa.table({"fmt": batch.column("fmt"), "ln": pa.array(lens)})
+        g = t.group_by("fmt").aggregate([("ln", "sum"), ("ln", "count")])
+        return pa.table({"fmt": g.column("fmt"),
+                         "n": g.column("ln_count"),
+                         "total_bytes": g.column("ln_sum")})
+
+    agg = (
+        read_corpus(corpus_dir, columns=["fmt", "bytes"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fmt")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("total_bytes", alias_name="total_bytes"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"fmt": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "total_bytes": pa.array([], type=pa.int64()),
+                             "avg_bytes": pa.array([], type=pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t.column("total_bytes").to_numpy(zero_copy_only=False)
+        avg = round_half_away(tot.astype(np.float64) / n)
+        return pa.table({"fmt": t.column("fmt"), "n": t.column("n"),
+                         "total_bytes": t.column("total_bytes"),
+                         "avg_bytes": pa.array(avg)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def image_format_stats_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``image_format_stats``."""
+    return (
+        "SELECT fmt, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes, "
+        "round(CAST(sum(octet_length(bytes)) AS DOUBLE) / count(*), 6) "
+        "AS avg_bytes "
+        f"FROM read_parquet('{corpus_glob}') GROUP BY fmt"
+    )
+
+
+# --- caption collisions (same caption, different payload) ------------------
+
+def caption_collisions(corpus_dir: str):
+    """(caption, n_rows, n_variants): captions attached to MORE THAN
+    ONE distinct image payload — the label-quality screen of an
+    image+caption corpus (a caption reused across genuinely different
+    images is a weak supervision signal; a crawler stamping one alt
+    text on every thumbnail shows up here first).
+
+    Scale shape: the payload is collapsed in-batch to the 128-bit+len
+    identity triple (module docstring) and never shuffles; per-batch
+    Arrow ``group_by`` dedupes (caption, identity) combos with row
+    counts, so the single exchange carries batch-distinct combos
+    keyed by caption-hash bucket (256 buckets — the per-bucket kernel
+    is two C-speed Arrow group_bys, never a per-caption Python call).
+    Variant identity is the BLAKE2b-128+length composite; a digest
+    collision would undercount n_variants (probability ~n^2/2^129)."""
+    from humid_ray.util import hash_bytes_segments
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"caption": pa.array([], type=pa.string()),
+               "h1": pa.array([], type=pa.int64()),
+               "h2": pa.array([], type=pa.int64()),
+               "ln": pa.array([], type=pa.int64()),
+               "rows": pa.array([], type=pa.int64()),
+               "bucket": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1, h2 = _payload_digests(data, offs, batch.num_rows)
+        t = pa.table({
+            "caption": batch.column("caption"),
+            "h1": u64col(h1),
+            "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+        })
+        g = t.group_by(["caption", "h1", "h2", "ln"]).aggregate(
+            [("caption", "count")]
+        )
+        cap = g.column("caption").combine_chunks()
+        cdata, coffs = _flat_str(cap)
+        ch = hash_bytes_segments(cdata, coffs)
+        return pa.table({
+            "caption": g.column("caption"),
+            "h1": g.column("h1"), "h2": g.column("h2"),
+            "ln": g.column("ln"),
+            "rows": g.column("caption_count"),
+            "bucket": pa.array((ch % UINT64(_CANON_BUCKETS))
+                               .astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = {"caption": pa.array([], type=pa.string()),
+               "n_rows": pa.array([], type=pa.int64()),
+               "n_variants": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        combos = g.group_by(["caption", "h1", "h2", "ln"]).aggregate(
+            [("rows", "sum")]
+        )
+        caps = combos.group_by("caption").aggregate(
+            [("rows_sum", "sum"), ("h1", "count")]
+        )
+        res = pa.table({"caption": caps.column("caption"),
+                        "n_rows": caps.column("rows_sum_sum"),
+                        "n_variants": caps.column("h1_count")})
+        return res.filter(pc.greater(res.column("n_variants"), 1))
+
+    return (
+        read_corpus(corpus_dir, columns=["caption", "bytes"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def caption_collisions_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``caption_collisions`` (raw-bytes variants)."""
+    return (
+        "SELECT caption, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT bytes) AS BIGINT) AS n_variants "
+        f"FROM read_parquet('{corpus_glob}') GROUP BY caption "
+        "HAVING count(DISTINCT bytes) > 1"
+    )
+
+
+def _flat_str(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """String array -> (flat utf8 uint8 buffer, absolute int64 offsets)."""
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data, offs
+
+
+# --- joint caption+pHash near-dup (the A+B axes pair finder) ---------------
+
+_NEARDUP_PAIR_CAP = 200_000
+
+
+def caption_phash_neardup(corpus_dir: str, max_distance: int = 2):
+    """(image_a, image_b, dist): near-duplicate pairs confirmed by BOTH
+    modalities — caption byte-equality as the blocking key, pHash
+    Hamming <= ``max_distance`` as the visual verify (reference
+    neighbor semantics, src/humid.cc findHammingNeighbours). The
+    joint rule is the high-precision tier of image+caption dedup: a
+    re-crawled photo keeps its alt text, so requiring agreement
+    suppresses the false pairs either modality alone would emit.
+
+    Scale shape: rows collapse in-batch to distinct (caption, phash)
+    nodes carrying the min image_id (the flagship uniq collapse), so
+    the one exchange moves nodes, not rows; empty captions (a hot
+    junk key at crawl scale) are excluded up front. The per-bucket
+    kernel walks caption segments calling the flagship's
+    ``_pairs_within`` (capped + pigeonhole-recursive, lsh.py) — a
+    pathological caption with thousands of distinct phashes
+    sub-splits instead of going O(g^2). Pairs are emitted once,
+    normalized image_a < image_b."""
+    from humid_ray.stages.lsh import _pairs_within
+    from humid_ray.util import hamming64, hash_bytes_segments
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"caption": pa.array([], type=pa.string()),
+               "phash": pa.array([], type=pa.int64()),
+               "rep": pa.array([], type=pa.string()),
+               "bucket": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        keep = pc.and_(pc.is_valid(batch.column("phash")),
+                       pc.not_equal(batch.column("caption"), ""))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table(out)
+        g = batch.group_by(["caption", "phash"]).aggregate(
+            [("image_id", "min")]
+        )
+        cap = g.column("caption").combine_chunks()
+        cdata, coffs = _flat_str(cap)
+        ch = hash_bytes_segments(cdata, coffs)
+        return pa.table({
+            "caption": g.column("caption"),
+            "phash": g.column("phash"),
+            "rep": g.column("image_id_min"),
+            "bucket": pa.array((ch % UINT64(_CANON_BUCKETS))
+                               .astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = {"image_a": pa.array([], type=pa.string()),
+               "image_b": pa.array([], type=pa.string()),
+               "dist": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        nodes = g.group_by(["caption", "phash"]).aggregate(
+            [("rep", "min")]
+        )
+        cap_idx = nodes.column("caption").combine_chunks() \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ph = nodes.column("phash").to_numpy(zero_copy_only=False) \
+            .view(UINT64)
+        reps = np.asarray(nodes.column("rep_min").to_pylist(), dtype=object)
+        order = np.lexsort((ph.view(np.int64), cap_idx))
+        cs, ps, rs = cap_idx[order], ph[order], reps[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
+        ia, ib, dd = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            seg = ps[s:e]  # distinct phashes, ascending as int64
+            pairs = _pairs_within(seg, max_distance, _NEARDUP_PAIR_CAP)
+            if not pairs:
+                continue
+            pa_arr = np.fromiter((p[0] for p in pairs), dtype=UINT64,
+                                 count=len(pairs))
+            pb_arr = np.fromiter((p[1] for p in pairs), dtype=UINT64,
+                                 count=len(pairs))
+            seg_sorted = np.sort(seg.view(np.int64)).view(UINT64)
+            seg_reps = rs[s:e][np.argsort(seg.view(np.int64),
+                                          kind="stable")]
+            ra = seg_reps[np.searchsorted(seg_sorted.view(np.int64),
+                                          pa_arr.view(np.int64))]
+            rb = seg_reps[np.searchsorted(seg_sorted.view(np.int64),
+                                          pb_arr.view(np.int64))]
+            d = hamming64(pa_arr, pb_arr).astype(np.int64)
+            swap = ra > rb
+            ra2 = np.where(swap, rb, ra)
+            rb2 = np.where(swap, ra, rb)
+            ia.extend(ra2.tolist())
+            ib.extend(rb2.tolist())
+            dd.extend(d.tolist())
+        return pa.table({"image_a": pa.array(ia, type=pa.string()),
+                         "image_b": pa.array(ib, type=pa.string()),
+                         "dist": pa.array(dd, type=pa.int64())})
+
+    return (
+        read_corpus(corpus_dir, columns=["image_id", "caption", "phash"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def caption_phash_neardup_sql(corpus_glob: str, max_distance: int = 2) -> str:
+    """DuckDB oracle for ``caption_phash_neardup``."""
+    return (
+        "WITH u AS (SELECT caption, phash, min(image_id) AS rep "
+        f"FROM read_parquet('{corpus_glob}') "
+        "WHERE phash IS NOT NULL AND caption <> '' "
+        "GROUP BY caption, phash) "
+        "SELECT CASE WHEN a.rep < b.rep THEN a.rep ELSE b.rep END "
+        "AS image_a, "
+        "CASE WHEN a.rep < b.rep THEN b.rep ELSE a.rep END AS image_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist "
+        "FROM u a JOIN u b ON a.caption = b.caption AND a.phash < b.phash "
+        f"WHERE bit_count(xor(a.phash, b.phash)) <= {max_distance}"
+    )
+
+
+# --- the image-axis tier-dedup funnel --------------------------------------
+
+def tiered_dedup_report_images(corpus_dir: str):
+    """The TIER-DEDUP funnel on the image axis: how many rows each
+    curation tier keeps and removes. Tier 0 = raw corpus; tier 1 =
+    usable rows (non-NULL stored phash — the flagship's stored-mode
+    gate); tier 2 = byte-exact dedup survivors (distinct payload
+    identity among usable rows); tier 3 = pHash Hamming clusters (the
+    flagship's banded-LSH + connected components over DISTINCT phash,
+    one keep per cluster — exactly ``curate_images``'s keep count).
+    Returns one row per tier: (tier, name, survivors, removed).
+
+    Scale shape: counts only — nothing corpus-sized reaches the
+    driver. The byte tier hashes payloads in-batch (identity triple,
+    bytes never shuffle) and counts distinct combos per hash bucket
+    (256 tiny rows to the driver); the cluster tier reuses the
+    flagship uniq-collapse -> counting pre-pass -> salted banded LSH
+    -> distributed CC machinery, and derives the cluster count as
+    n_distinct_phash - n_edge_touched + n_distinct_labels (comp covers
+    edge-touched sigs only). At 100 TB each tier reads the per-phase
+    parquet checkpoint of the previous one (state/checkpoints.py)
+    instead of re-deriving it by lineage."""
+    from ray.data.aggregate import Count
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum")
+
+    ph = read_corpus(corpus_dir, columns=["phash"])
+    total = ph.count()
+
+    def usable_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    usable_ds = ph.map_batches(
+        usable_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_usable = usable_ds.count()
+
+    # tier 2: distinct payload identities among usable rows
+    def ident_partial(batch: pa.Table) -> pa.Table:
+        out = {"h1": pa.array([], type=pa.int64()),
+               "h2": pa.array([], type=pa.int64()),
+               "ln": pa.array([], type=pa.int64()),
+               "bucket": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1, h2 = _payload_digests(data, offs, batch.num_rows)
+        t = pa.table({
+            "h1": u64col(h1), "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "bucket": pa.array((h1 % UINT64(_CANON_BUCKETS))
+                               .astype(np.int64)),
+        })
+        return t.group_by(["h1", "h2", "ln", "bucket"]).aggregate([])
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        d = g.group_by(["h1", "h2", "ln"]).aggregate([])
+        return pa.table({"n": pa.array([d.num_rows], type=pa.int64())})
+
+    per_bucket = (
+        read_corpus(corpus_dir, columns=["bytes", "phash"])
+        .map_batches(ident_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_distinct, batch_format="pyarrow")
+        .take_all()
+    )
+    n_exact = int(sum(r["n"] for r in per_bucket))
+
+    # tier 3: Hamming clusters over distinct phash (flagship machinery)
+    uniq_ds = (
+        usable_ds.groupby("phash")
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    n_uniq = uniq_ds.count()
+    if n_uniq:
+        bc = band_bucket_counts(uniq_ds, cfg)
+        hot_tab = bc.map_batches(
+            lambda t: t.filter(pc.greater(t.column("n"),
+                                          cfg.hot_band_threshold)),
+            batch_format="pyarrow",
+        ).take_all()
+        hot_keys = {(int(r["band_id"]), int(r["band_key"]))
+                    for r in hot_tab}
+        edges = find_edges(uniq_ds, cfg, hot_keys or None)
+        comp = connected_components(edges, cfg).materialize()
+        n_touched = comp.count()
+        n_labels = (
+            comp.groupby("comp").aggregate(Count(alias_name="c")).count()
+            if n_touched else 0
+        )
+        n_clusters = n_uniq - n_touched + n_labels
+    else:
+        n_clusters = 0
+
+    return pa.table({
+        "tier": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "name": pa.array(["total", "usable", "exact_bytes",
+                          "phash_cluster"], type=pa.string()),
+        "survivors": pa.array([total, n_usable, n_exact, n_clusters],
+                              type=pa.int64()),
+        "removed": pa.array([0, total - n_usable, n_usable - n_exact,
+                             n_exact - n_clusters], type=pa.int64()),
+    })
+
+
+def tiered_dedup_report_images_sql(corpus_glob: str,
+                                   max_distance: int = 1) -> str:
+    """DuckDB oracle for ``tiered_dedup_report_images``: the
+    curate_images recursive Hamming closure, reduced to tier counts."""
+    return (
+        "WITH RECURSIVE u AS (SELECT image_id, bytes, phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        f"tot AS (SELECT count(*) AS n FROM read_parquet('{corpus_glob}')), "
+        "usa AS (SELECT count(*) AS n FROM u), "
+        "exn AS (SELECT count(DISTINCT bytes) AS n FROM u), "
+        "cln AS (SELECT count(DISTINCT label) AS n FROM comp) "
+        "SELECT CAST(0 AS BIGINT) AS tier, 'total' AS name, "
+        "CAST(t.n AS BIGINT) AS survivors, CAST(0 AS BIGINT) AS removed "
+        "FROM tot t "
+        "UNION ALL SELECT 1, 'usable', CAST(u2.n AS BIGINT), "
+        "CAST(t.n - u2.n AS BIGINT) FROM tot t, usa u2 "
+        "UNION ALL SELECT 2, 'exact_bytes', CAST(e2.n AS BIGINT), "
+        "CAST(u2.n - e2.n AS BIGINT) FROM usa u2, exn e2 "
+        "UNION ALL SELECT 3, 'phash_cluster', CAST(c.n AS BIGINT), "
+        "CAST(e2.n - c.n AS BIGINT) FROM exn e2, cln c"
     )

@@ -15,6 +15,7 @@ sys.path.insert(0, "/root/repo")
 # sf0.01 — they are exercised by the e2e suite, not this fixture
 CORPUS_QUERIES_PREFIXES = (
     "humid_", "multimodal_", "audio_", "video_", "image_", "curate_images",
+    "caption_", "tiered_dedup_report_images",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on

@@ -117,3 +117,103 @@ def test_curate_images_matches_duckdb_oracle(ray_session, tmp_path):
     assert mine.canonical_id.tolist() == oracle.canonical_id.tolist()
     assert mine.cluster_rep.tolist() == oracle.cluster_rep.tolist()
     assert mine.keep.tolist() == oracle.keep.tolist()
+
+
+# --- round-3 additions: format stats, caption ops, image tier funnel ------
+
+COLLIDE_ROWS = [
+    # (image_id, bytes, phash, caption)
+    ("img_a", b"\x01\x02", 0x10, "same caption"),   # variant 1
+    ("img_b", b"\x01\x02", 0x10, "same caption"),   # dup of variant 1
+    ("img_c", b"\x03\x04", 0x11, "same caption"),   # variant 2 -> collision
+    ("img_d", b"\x05\x06", 0x40, "other caption"),  # single variant
+    ("img_e", b"\x07\x08", None, "same caption"),   # variant 3 (null phash)
+    ("img_f", b"\x09\x0a", 0xF0, ""),               # empty caption
+]
+
+
+def _corpus_cap(tmp_path, rows):
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+            "w": pa.array([4] * len(rows), type=pa.int32()),
+            "h": pa.array([4] * len(rows), type=pa.int32()),
+            "fmt": pa.array(["png" if i % 2 else "jpeg"
+                             for i in range(len(rows))], type=pa.string()),
+            "caption": pa.array([r[3] for r in rows], type=pa.string()),
+            "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "corpus_cap"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    return str(d)
+
+
+def test_image_format_stats_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import image_format_stats
+
+    corpus = _corpus_cap(tmp_path, COLLIDE_ROWS)
+    out = (image_format_stats(corpus).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    # rows 0,2,4 jpeg; rows 1,3,5 png; every payload is 2 bytes
+    assert out.fmt.tolist() == ["jpeg", "png"]
+    assert out.n.tolist() == [3, 3]
+    assert out.total_bytes.tolist() == [6, 6]
+    assert out.avg_bytes.tolist() == [2.0, 2.0]
+
+
+def test_caption_collisions_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import caption_collisions
+
+    corpus = _corpus_cap(tmp_path, COLLIDE_ROWS)
+    out = caption_collisions(corpus).to_pandas()
+    # only "same caption" spans >1 distinct payload (3 variants, 4 rows)
+    assert out.caption.tolist() == ["same caption"]
+    assert out.n_rows.tolist() == [4]
+    assert out.n_variants.tolist() == [3]
+
+
+def test_caption_phash_neardup_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import caption_phash_neardup
+
+    corpus = _corpus_cap(tmp_path, COLLIDE_ROWS)
+    out = (caption_phash_neardup(corpus, max_distance=2).to_pandas()
+           .sort_values(["image_a", "image_b"]).reset_index(drop=True))
+    # within "same caption": nodes (0x10 rep=img_a, 0x11 rep=img_c),
+    # Hamming=1 <= 2 -> one pair; img_e excluded (null phash); img_f
+    # excluded (empty caption); img_d alone in its caption group
+    assert out.image_a.tolist() == ["img_a"]
+    assert out.image_b.tolist() == ["img_c"]
+    assert out.dist.tolist() == [1]
+
+
+def test_tiered_dedup_report_images_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import tiered_dedup_report_images
+
+    corpus = _corpus_cap(tmp_path, COLLIDE_ROWS)
+    out = tiered_dedup_report_images(corpus).to_pandas()
+    assert out.tier.tolist() == [0, 1, 2, 3]
+    assert out.name.tolist() == ["total", "usable", "exact_bytes",
+                                 "phash_cluster"]
+    # 6 rows; 5 usable (img_e null phash); 4 distinct payloads among
+    # usable (img_a == img_b); phashes {0x10, 0x11, 0x40, 0xF0}:
+    # 0x10~0x11 merge (Hamming 1) -> 3 clusters
+    assert out.survivors.tolist() == [6, 5, 4, 3]
+    assert out.removed.tolist() == [0, 1, 1, 1]
+
+
+def test_new_image_ops_empty_corpus(ray_session, tmp_path):
+    from humid_ray.pipelines.images import (
+        caption_collisions, caption_phash_neardup, image_format_stats,
+        tiered_dedup_report_images,
+    )
+
+    corpus = _corpus_cap(tmp_path, [])
+    assert image_format_stats(corpus).count() == 0
+    assert caption_collisions(corpus).count() == 0
+    assert caption_phash_neardup(corpus).count() == 0
+    rep = tiered_dedup_report_images(corpus).to_pandas()
+    assert rep.survivors.tolist() == [0, 0, 0, 0]
+    assert rep.removed.tolist() == [0, 0, 0, 0]
