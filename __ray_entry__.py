@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3-fact-table chained hash join with per-key collapse before
         # each shuffle (SQL-oracled)
         "segment_revenue": relational.segment_revenue,
+        # left-anti join (TPC-H Q22 core): single co-partitioning
+        # exchange, orders collapsed to batch-distinct keys, no
+        # broadcast key set (SQL-oracled)
+        "customers_without_orders": relational.customers_without_orders,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -1129,6 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": _events_mod.props_extract_sql(),
         "events_range_join": _events_mod.range_join_sql(),
         "segment_revenue": _relational_mod.segment_revenue_sql(),
+        "customers_without_orders":
+            _relational_mod.customers_without_orders_sql(),
         "stratified_sample_docs": _orc.stratified_sample_sql(),
         "weighted_sample_docs": _sampling_mod.weighted_sample_sql(),
         "events_funnel": _events_mod.funnel_counts_sql(),

@@ -196,6 +196,8 @@ def run_bench() -> dict:
     from humid_ray.pipelines import images, sampling, segdedup
 
     timed("segment_revenue", lambda: relational.segment_revenue(SF_DIR))
+    timed("customers_without_orders",
+          lambda: relational.customers_without_orders(SF_DIR))
     timed("line_dedup_docs", lambda: segdedup.line_dedup(SF_DIR))
     timed("incremental_dedup_docs",
           lambda: dedup_text.incremental_exact_dedup(SF_DIR))
@@ -203,6 +205,12 @@ def run_bench() -> dict:
     timed("mixture_rebalance_docs", lambda: sampling.mixture_rebalance(SF_DIR))
     timed("image_exact_dedup", lambda: images.image_exact_dedup(corpus))
     timed("curate_images", lambda: images.curate_images(corpus))
+    timed("image_format_stats", lambda: images.image_format_stats(corpus))
+    timed("caption_collisions", lambda: images.caption_collisions(corpus))
+    timed("caption_phash_neardup",
+          lambda: images.caption_phash_neardup(corpus))
+    timed("tiered_dedup_report_images",
+          lambda: images.tiered_dedup_report_images(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

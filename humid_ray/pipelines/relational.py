@@ -633,3 +633,116 @@ def segment_revenue_sql() -> str:
         "JOIN customer ON c_custkey = o_custkey "
         "GROUP BY c_mktsegment"
     )
+
+
+# --- left-anti join (customers with no orders) ------------------------------
+
+_ANTI_EMPTY = {
+    "c_custkey": pa.array([], type=pa.int64()),
+    "c_name": pa.array([], type=pa.string()),
+}
+
+
+def customers_without_orders(sf_dir: str, status: str | None = "F"):
+    """(c_custkey, c_name): customers with NO order of the given
+    status (default 'F'; ``status=None`` means no orders at all) —
+    the LEFT-ANTI JOIN shape (TPC-H Q22's core), the set-difference
+    every coverage/backfill audit reduces to ("which docs have no
+    embedding row", "which shards produced no output").
+
+    Scale shape: a SINGLE co-partitioning exchange, no broadcast and
+    no driver-side key set. The orders side filters at the read, then
+    collapses per batch to its DISTINCT customer keys (batch combiner
+    — a customer with 10^4 orders ships once per batch, not per
+    order); both sides bucket by ``splitmix64(custkey) % P``, and one
+    numpy kernel per bucket sort-merges: customer keys absent from
+    the bucket's order-key set are emitted. Anti-join semantics make
+    the per-bucket result exact (key co-location is total: every row
+    of a key lands in one bucket), so no final aggregate is needed."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ocols = ["o_custkey"] + (["o_orderstatus"] if status else [])
+    orders = _read(sf_dir, "orders", columns=ocols)
+    if status:
+        orders = orders.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("o_orderstatus"), status)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    # metadata-only counts (the RAW orders row count upper-bounds the
+    # filtered side for bucket sizing — counting post-filter would
+    # execute the filter scan just to size buckets)
+    n_c = cust.count()
+    if n_c == 0:
+        return ray.data.from_arrow(pa.table(_ANTI_EMPTY))
+    n_o_raw = _read(sf_dir, "orders", columns=["o_custkey"]).count()
+    # an empty (or fully filtered) orders side flows through the
+    # bucket kernel and yields every customer — no count pass needed
+    nb = _copart_buckets(n_c, n_o_raw)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "bucket": pa.array(_key_buckets(k, nb)),
+            "key": pa.array(k),
+            "c_name": t.column("c_name"),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+        })
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )
+        return pa.table({
+            "bucket": pa.array(_key_buckets(k, nb)),
+            "key": pa.array(k),
+            "c_name": pa.nulls(len(k), pa.string()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+        })
+
+    def bucket_anti(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        cidx = np.flatnonzero(side == 1)
+        if not len(cidx):
+            return pa.table(_ANTI_EMPTY)
+        okeys = np.unique(key[side == 0])
+        ck = key[cidx]
+        if len(okeys):
+            pos = np.searchsorted(okeys, ck)
+            hit = (pos < len(okeys)) & (
+                okeys[np.minimum(pos, len(okeys) - 1)] == ck
+            )
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        anti = np.flatnonzero(~hit)
+        if not len(anti):
+            return pa.table(_ANTI_EMPTY)
+        rows = cidx[anti]
+        return pa.table({
+            "c_custkey": pa.array(ck[~hit]),
+            "c_name": _take_column(g, "c_name", rows),
+        })
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(orders.map_batches(ord_side, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(bucket_anti, batch_format="pyarrow")
+    )
+
+
+def customers_without_orders_sql(status: str | None = "F") -> str:
+    """DuckDB oracle for ``customers_without_orders``."""
+    pred = f" AND o.o_orderstatus = '{status}'" if status else ""
+    return (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey{pred})"
+    )

@@ -195,3 +195,42 @@ def test_segment_revenue_custkeys_beyond_float53(ray_session, tmp_path):
     assert out.c_mktsegment.tolist() == ["AUTO", "BUILDING"]
     assert out.n_orders.tolist() == [1, 1]
     assert out.revenue_cents.tolist() == [1000, 2000]
+
+
+def test_customers_without_orders_anti_join(ray_session, tmp_path):
+    """Anti-join semantics: only customers with ZERO orders survive;
+    a customer with many orders ships once per batch (collapse), and
+    empty-orders degenerates to the full customer list."""
+    from humid_ray.pipelines.relational import customers_without_orders
+
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 3], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "F"], type=pa.string()),
+    }))
+    out = (customers_without_orders(str(tmp_path), status=None).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert out.c_custkey.tolist() == [2, 4]
+    assert out.c_name.tolist() == ["b", "d"]
+
+    # status predicate on the right side: customer 3's only order is
+    # 'F', customer 1 has one 'F' among two -> anti set unchanged; with
+    # status 'O' only customer 1 has a match
+    out_f = (customers_without_orders(str(tmp_path), status="F").to_pandas()
+             .sort_values("c_custkey").reset_index(drop=True))
+    assert out_f.c_custkey.tolist() == [2, 4]
+    out_o = (customers_without_orders(str(tmp_path), status="O").to_pandas()
+             .sort_values("c_custkey").reset_index(drop=True))
+    assert out_o.c_custkey.tolist() == [2, 3, 4]
+
+    # empty orders -> every customer is unmatched
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_custkey": pa.array([], type=pa.int64()),
+    }))
+    out2 = customers_without_orders(str(tmp_path), status=None).to_pandas()
+    assert sorted(out2.c_custkey.tolist()) == [1, 2, 3, 4]
