@@ -587,6 +587,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spikes": events.window_spikes,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
+        # CDC/upsert compaction: last-writer-wins per key (per-batch
+        # arg-max combiner, ONE user-bucket exchange; SQL-oracled)
+        "events_latest_per_user": events.latest_per_user,
+        # order-independent corpus content fingerprint (shuffle-free
+        # modular sum of per-row hashes; SQL-oracled bit-for-bit)
+        "corpus_checksum_docs": textstats.corpus_checksum,
         # exact distributed quantiles via value-histogram combiner
         "length_quantiles_docs": textstats.length_quantiles,
         # relational shapes over the fact/dimension tables (all three
@@ -1077,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
             "FROM events"
         ),
+        "events_latest_per_user": _events_mod.latest_per_user_sql(),
+        "corpus_checksum_docs": _orc.corpus_checksum_sql(),
         "length_quantiles_docs": (
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "

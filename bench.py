@@ -163,6 +163,9 @@ def run_bench() -> dict:
     timed("events_distinct_users", lambda: events.distinct_users(SF_DIR))
     timed("events_asof_join", lambda: events.asof_join(SF_DIR))
     timed("events_running_totals", lambda: events.running_totals(SF_DIR))
+    timed("events_latest_per_user", lambda: events.latest_per_user(SF_DIR))
+    timed("corpus_checksum_docs",
+          lambda: textstats.corpus_checksum(SF_DIR), consume=None)
     timed("length_quantiles_docs", lambda: textstats.length_quantiles(SF_DIR))
     timed("minhash_cluster_docs", lambda: dedup_text.minhash_clusters(SF_DIR))
     timed("curate_docs", lambda: dedup_text.curate_docs(SF_DIR))

@@ -832,3 +832,28 @@ def value_quantiles_sketch_sql(table: str = "events", k: int = 7) -> str:
         "SELECT s.event_type, s.q, h.lb AS approx_value "
         "FROM sel s JOIN hist h USING (event_type, bid)"
     )
+
+
+def corpus_checksum_sql(table: str = "documents") -> str:
+    """(n_rows, checksum) — engine parity for
+    pipelines.textstats.corpus_checksum: per-row
+    splitmix64(texthash XOR splitmix64(doc_id)) summed mod 2^64,
+    emitted as the int64 bit pattern. texthash folds the WHOLE
+    coalesced-utf8 text with the polynomial byte hash
+    (util.hash_bytes_segments), splitmix64-finalized."""
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(tb) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(tb), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    return (
+        f"WITH r0 AS (SELECT doc_id, encode(coalesce(text, '')) AS tb "
+        f"FROM {table}), "
+        f"braw AS (SELECT doc_id, {_horner_fold(byte_list)} AS hraw FROM r0), "
+        f"th AS (SELECT doc_id, {_sm64_cols('hraw', 'h')} FROM braw), "
+        "dh AS (SELECT h, "
+        f"{_sm64_cols('CAST(doc_id AS HUGEINT)', 'd')} FROM th), "
+        f"cmb AS (SELECT {_sm64_cols('xor(h, d)', 'c')} FROM dh) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        f"{_to_int64(f'SUM(c) % {TWO64}')} AS checksum FROM cmb"
+    )

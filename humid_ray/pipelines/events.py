@@ -1260,3 +1260,83 @@ def cohort_retention_sql(table: str = "events") -> str:
         "CAST(COUNT(*) AS BIGINT) AS n_users "
         "FROM uw JOIN fw USING (user_id) GROUP BY 1, 2"
     )
+
+
+# --- CDC / upsert compaction: latest event per user -------------------------
+
+_LATEST_EMPTY = {
+    "user_id": pa.array([], type=pa.int64()),
+    "event_id": pa.array([], type=pa.int64()),
+    "ts": pa.array([], type=pa.timestamp("us")),
+    "event_type": pa.array([], type=pa.string()),
+    "value": pa.array([], type=pa.float64()),
+}
+
+
+def _latest_collapse(t: pa.Table) -> pa.Table:
+    """One row per user: the (max ts, then max event_id) event — the
+    deterministic arg-max kernel shared by the batch combiner and the
+    per-bucket finisher."""
+    if t.num_rows == 0:
+        return pa.table(_LATEST_EMPTY)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    ts = _ts_us(t.column("ts"))
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    us = uid[order]
+    # last row of each user segment = the arg-max under (ts, event_id)
+    last = np.flatnonzero(np.r_[us[1:] != us[:-1], True])
+    rows = pa.array(order[last], type=pa.int64())
+    return pa.table({
+        "user_id": t.column("user_id").take(rows),
+        "event_id": t.column("event_id").take(rows),
+        "ts": t.column("ts").take(rows),
+        "event_type": t.column("event_type").take(rows),
+        "value": t.column("value").take(rows),
+    })
+
+
+def latest_per_user(sf_dir: str):
+    """(user_id, event_id, ts, event_type, value): each user's LATEST
+    event, ties broken by max event_id — the CDC/upsert compaction
+    operator (apply a changelog to a keyed table, last-writer-wins):
+    the shape every incremental training-data refresh reduces to.
+
+    Scale shape: a per-batch arg-max COMBINER collapses each batch to
+    one row per user seen in it (raw events never shuffle — a user
+    with 10^6 events ships once per batch), then ONE exchange into
+    hashed user buckets and the same vectorized kernel finishes the
+    arg-max. Both passes are a lexsort + segment-tail gather; the
+    tie-break is total, so any combine order yields identical rows."""
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        part = _latest_collapse(batch)
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        from humid_ray.util import UINT64, splitmix64
+
+        bucket = (splitmix64(uid.astype(np.int64).view(UINT64))
+                  % UINT64(N_SESSION_BUCKETS)).astype(np.int64)
+        return part.append_column("bucket", pa.array(bucket))
+
+    return (
+        read_events(sf_dir, columns=cols)
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _latest_collapse(
+                g.drop_columns(["bucket"])
+                if "bucket" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def latest_per_user_sql(table: str = "events") -> str:
+    """DuckDB oracle for ``latest_per_user``."""
+    return (
+        "SELECT user_id, event_id, ts, event_type, value "
+        f"FROM {table} QUALIFY row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+    )

@@ -1786,3 +1786,54 @@ def corpus_drift_sql(table: str = "documents", new_pct: int = 20,
         "round(CAST(coalesce((SELECT SUM(cn) FROM c), 0) AS DOUBLE) "
         "/ 1e9, 6) AS js_divergence FROM tot"
     )
+
+
+# --- order-independent corpus checksum --------------------------------------
+
+def corpus_checksum(sf_dir: str):
+    """(n_rows, checksum): a single-row content fingerprint of the
+    documents table — checksum = sum over rows of
+    splitmix64(texthash XOR splitmix64(doc_id)) mod 2^64, emitted as
+    the int64 bit pattern. Because the fold is a modular SUM it is
+    reduction-order-independent, so any plan / parallelism / block
+    layout yields identical bits: the cheap way to certify that two
+    copies of a 100 TB corpus (or an engine migration, like this
+    repo vs its oracle) hold exactly the same rows without moving
+    them. NULL text hashes like '' (both sides coalesce).
+
+    Scale shape: shuffle-free — each batch emits ONE (n, partial-sum)
+    row; the driver folds the per-batch partials (blocks-many rows)
+    with the same wrapping add."""
+    from humid_ray.stages.joins import hash_string_column
+    from humid_ray.util import splitmix64, uint64_to_int64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "s": pa.array([0], type=pa.int64())})
+        txt = pc.fill_null(batch.column("text"), "")
+        th = hash_string_column(txt)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dh = splitmix64(did.astype(np.int64).view(UINT64))
+        comb = splitmix64(th ^ dh)
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(comb, dtype=UINT64)
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "s": pa.array(uint64_to_int64(np.array([s]))),
+        })
+
+    parts = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_total = 0
+    acc = np.uint64(0)
+    for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n_total += int(pc.sum(b.column("n")).as_py() or 0)
+        sv = b.column("s").to_numpy(zero_copy_only=False).view(UINT64)
+        with np.errstate(over="ignore"):
+            acc = np.uint64(acc + np.add.reduce(sv, dtype=UINT64))
+    return pa.table({
+        "n_rows": pa.array([n_total], type=pa.int64()),
+        "checksum": pa.array(uint64_to_int64(np.array([acc]))),
+    })

@@ -23,7 +23,7 @@ CORPUS_QUERIES_PREFIXES = (
 # tier-dedup report emit one zero row PER STEP/TIER (their oracles'
 # count(*) CTEs do too)
 SCALAR_SUMMARIES = {"dedup_stats_docs", "events_session_stats",
-                    "corpus_drift_docs"}
+                    "corpus_drift_docs", "corpus_checksum_docs"}
 EXPECTED_EMPTY_ROWS = {"events_funnel": 3, "tiered_dedup_report_docs": 3}
 
 

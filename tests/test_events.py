@@ -590,3 +590,23 @@ def test_cohort_retention_planted(ray_session, tmp_path):
     key = {(int(r.cohort_week_us // WEEK_US), int(r.week_offset)):
            int(r.n_users) for r in got.itertuples()}
     assert key == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_latest_per_user_argmax_and_ties(ray_session, tmp_path):
+    """Last-writer-wins with the (max ts, then max event_id) total
+    tie-break; event_ids are assigned in row order by _write_events."""
+    from humid_ray.pipelines.events import latest_per_user
+
+    _write_events(tmp_path, [
+        (1, 100, "a"),   # event_id 0
+        (1, 500, "b"),   # event_id 1 <- latest for user 1
+        (1, 300, "c"),   # event_id 2
+        (2, 700, "d"),   # event_id 3: tie on ts with event_id 4
+        (2, 700, "e"),   # event_id 4 <- wins the tie (max event_id)
+        (3, 50, "f"),    # event_id 5: single event
+    ])
+    out = (latest_per_user(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out.user_id.tolist() == [1, 2, 3]
+    assert out.event_id.tolist() == [1, 4, 5]
+    assert out.event_type.tolist() == ["b", "e", "f"]

@@ -464,3 +464,43 @@ def test_corpus_drift_planted(ray_session, tmp_path):
                    tmp_path / "documents.parquet")
     out3 = corpus_drift(str(tmp_path)).to_pandas().iloc[0]
     assert out3.base_tokens == 0 and out3.js_nano == 0
+
+
+def test_corpus_checksum_properties(ray_session, tmp_path):
+    """Order-independence (a shuffled copy checksums identically),
+    content sensitivity (one changed row flips the checksum), and the
+    empty-corpus fixed point (0, 0)."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import corpus_checksum
+
+    def write(d, ids, texts):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(ids), type=pa.string()),
+            "source": pa.array(["s"] * len(ids), type=pa.string()),
+            "n_chars": pa.array([len(t or "") for t in texts],
+                                type=pa.int64()),
+        }), d / "documents.parquet")
+        return str(d)
+
+    ids = list(range(20))
+    texts = [f"doc number {i}" for i in ids]
+    texts[3] = None  # NULL text hashes like ''
+    a = corpus_checksum(write(tmp_path / "a", ids, texts)).to_pandas()
+    # same rows, reversed order -> identical checksum
+    b = corpus_checksum(
+        write(tmp_path / "b", ids[::-1], texts[::-1])
+    ).to_pandas()
+    assert a.n_rows.tolist() == b.n_rows.tolist() == [20]
+    assert a.checksum.tolist() == b.checksum.tolist()
+    # one changed row -> different checksum
+    texts2 = list(texts)
+    texts2[7] = "doc number 7 CHANGED"
+    c = corpus_checksum(write(tmp_path / "c", ids, texts2)).to_pandas()
+    assert c.checksum.tolist() != a.checksum.tolist()
+    # empty corpus
+    e = corpus_checksum(write(tmp_path / "e", [], [])).to_pandas()
+    assert e.n_rows.tolist() == [0] and e.checksum.tolist() == [0]
