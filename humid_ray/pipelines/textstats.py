@@ -1837,3 +1837,84 @@ def corpus_checksum(sf_dir: str):
         "n_rows": pa.array([n_total], type=pa.int64()),
         "checksum": pa.array(uint64_to_int64(np.array([acc]))),
     })
+
+
+# --- GROUPING SETS rollup (multi-level aggregate in one pass) ---------------
+
+def lang_source_rollup(sf_dir: str):
+    """(lang, source, n_docs, total_chars) at THREE aggregation
+    levels in one corpus pass — (lang, source), (lang, ALL) and
+    (ALL, ALL), the GROUPING SETS / ROLLUP shape every mixture report
+    wants (per-cell counts plus their margins, consistent by
+    construction because the margins are folded from the same cells).
+
+    Scale shape: the corpus is touched ONCE — per-batch Arrow
+    ``group_by`` collapses each batch to its distinct (lang, source)
+    partial rows, a single groupby exchange sums them, and the margin
+    levels are folded from the |lang x source| aggregate rows
+    driver-side (cells, not corpus rows — bounded by the key-domain
+    product, ~10^3 for any real mixture). 'ALL' marks a rolled-up
+    level; both aggregates are int64 sums, so every level is exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "chars": pa.array([], type=pa.int64())})
+        g = batch.select(["lang", "source", "n_chars"]).group_by(
+            ["lang", "source"]
+        ).aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n": g.column("n_chars_count"),
+                         "chars": g.column("n_chars_sum")})
+
+    cells = (
+        read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+        .take_all()
+    )
+    langs = [r["lang"] for r in cells]
+    srcs = [r["source"] for r in cells]
+    ns = np.array([r["n"] for r in cells], dtype=np.int64)
+    chs = np.array([r["chars"] for r in cells], dtype=np.int64)
+    out_lang, out_src = list(langs), list(srcs)
+    out_n, out_ch = ns.tolist(), chs.tolist()
+    # (lang, ALL) margins
+    ul, inv = np.unique(np.asarray(langs, dtype=object), return_inverse=True)
+    for i, lv in enumerate(ul):
+        m = inv == i
+        out_lang.append(str(lv))
+        out_src.append("ALL")
+        out_n.append(int(ns[m].sum()))
+        out_ch.append(int(chs[m].sum()))
+    # (ALL, ALL) grand total
+    if len(cells):
+        out_lang.append("ALL")
+        out_src.append("ALL")
+        out_n.append(int(ns.sum()))
+        out_ch.append(int(chs.sum()))
+    return pa.table({
+        "lang": pa.array(out_lang, type=pa.string()),
+        "source": pa.array(out_src, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "total_chars": pa.array(out_ch, type=pa.int64()),
+    })
+
+
+def lang_source_rollup_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``lang_source_rollup``."""
+    return (
+        "SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END "
+        "AS lang, "
+        "CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END "
+        "AS source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        f"FROM {table} "
+        "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
+    )

@@ -504,3 +504,23 @@ def test_corpus_checksum_properties(ray_session, tmp_path):
     # empty corpus
     e = corpus_checksum(write(tmp_path / "e", [], [])).to_pandas()
     assert e.n_rows.tolist() == [0] and e.checksum.tolist() == [0]
+
+
+def test_lang_source_rollup_margins_consistent(ray_session):
+    """Margins must equal the fold of their cells (consistency by
+    construction) and the grand total must equal the corpus size."""
+    from humid_ray.pipelines.textstats import lang_source_rollup
+
+    out = lang_source_rollup(SF).to_pandas()
+    cells = out[(out.lang != "ALL") & (out.source != "ALL")]
+    lang_m = out[(out.lang != "ALL") & (out.source == "ALL")]
+    grand = out[(out.lang == "ALL") & (out.source == "ALL")]
+    assert len(grand) == 1
+    assert grand.n_docs.iloc[0] == cells.n_docs.sum()
+    assert grand.total_chars.iloc[0] == cells.total_chars.sum()
+    per_lang = cells.groupby("lang")[["n_docs", "total_chars"]].sum()
+    for _, r in lang_m.iterrows():
+        assert r.n_docs == per_lang.loc[r.lang, "n_docs"]
+        assert r.total_chars == per_lang.loc[r.lang, "total_chars"]
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    assert grand.n_docs.iloc[0] == docs.num_rows
