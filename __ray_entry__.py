@@ -596,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPING SETS rollup: one corpus pass, margins folded from
         # the cell aggregate (SQL-oracled)
         "lang_source_rollup_docs": textstats.lang_source_rollup,
+        # Gopher quality screen (Rae et al. 2021): shuffle-free
+        # row-local rules, thresholds on unrounded ratios (SQL-oracled)
+        "gopher_rules_docs": textstats.gopher_rules,
         # exact distributed quantiles via value-histogram combiner
         "length_quantiles_docs": textstats.length_quantiles,
         # relational shapes over the fact/dimension tables (all three
@@ -1089,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": _events_mod.latest_per_user_sql(),
         "corpus_checksum_docs": _orc.corpus_checksum_sql(),
         "lang_source_rollup_docs": _textstats_mod.lang_source_rollup_sql(),
+        "gopher_rules_docs": _textstats_mod.gopher_rules_sql(),
         "length_quantiles_docs": (
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "

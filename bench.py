@@ -220,6 +220,7 @@ def run_bench() -> dict:
     timed("top_bigrams_docs", lambda: textstats.top_bigrams(SF_DIR),
           consume=None)
     timed("normalize_text_docs", lambda: textstats.normalize_text(SF_DIR))
+    timed("gopher_rules_docs", lambda: textstats.gopher_rules(SF_DIR))
     timed("incremental_dedup_bloom",
           lambda: dedup_text.incremental_dedup_bloom(SF_DIR))
     timed("incremental_minhash_dedup",

@@ -1918,3 +1918,119 @@ def lang_source_rollup_sql(table: str = "documents") -> str:
         f"FROM {table} "
         "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1) ------
+
+def gopher_rules(sf_dir: str, min_words: int = 10, max_words: int = 10_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 min_alpha_frac: float = 0.8, max_symbol_ratio: float = 0.1):
+    """(doc_id, n_words, mean_word_len, frac_alpha_words,
+    symbol_ratio, keep): the Gopher repetition-free quality screen —
+    word-count window, mean-word-length window, fraction of words
+    containing a letter, and symbol-to-word ratio ('#' and '...'),
+    conjunction as the keep flag. Words are whitespace-separated runs
+    (the paper's definition), unlike the [0-9a-z]+ tokens of
+    ``quality_scores``. Thresholds are tested on UNROUNDED values
+    (round only the emitted columns), matching the oracle's
+    WHERE-then-round order.
+
+    Scale shape: shuffle-free row-local kernels — one whitespace
+    split, flat per-word lengths + a regex letter test folded per row
+    with reduceat, two C-speed substring counts. Ratios are single
+    divisions of exact int64 sums, so engine and DuckDB agree
+    bit-for-bit."""
+
+    out_empty = {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_words": pa.array([], type=pa.int64()),
+        "mean_word_len": pa.array([], type=pa.float64()),
+        "frac_alpha_words": pa.array([], type=pa.float64()),
+        "symbol_ratio": pa.array([], type=pa.float64()),
+        "keep": pa.array([], type=pa.bool_()),
+    }
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(out_empty)
+        text = pc.fill_null(batch.column("text"), "")
+        words = pc.utf8_split_whitespace(text)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        # whitespace split emits '' segments at string edges (leading/
+        # trailing blanks); drop them to match \S+ extraction
+        flat = words.flatten()
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        has_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        nonempty = (wlen > 0).astype(np.int64)
+        cs_n = np.r_[0, np.cumsum(nonempty)]
+        cs_len = np.r_[0, np.cumsum(wlen)]
+        cs_alpha = np.r_[0, np.cumsum(has_alpha * nonempty)]
+        n_words = cs_n[offs[1:]] - cs_n[offs[:-1]]
+        tot_len = cs_len[offs[1:]] - cs_len[offs[:-1]]
+        n_alpha = cs_alpha[offs[1:]] - cs_alpha[offs[:-1]]
+        n_sym = (
+            pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nz = np.maximum(n_words, 1).astype(np.float64)
+        mean_len = np.where(n_words > 0, tot_len / nz, 0.0)
+        frac_alpha = np.where(n_words > 0, n_alpha / nz, 0.0)
+        sym_ratio = np.where(n_words > 0, n_sym / nz, 0.0)
+        keep = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+            & (frac_alpha >= min_alpha_frac)
+            & (sym_ratio <= max_symbol_ratio)
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(round_half_away(mean_len)),
+            "frac_alpha_words": pa.array(round_half_away(frac_alpha)),
+            "symbol_ratio": pa.array(round_half_away(sym_ratio)),
+            "keep": pa.array(keep),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def gopher_rules_sql(table: str = "documents", min_words: int = 10,
+                     max_words: int = 10_000, min_mean_len: float = 3.0,
+                     max_mean_len: float = 10.0,
+                     min_alpha_frac: float = 0.8,
+                     max_symbol_ratio: float = 0.1) -> str:
+    """DuckDB oracle for ``gopher_rules`` (thresholds on unrounded
+    values, round only the emitted columns)."""
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "regexp_extract_all(coalesce(text, ''), '\\S+') AS ws, "
+        f"coalesce(text, '') AS t FROM {table}), "
+        "m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+        "CASE WHEN len(ws) > 0 THEN "
+        "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) "
+        "/ len(ws) ELSE 0e0 END AS ml, "
+        "CASE WHEN len(ws) > 0 THEN "
+        "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) "
+        "AS DOUBLE) / len(ws) ELSE 0e0 END AS fa, "
+        "CASE WHEN len(ws) > 0 THEN "
+        "CAST(len(regexp_extract_all(t, '#')) "
+        "+ len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE) / len(ws) "
+        "ELSE 0e0 END AS sr FROM w) "
+        "SELECT doc_id, n_words, round(ml, 6) AS mean_word_len, "
+        "round(fa, 6) AS frac_alpha_words, round(sr, 6) AS symbol_ratio, "
+        f"(n_words >= {min_words} AND n_words <= {max_words} "
+        f"AND ml >= {min_mean_len} AND ml <= {max_mean_len} "
+        f"AND fa >= {min_alpha_frac} AND sr <= {max_symbol_ratio}) "
+        'AS "keep" FROM m'
+    )

@@ -524,3 +524,36 @@ def test_lang_source_rollup_margins_consistent(ray_session):
         assert r.total_chars == per_lang.loc[r.lang, "total_chars"]
     docs = pq.read_table(f"{SF}/documents.parquet")
     assert grand.n_docs.iloc[0] == docs.num_rows
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    """Each rule must trip independently on a planted doc, words are
+    whitespace runs (not [0-9a-z]+ tokens), and thresholds apply to
+    UNROUNDED ratios."""
+    import pyarrow as pa
+
+    from humid_ray.pipelines.textstats import gopher_rules
+
+    texts = [
+        " ".join(["word"] * 20),            # 0: passes every rule
+        "too few",                           # 1: n_words < 10
+        " ".join(["x"] * 20),                # 2: mean_word_len 1 < 3
+        " ".join(["12345"] * 20),            # 3: frac_alpha 0 < 0.8
+        " ".join(["word"] * 20) + " " + "# " * 5,  # 4: symbol ratio 5/25=0.2
+        None,                                 # 5: NULL text -> 0 words
+    ]
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+        "source": pa.array(["s"] * len(ids), type=pa.string()),
+        "n_chars": pa.array([len(t or "") for t in texts], type=pa.int64()),
+    }), tmp_path / "documents.parquet")
+    out = (gopher_rules(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.keep.tolist() == [True, False, False, False, False, False]
+    assert out.n_words.tolist() == [20, 2, 20, 20, 25, 0]
+    assert out.mean_word_len.tolist()[0] == 4.0
+    assert out.frac_alpha_words.tolist()[3] == 0.0
+    assert out.symbol_ratio.tolist()[4] == 0.2
