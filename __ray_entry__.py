@@ -666,6 +666,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against raw-bytes windows + a recursive Hamming closure)
         "image_exact_dedup": lambda sf: images.image_exact_dedup(_corpus_for(sf)),
         "curate_images": lambda sf: images.curate_images(_corpus_for(sf)),
+        # quality-aware variant: keep the largest-payload member per
+        # pHash cluster (tie min id) — the image-axis analog of
+        # minhash_dedup_keep_best; zero extra passes over bytes
+        "curate_images_keep_best":
+            lambda sf: images.curate_images_keep_best(_corpus_for(sf)),
         # per-format payload footprint (combiner partials; avg is ONE
         # float64 division after the integer sums — DuckDB-bit-equal)
         "image_format_stats":
@@ -1177,6 +1182,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "curate_images": _images_mod.curate_images_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "curate_images_keep_best": _images_mod.curate_images_keep_best_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "image_format_stats": _images_mod.image_format_stats_sql(

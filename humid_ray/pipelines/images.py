@@ -202,14 +202,17 @@ def image_exact_dedup_sql(corpus_glob: str) -> str:
     )
 
 
-def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
+def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000,
+                  *, _rep_by_size: bool = False):
     """(image_id, canonical_id, cluster_rep, keep): the composed image
     curation keep-list — usable gate (non-NULL stored phash, the
     flagship's stored-mode filter) -> exact-byte canonical -> pHash
     Hamming<=1 near-dup clusters (the flagship's counting pre-pass +
     salted banded LSH + distributed connected components, phash-only
     config) -> cluster_rep = min image_id per cluster, keep one row
-    per cluster.
+    per cluster. With ``_rep_by_size`` (see
+    ``curate_images_keep_best``) the representative is instead the
+    member with the LARGEST encoded payload, tie -> min image_id.
 
     Scale shape: the payload never shuffles (byte identity via the
     in-batch 128-bit hash); the cluster graph is built over DISTINCT
@@ -219,6 +222,7 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
     left-outer ``Dataset.join`` — the same auto-switch as the flagship
     annotate stage (stages/outputs.py)."""
     cfg = HumidConfig(sources=("phash",), clustering="maximum")
+    canon_extra = ("phash", "ln") if _rep_by_size else ("phash",)
 
     def usable(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -239,7 +243,7 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
     # projection (id, canonical, phash); at flagship scale this slot is
     # the per-phase parquet checkpoint (state/checkpoints.py) instead.
     canon = hashed.groupby("bucket").map_groups(
-        _canonical_bucket(extra_cols=("phash",)), batch_format="pyarrow"
+        _canonical_bucket(extra_cols=canon_extra), batch_format="pyarrow"
     ).materialize()
 
     # cluster graph over DISTINCT phash values (uniq collapse)
@@ -283,9 +287,12 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
 
         def label_kernel(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return pa.table({"image_id": pa.array([], type=pa.string()),
-                                 "canonical_id": pa.array([], type=pa.string()),
-                                 "label": pa.array([], type=pa.int64())})
+                cols = {"image_id": pa.array([], type=pa.string()),
+                        "canonical_id": pa.array([], type=pa.string()),
+                        "label": pa.array([], type=pa.int64())}
+                if _rep_by_size:
+                    cols["ln"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
             keys, labs = ray.get(ref)
             ph = t.column("phash").to_numpy(zero_copy_only=False)
             lab = ph.astype(np.int64).copy()
@@ -294,9 +301,12 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
                 pos[pos == len(keys)] = 0
                 hit = keys[pos] == lab
                 lab[hit] = labs[pos[hit]]
-            return pa.table({"image_id": t.column("image_id"),
-                             "canonical_id": t.column("canonical_id"),
-                             "label": pa.array(lab)})
+            cols = {"image_id": t.column("image_id"),
+                    "canonical_id": t.column("canonical_id"),
+                    "label": pa.array(lab)}
+            if _rep_by_size:
+                cols["ln"] = t.column("ln")
+            return pa.table(cols)
 
         labeled = canon.map_batches(label_kernel, batch_format="pyarrow")
     else:
@@ -308,13 +318,19 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
 
         def fill(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return pa.table({"image_id": pa.array([], type=pa.string()),
-                                 "canonical_id": pa.array([], type=pa.string()),
-                                 "label": pa.array([], type=pa.int64())})
+                cols = {"image_id": pa.array([], type=pa.string()),
+                        "canonical_id": pa.array([], type=pa.string()),
+                        "label": pa.array([], type=pa.int64())}
+                if _rep_by_size:
+                    cols["ln"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
             lab = pc.coalesce(t.column("comp"), t.column("phash"))
-            return pa.table({"image_id": t.column("image_id"),
-                             "canonical_id": t.column("canonical_id"),
-                             "label": lab})
+            cols = {"image_id": t.column("image_id"),
+                    "canonical_id": t.column("canonical_id"),
+                    "label": lab}
+            if _rep_by_size:
+                cols["ln"] = t.column("ln")
+            return pa.table(cols)
 
         labeled = joined.map_batches(fill, batch_format="pyarrow")
 
@@ -340,7 +356,12 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000):
             return pa.table(out)
         ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
         lab = g.column("label").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, lab))
+        if _rep_by_size:
+            ln = g.column("ln").to_numpy(zero_copy_only=False)
+            # largest payload first, tie -> min id: segment head wins
+            order = np.lexsort((ids, -ln, lab))
+        else:
+            order = np.lexsort((ids, lab))
         labs = lab[order]
         new = np.r_[True, labs[1:] != labs[:-1]]
         seg_start = np.maximum.accumulate(
@@ -390,6 +411,52 @@ def curate_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "SELECT image_id, canonical_id, "
         "min(image_id) OVER (PARTITION BY label) AS cluster_rep, "
         "image_id = min(image_id) OVER (PARTITION BY label) AS \"keep\" "
+        "FROM lab"
+    )
+
+
+def curate_images_keep_best(corpus_dir: str,
+                            broadcast_max_labels: int = 1_000_000):
+    """(image_id, canonical_id, cluster_rep, keep): ``curate_images``
+    with a QUALITY-AWARE representative — among each pHash near-dup
+    cluster keep the member with the largest encoded payload (most
+    bytes survived compression ≈ highest-fidelity copy of the
+    re-crawled/re-encoded family), tie -> min image_id. The image-axis
+    analog of ``dedup_text.minhash_dedup_keep_best``.
+
+    Scale shape: identical to ``curate_images`` — the quality key is
+    the payload length the byte-identity kernel already computes, so
+    keep-best costs ZERO extra passes; bytes still never shuffle."""
+    return curate_images(corpus_dir, broadcast_max_labels,
+                         _rep_by_size=True)
+
+
+def curate_images_keep_best_sql(corpus_glob: str,
+                                max_distance: int = 1) -> str:
+    """DuckDB oracle for ``curate_images_keep_best``: the
+    ``curate_images`` closure with the representative window ranked by
+    payload length DESC then image_id."""
+    return (
+        "WITH RECURSIVE u AS (SELECT image_id, bytes, phash, "
+        "CAST(octet_length(bytes) AS BIGINT) AS ln "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "canon AS (SELECT image_id, "
+        "min(image_id) OVER (PARTITION BY bytes) AS canonical_id, "
+        "phash, ln FROM u), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT c.image_id, c.canonical_id, c.ln, m.label "
+        "FROM canon c JOIN comp m ON m.sig = c.phash) "
+        "SELECT image_id, canonical_id, "
+        "first_value(image_id) OVER "
+        "(PARTITION BY label ORDER BY ln DESC, image_id) AS cluster_rep, "
+        "image_id = first_value(image_id) OVER "
+        "(PARTITION BY label ORDER BY ln DESC, image_id) AS \"keep\" "
         "FROM lab"
     )
 

@@ -217,3 +217,70 @@ def test_new_image_ops_empty_corpus(ray_session, tmp_path):
     rep = tiered_dedup_report_images(corpus).to_pandas()
     assert rep.survivors.tolist() == [0, 0, 0, 0]
     assert rep.removed.tolist() == [0, 0, 0, 0]
+
+
+# --- round-3: quality-aware (keep-best) image curation ---------------------
+
+BEST_ROWS = [
+    # (image_id, bytes, phash) — Hamming cluster {a, b, c} where the
+    # LARGEST payload belongs to img_c (not the min id), byte-dup pair
+    # {a, b}; img_d isolated; img_e unusable.
+    ("img_a", b"\x01\x02\x03\x04", 0x10),
+    ("img_b", b"\x01\x02\x03\x04", 0x10),
+    ("img_c", b"\x05\x06\x07\x08\x09\x0a", 0x11),
+    ("img_d", b"\x99\x99", 0xF0),
+    ("img_e", b"", None),
+]
+
+
+def test_curate_images_keep_best_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import curate_images_keep_best
+
+    corpus = _corpus(tmp_path, BEST_ROWS)
+    out = (curate_images_keep_best(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == ["img_a", "img_b", "img_c", "img_d"]
+    assert out.canonical_id.tolist() == ["img_a", "img_a", "img_c", "img_d"]
+    # cluster {a, b, c}: img_c has the longest payload -> rep, even
+    # though img_a is the min id
+    assert out.cluster_rep.tolist() == ["img_c", "img_c", "img_c", "img_d"]
+    assert out.keep.tolist() == [False, False, True, True]
+
+
+def test_curate_images_keep_best_tie_min_id(ray_session, tmp_path):
+    """Equal payload lengths fall back to min image_id (and byte-dup
+    pairs always tie, so every cluster has a deterministic rep)."""
+    from humid_ray.pipelines.images import curate_images_keep_best
+
+    corpus = _corpus(tmp_path, ROWS)  # cluster {a,b,c}: max ln = 4 @ a,b
+    out = (curate_images_keep_best(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.cluster_rep.tolist() == ["img_a", "img_a", "img_a", "img_d"]
+    assert out.keep.tolist() == [True, False, False, True]
+
+
+def test_curate_images_keep_best_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        curate_images_keep_best, curate_images_keep_best_sql,
+    )
+
+    corpus = _corpus(tmp_path, BEST_ROWS)
+    mine = (curate_images_keep_best(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(curate_images_keep_best_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "canonical_id", "cluster_rep", "keep"):
+        assert mine[col].tolist() == oracle[col].tolist()
+
+
+def test_curate_images_keep_best_join_branch(ray_session, tmp_path):
+    from humid_ray.pipelines.images import curate_images_keep_best
+
+    corpus = _corpus(tmp_path, BEST_ROWS)
+    a = (curate_images_keep_best(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (curate_images_keep_best(corpus, broadcast_max_labels=0).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert a.equals(b)
