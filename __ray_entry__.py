@@ -671,6 +671,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_dedup_keep_best; zero extra passes over bytes
         "curate_images_keep_best":
             lambda sf: images.curate_images_keep_best(_corpus_for(sf)),
+        # duplication hot-spot report: k most-duplicated pHash clusters
+        # (uniq collapse -> LSH+CC over distinct sigs -> partial top-k)
+        "top_dup_clusters":
+            lambda sf: images.top_dup_clusters(_corpus_for(sf)),
+        # label-vs-content covariance screen: exact int64 moment
+        # partials, one float expression (DuckDB-bit-equal)
+        "caption_payload_corr":
+            lambda sf: images.caption_payload_corr(_corpus_for(sf)),
         # per-format payload footprint (combiner partials; avg is ONE
         # float64 division after the integer sums — DuckDB-bit-equal)
         "image_format_stats":
@@ -1185,6 +1193,12 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "curate_images_keep_best": _images_mod.curate_images_keep_best_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "top_dup_clusters": _images_mod.top_dup_clusters_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "caption_payload_corr": _images_mod.caption_payload_corr_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "image_format_stats": _images_mod.image_format_stats_sql(

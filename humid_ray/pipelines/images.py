@@ -891,3 +891,223 @@ def tiered_dedup_report_images_sql(corpus_glob: str,
         "UNION ALL SELECT 3, 'phash_cluster', CAST(c.n AS BIGINT), "
         "CAST(e2.n - c.n AS BIGINT) FROM exn e2, cln c"
     )
+
+
+# --- round-3: duplication hot-spot report + bivariate profiling -------------
+
+def top_dup_clusters(corpus_dir: str, k: int = 10, max_distance: int = 1):
+    """(rep_sig, n_images): the k most-duplicated pHash near-dup
+    clusters — "which images does the crawler keep re-fetching" —
+    ordered by member count DESC, then unsigned rep_sig ASC. rep_sig =
+    the cluster's minimum member phash in UNSIGNED 64-bit order (a
+    content-derived, corpus-stable cluster name); n_images counts
+    usable ROWS (byte-dups individually), i.e. Σ exact-dup counts over
+    the cluster's distinct phashes.
+
+    Scale shape: the flagship funnel — usable gate -> uniq collapse
+    (the ONLY corpus-wide exchange, of an 8-byte column) -> counting
+    pre-pass + salted banded LSH + CC over DISTINCT sigs -> labels
+    broadcast once -> |labels|-row groupby -> per-block partial top-k
+    (a semigroup) -> ≤ k×blocks-row driver merge. Payload and caption
+    are never read."""
+    from ray.data.aggregate import Min, Sum
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum")
+    sb = np.int64(-(2 ** 63))  # sign-bit flip: signed order == unsigned
+
+    out_empty = pa.table({"rep_sig": pa.array([], type=pa.int64()),
+                          "n_images": pa.array([], type=pa.int64())})
+
+    def usable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.is_valid(batch.column("phash")))
+
+    uniq_ds = (
+        read_corpus(corpus_dir, columns=["phash"])
+        .map_batches(usable, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("phash")
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    bc = band_bucket_counts(uniq_ds, cfg)
+    hot_tab = bc.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+    comp = connected_components(edges, cfg).materialize()
+
+    parts = [
+        (b.column("sig").to_numpy(zero_copy_only=False),
+         b.column("comp").to_numpy(zero_copy_only=False))
+        for b in comp.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if parts:
+        keys = np.concatenate([p[0] for p in parts])
+        labs = np.concatenate([p[1] for p in parts])
+        order = np.argsort(keys, kind="stable")
+        keys, labs = keys[order], labs[order]
+    else:
+        keys = np.empty(0, dtype=np.int64)
+        labs = np.empty(0, dtype=np.int64)
+    ref = ray.put((keys, labs))
+
+    def label_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "count": pa.array([], type=pa.int64()),
+                             "flip": pa.array([], type=pa.int64())})
+        ks, ls = ray.get(ref)
+        sig = t.column("sig").to_numpy(zero_copy_only=False)
+        lab = sig.copy()
+        if len(ks):
+            pos = np.searchsorted(ks, sig)
+            pos[pos == len(ks)] = 0
+            hit = ks[pos] == sig
+            lab[hit] = ls[pos[hit]]
+        # flip the sign bit so signed Min == unsigned min of the sig
+        return pa.table({"label": pa.array(lab),
+                         "count": t.column("count"),
+                         "flip": pa.array(sig ^ sb)})
+
+    agg = (
+        uniq_ds.map_batches(label_kernel, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum(on="count", alias_name="n_images"),
+                   Min(on="flip", alias_name="rep_flip"))
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        n = t.column("n_images").to_numpy(zero_copy_only=False)
+        rep = t.column("rep_flip").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rep, -n))[:k]
+        return pa.table({"rep_sig": pa.array(rep[order] ^ sb),
+                         "n_images": pa.array(n[order])})
+
+    cand = agg.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    if not cand:
+        return ray.data.from_arrow(out_empty)
+    n = np.array([r["n_images"] for r in cand], dtype=np.int64)
+    rep = np.array([r["rep_sig"] for r in cand], dtype=np.int64)
+    order = np.lexsort((rep ^ sb, -n))[:k]
+    return ray.data.from_arrow(pa.table({
+        "rep_sig": pa.array(rep[order]),
+        "n_images": pa.array(n[order]),
+    }))
+
+
+def top_dup_clusters_sql(corpus_glob: str, k: int = 10,
+                         max_distance: int = 1) -> str:
+    """DuckDB oracle for ``top_dup_clusters``: recursive Hamming
+    closure over distinct phash, per-component row sums, unsigned-min
+    rep, deterministic (count DESC, unsigned rep ASC) top-k."""
+    return (
+        "WITH RECURSIVE u AS (SELECT phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "cnt AS (SELECT phash AS sig, CAST(count(*) AS BIGINT) AS c "
+        "FROM u GROUP BY phash), "
+        "nodes AS (SELECT sig FROM cnt), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "agg AS (SELECT comp.label, "
+        "CAST(sum(cnt.c) AS BIGINT) AS n_images, "
+        f"xor(min(xor(cnt.sig, {_SB})), {_SB}) AS rep_sig "
+        "FROM cnt JOIN comp USING (sig) GROUP BY comp.label) "
+        "SELECT rep_sig, n_images FROM agg "
+        f"ORDER BY n_images DESC, xor(rep_sig, {_SB}) LIMIT {k}"
+    )
+
+
+def caption_payload_corr(corpus_dir: str):
+    """One row (n_rows, corr): Pearson correlation between caption
+    length (UTF-8 code points) and encoded payload size — the
+    label-vs-content covariance screen ("are longer captions attached
+    to richer images, or is the labeling pipeline decoupled?").
+
+    Scale shape: shuffle-free — per-batch exact int64 moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy), a ≤|blocks|-row driver fold in
+    unbounded Python ints, ONE float expression at the end. The float
+    op order (cast each exact integer to double, multiply, sqrt,
+    divide) matches the oracle token for token, so round6 is
+    bit-equal. Zero variance or n < 2 -> NULL corr."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = ("n", "sx", "sy", "sxx", "syy", "sxy")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        cap = pc.fill_null(batch.column("caption"), "")
+        x = pc.utf8_length(cap).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        _, offs = _flat_binary(batch.column("bytes"))
+        y = (offs[1:] - offs[:-1]).astype(np.int64)
+        vals = (len(x), int(x.sum()), int(y.sum()), int((x * x).sum()),
+                int((y * y).sum()), int((x * y).sum()))
+        return pa.table({c: pa.array([v], type=pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    parts = read_corpus(
+        corpus_dir, columns=["caption", "bytes"]
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    if n < 2 or va == 0 or vb == 0:
+        corr = None
+    else:
+        import math
+
+        from humid_ray.util import round_half_away
+
+        r = float(num) / math.sqrt(float(va) * float(vb))
+        corr = float(round_half_away(np.array([r]), 6)[0])
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "corr": pa.array([corr], type=pa.float64()),
+    }))
+
+
+def caption_payload_corr_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``caption_payload_corr``: the same exact
+    HUGEINT moments and the same double expression (cast, multiply,
+    sqrt, divide), so the round6 value is bit-equal."""
+    return (
+        "WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(length(coalesce(caption, ''))) AS HUGEINT) AS sx, "
+        "CAST(sum(octet_length(bytes)) AS HUGEINT) AS sy, "
+        "CAST(sum(length(coalesce(caption, '')) * "
+        "length(coalesce(caption, ''))) AS HUGEINT) AS sxx, "
+        "CAST(sum(octet_length(bytes) * octet_length(bytes)) AS HUGEINT) "
+        "AS syy, "
+        "CAST(sum(length(coalesce(caption, '')) * octet_length(bytes)) "
+        "AS HUGEINT) AS sxy "
+        f"FROM read_parquet('{corpus_glob}')) "
+        "SELECT CAST(n AS BIGINT) AS n_rows, "
+        "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 "
+        "THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+        "CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr FROM m"
+    )

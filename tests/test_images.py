@@ -284,3 +284,121 @@ def test_curate_images_keep_best_join_branch(ray_session, tmp_path):
     b = (curate_images_keep_best(corpus, broadcast_max_labels=0).to_pandas()
          .sort_values("image_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+# --- round-3: top duplicated clusters + caption/payload correlation --------
+
+DUP_ROWS = [
+    # cluster {0x10, 0x11}: 4 rows; cluster {0xF0}: 2 rows; {0x40}: 1
+    ("img_a", b"\x01", 0x10),
+    ("img_b", b"\x02", 0x10),
+    ("img_c", b"\x03", 0x11),
+    ("img_d", b"\x04", 0x11),
+    ("img_e", b"\x05", 0xF0),
+    ("img_f", b"\x06", 0xF0),
+    ("img_g", b"\x07", 0x40),
+    ("img_h", b"", None),  # unusable
+]
+
+
+def test_top_dup_clusters_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import top_dup_clusters
+
+    corpus = _corpus(tmp_path, DUP_ROWS)
+    out = top_dup_clusters(corpus, k=2).to_pandas()
+    assert out.rep_sig.tolist() == [0x10, 0xF0]
+    assert out.n_images.tolist() == [4, 2]
+    full = top_dup_clusters(corpus, k=10).to_pandas()
+    assert full.rep_sig.tolist() == [0x10, 0xF0, 0x40]
+    assert full.n_images.tolist() == [4, 2, 1]
+
+
+def test_top_dup_clusters_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        top_dup_clusters, top_dup_clusters_sql,
+    )
+
+    corpus = _corpus(tmp_path, DUP_ROWS)
+    mine = top_dup_clusters(corpus, k=2).to_pandas()
+    oracle = duckdb.sql(top_dup_clusters_sql(f"{corpus}/*.parquet", k=2)).df()
+    assert mine.rep_sig.tolist() == oracle.rep_sig.tolist()
+    assert mine.n_images.tolist() == oracle.n_images.tolist()
+
+
+def test_top_dup_clusters_unsigned_rep(ray_session, tmp_path):
+    """rep_sig is the UNSIGNED-min member: a phash with the sign bit
+    set (negative int64 view) must lose to a small positive one."""
+    from humid_ray.pipelines.images import top_dup_clusters
+
+    neg = np.uint64(0x8000000000000010).astype(np.int64).item()
+    neg2 = np.uint64(0x8000000000000011).astype(np.int64).item()
+    rows = [("img_a", b"\x01", neg), ("img_b", b"\x02", neg2)]
+    corpus = _corpus(tmp_path, rows)
+    out = top_dup_clusters(corpus, k=5).to_pandas()
+    # one Hamming-1 cluster; unsigned min = ...10 (int64-negative view)
+    assert out.rep_sig.tolist() == [neg]
+    assert out.n_images.tolist() == [2]
+
+
+def test_top_dup_clusters_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import top_dup_clusters
+
+    corpus = _corpus(tmp_path, [])
+    assert top_dup_clusters(corpus).count() == 0
+
+
+def test_caption_payload_corr_matches_numpy_and_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        caption_payload_corr, caption_payload_corr_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        nb = int(rng.integers(1, 400))
+        rows.append((f"img_{i:03d}", bytes(rng.integers(0, 256, nb).astype(np.uint8)), i))
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+        "w": pa.array([4] * len(rows), type=pa.int32()),
+        "h": pa.array([4] * len(rows), type=pa.int32()),
+        "fmt": pa.array(["png"] * len(rows), type=pa.string()),
+        "caption": pa.array(
+            ["x" * int(rng.integers(0, 60)) for _ in rows], type=pa.string()
+        ),
+        "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    import pyarrow.parquet as _pq
+    _pq.write_table(t, d / "part-0.parquet")
+
+    out = caption_payload_corr(str(d)).to_pandas()
+    x = np.array([len(c) for c in t.column("caption").to_pylist()])
+    y = np.array([len(b) for b in t.column("bytes").to_pylist()])
+    expect = np.corrcoef(x, y)[0, 1]
+    assert out.n_rows.tolist() == [50]
+    assert abs(out["corr"].iloc[0] - expect) < 1e-6
+
+    oracle = duckdb.sql(caption_payload_corr_sql(f"{d}/*.parquet")).df()
+    assert out["corr"].iloc[0] == oracle["corr"].iloc[0]
+    assert out.n_rows.iloc[0] == oracle.n_rows.iloc[0]
+
+
+def test_caption_payload_corr_degenerate(ray_session, tmp_path):
+    """Zero variance (constant captions) -> NULL corr; row count still
+    reported."""
+    from humid_ray.pipelines.images import caption_payload_corr
+
+    rows = [("img_a", b"\x01\x02", 1), ("img_b", b"\x03", 2)]
+    corpus = _corpus(tmp_path, rows)  # captions differ -> use constant
+    import pandas as pd
+    out = caption_payload_corr(corpus).to_pandas()
+    assert out.n_rows.tolist() == [2]
+    # _corpus gives distinct captions ("cap img_a"/"cap img_b") of EQUAL
+    # length -> x variance 0 -> NULL
+    assert pd.isna(out["corr"].iloc[0])
