@@ -695,6 +695,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-exact -> pHash-cluster), flagship machinery throughout
         "tiered_dedup_report_images":
             lambda sf: images.tiered_dedup_report_images(_corpus_for(sf)),
+        # daily-crawl increment: new shard scored against the base on
+        # both tiers (byte identity + exhaustive 65-probe Hamming<=1)
+        "incremental_image_dedup":
+            lambda sf: images.incremental_image_dedup(_corpus_for(sf)),
+        # threshold calibration: Hamming-distance mass over distinct
+        # phash pairs at a wider radius (flagship banding, no O(n^2))
+        "phash_distance_histogram":
+            lambda sf: images.phash_distance_histogram(_corpus_for(sf)),
+        # per-encoder crawl-health: byte-dup share per format
+        # (join-free; image analog of dup_by_source_docs)
+        "dup_rate_by_format":
+            lambda sf: images.dup_rate_by_format(_corpus_for(sf)),
+        # payload-size outlier screen: exact per-format quantiles via
+        # the value-histogram combiner (bytes never read past offsets)
+        "image_size_quantiles":
+            lambda sf: images.image_size_quantiles(_corpus_for(sf)),
     }
 
 
@@ -1214,6 +1230,19 @@ def oracle_sql() -> dict[str, str]:
             _images_mod.tiered_dedup_report_images_sql(
                 _corpus_for("sf0.01") + "/*.parquet"
             ),
+        "incremental_image_dedup": _images_mod.incremental_image_dedup_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "phash_distance_histogram":
+            _images_mod.phash_distance_histogram_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
+        "dup_rate_by_format": _images_mod.dup_rate_by_format_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "image_size_quantiles": _images_mod.image_size_quantiles_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

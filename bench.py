@@ -214,6 +214,13 @@ def run_bench() -> dict:
           lambda: images.caption_phash_neardup(corpus))
     timed("tiered_dedup_report_images",
           lambda: images.tiered_dedup_report_images(corpus))
+    timed("incremental_image_dedup",
+          lambda: images.incremental_image_dedup(corpus))
+    timed("phash_distance_histogram",
+          lambda: images.phash_distance_histogram(corpus), consume=None)
+    timed("dup_rate_by_format", lambda: images.dup_rate_by_format(corpus))
+    timed("image_size_quantiles",
+          lambda: images.image_size_quantiles(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

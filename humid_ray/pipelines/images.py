@@ -1111,3 +1111,491 @@ def caption_payload_corr_sql(corpus_glob: str) -> str:
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
         "CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr FROM m"
     )
+
+# --- incremental image dedup (daily-crawl increment vs base corpus) ---------
+
+_INCR_IMG_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "exact_dup": pa.array([], type=pa.bool_()),
+    "exact_rep": pa.array([], type=pa.string()),
+    "near_dup": pa.array([], type=pa.bool_()),
+    "near_rep": pa.array([], type=pa.string()),
+})
+
+
+def _incr_img_tag_kernel(new_pct: int, n_buckets: int):
+    """(image_id, bytes, phash) -> (image_id, h1, h2, ln, phash,
+    is_new): usable gate (non-NULL stored phash, the flagship's
+    stored-mode filter), side membership by splitmix64-hash of the id
+    string, byte identity hashed in-batch — the payload never leaves
+    this task, and this is the ONLY stage that reads it (both sides
+    derive from this one scan)."""
+    from humid_ray.stages.joins import hash_string_column
+
+    empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "h1": pa.array([], type=pa.int64()),
+        "h2": pa.array([], type=pa.int64()),
+        "ln": pa.array([], type=pa.int64()),
+        "phash": pa.array([], type=pa.int64()),
+        "is_new": pa.array([], type=pa.bool_()),
+    })
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return empty
+        idh = hash_string_column(batch.column("image_id"))
+        mask = (idh % UINT64(n_buckets)) < UINT64(new_pct)
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1, h2 = _payload_digests(data, offs, batch.num_rows)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "h1": u64col(h1),
+            "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "phash": batch.column("phash"),
+            "is_new": pa.array(mask),
+        })
+
+    return kernel
+
+
+def _side(tagged, want_new: bool):
+    def pick(t: pa.Table) -> pa.Table:
+        keep = t.column("is_new") if want_new else pc.invert(
+            t.column("is_new"))
+        return t.filter(keep).drop_columns(["is_new"])
+
+    return tagged.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _incr_img_finish(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _INCR_IMG_EMPTY
+    names = set(t.column_names)
+    exact = (t.column("exact_rep") if "exact_rep" in names
+             else pa.nulls(t.num_rows, type=pa.string()))
+    near = (t.column("near_rep") if "near_rep" in names
+            else pa.nulls(t.num_rows, type=pa.string()))
+    return pa.table({
+        "image_id": t.column("image_id"),
+        "exact_dup": pc.is_valid(exact),
+        "exact_rep": exact,
+        "near_dup": pc.is_valid(near),
+        "near_rep": near,
+    })
+
+
+def incremental_image_dedup(corpus_dir: str, new_pct: int = 20,
+                            n_buckets: int = 100):
+    """(image_id, exact_dup, exact_rep, near_dup, near_rep) per NEW
+    usable row: the image-axis daily-crawl increment — a shard of new
+    images is scored against the existing corpus on BOTH dedup tiers
+    (byte identity and pHash Hamming <= 1) without re-clustering the
+    base. base/new is the deterministic hash split
+    (splitmix64-id-hash % n_buckets < new_pct -> new), standing in for
+    yesterday's corpus vs today's shard; exact_rep / near_rep are the
+    smallest base image_id byte-equal / within Hamming 1 (NULL when
+    novel on that tier).
+
+    Scale shape (asymmetric by design: |new| << |base| daily):
+    payloads hash to (h1, h2, ln) in-batch and never shuffle, in ONE
+    corpus scan whose 40-byte-per-row identity output is materialized
+    and consumed by both sides (at the real daily-increment scale the
+    base side is the flagship's already-checkpointed uniq tables, so
+    the daily run reads yesterday's index + today's shard — never the
+    base corpus). Exact tier = one left-outer ``Dataset.join`` on the
+    identity triple. Near tier probes, not bands: each DISTINCT new
+    phash expands to 65 probes (identity + every 1-bit flip,
+    exhaustive for Hamming <= 1 — no banding recall caveat),
+    inner-joined against the base phash reps and min-folded per new
+    phash; the 65x blowup rides the SMALL side only.
+    Candidate-bounded joins sized via ``join_kwargs``."""
+    from ray.data.aggregate import Min
+
+    from humid_ray.stages.joins import join_kwargs
+
+    rows = read_corpus(corpus_dir, columns=["image_id", "bytes", "phash"])
+    tagged = rows.map_batches(
+        _incr_img_tag_kernel(new_pct, n_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    new = _side(tagged, True)
+    n_new = new.count()
+    if n_new == 0:
+        return ray.data.from_arrow(_INCR_IMG_EMPTY)
+    base = _side(tagged, False)
+    n_base = base.count()
+    if n_base == 0:
+        return new.map_batches(_incr_img_finish, batch_format="pyarrow")
+
+    # exact tier: distinct base identities -> min id, left join new
+    base_ident = base.groupby(["h1", "h2", "ln"]).aggregate(
+        Min("image_id", alias_name="exact_rep")
+    )
+    new2 = new.join(
+        base_ident, join_type="left_outer", on=("h1", "h2", "ln"),
+        **join_kwargs(n_new, n_base),
+    )
+
+    # near tier: 65 exhaustive Hamming<=1 probes per distinct new phash
+    base_ph = base.groupby("phash").aggregate(
+        Min("image_id", alias_name="ph_rep")
+    ).rename_columns(["probe", "ph_rep"])
+
+    def expand_probes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"probe": pa.array([], type=pa.int64()),
+                             "new_phash": pa.array([], type=pa.int64())})
+        ph = t.column("phash").to_numpy(zero_copy_only=False).view(UINT64)
+        flips = np.concatenate(
+            [np.zeros(1, dtype=UINT64),
+             (np.uint64(1) << np.arange(64, dtype=UINT64))]
+        )
+        probes = np.repeat(ph, 65) ^ np.tile(flips, len(ph))
+        return pa.table({
+            "probe": u64col(probes),
+            "new_phash": pa.array(np.repeat(
+                ph.view(np.int64), 65)),
+        })
+
+    new_ph = new.groupby("phash").aggregate(Count()).select_columns(["phash"])
+    probes = new_ph.map_batches(expand_probes, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    matched = probes.join(
+        base_ph, join_type="inner", on=("probe",),
+        **join_kwargs(n_new * 65, n_base),
+    )
+    near = matched.groupby("new_phash").aggregate(
+        Min("ph_rep", alias_name="near_rep")
+    ).rename_columns(["phash", "near_rep"])
+    if near.count() == 0:
+        return new2.map_batches(_incr_img_finish, batch_format="pyarrow")
+    new3 = new2.join(
+        near, join_type="left_outer", on=("phash",),
+        **join_kwargs(n_new, n_new),
+    )
+    return new3.map_batches(_incr_img_finish, batch_format="pyarrow")
+
+
+def incremental_image_dedup_sql(corpus_glob: str, new_pct: int = 20,
+                                n_buckets: int = 100) -> str:
+    """DuckDB oracle for ``incremental_image_dedup``: the id-hash
+    split chain (polynomial byte fold + splitmix64, HUGEINT
+    arithmetic, = stages/joins.hash_string_column), byte-equality and
+    bit_count(xor) <= 1 joins against the base."""
+    from humid_ray.oracles import _horner_fold, _sm64_cols
+
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(tb) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(tb), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    return (
+        f"WITH c AS (SELECT image_id, bytes, phash, encode(image_id) AS tb "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        f"braw AS (SELECT image_id, bytes, phash, "
+        f"{_horner_fold(byte_list)} AS hraw FROM c), "
+        f"th AS (SELECT image_id, bytes, phash, "
+        f"{_sm64_cols('hraw', 'ih')} FROM braw), "
+        f"split AS (SELECT image_id, bytes, phash, "
+        f"(ih % {n_buckets} < {new_pct}) AS is_new FROM th), "
+        "base_b AS (SELECT bytes, min(image_id) AS exact_rep "
+        "FROM split WHERE NOT is_new GROUP BY bytes), "
+        "base_p AS (SELECT phash, min(image_id) AS ph_rep "
+        "FROM split WHERE NOT is_new GROUP BY phash), "
+        "newr AS (SELECT image_id, bytes, phash FROM split WHERE is_new), "
+        "near AS (SELECT n.image_id, min(b.ph_rep) AS near_rep "
+        "FROM newr n JOIN base_p b "
+        "ON bit_count(xor(n.phash, b.phash)) <= 1 GROUP BY n.image_id) "
+        "SELECT n.image_id, e.exact_rep IS NOT NULL AS exact_dup, "
+        "e.exact_rep, nr.near_rep IS NOT NULL AS near_dup, nr.near_rep "
+        "FROM newr n LEFT JOIN base_b e USING (bytes) "
+        "LEFT JOIN near nr USING (image_id)"
+    )
+
+
+# --- Hamming-distance histogram (threshold calibration) ---------------------
+
+def phash_distance_histogram(corpus_dir: str, max_distance: int = 4):
+    """(dist, n_pairs): how many UNORDERED pairs of DISTINCT usable
+    phash values sit at each Hamming distance 1..max_distance — the
+    threshold-calibration report behind every near-dup run ("where
+    does the distance mass sit? is max_distance=1 leaving obvious
+    near-dups on the table?"). Run once at a wider radius before
+    committing the production threshold.
+
+    Scale shape: the corpus collapses to DISTINCT phashes (the
+    flagship uniq collapse) before anything pairs; pairs come from the
+    flagship pigeonhole-banded LSH (exhaustive for <= max_distance by
+    construction: max_distance+1 bands, counting pre-pass + salted
+    hot buckets), so no quadratic scan ever runs; the histogram is
+    per-batch bincount partials over the edge-bounded pair list,
+    folded driver-side — shuffle-free past the banding exchange."""
+    from humid_ray.util import hamming64
+
+    cfg = HumidConfig(sources=("phash",), max_distance=max_distance)
+
+    def usable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"phash": pa.array([], type=pa.int64())})
+        return batch.filter(pc.is_valid(batch.column("phash")))
+
+    uniq_ds = (
+        read_corpus(corpus_dir, columns=["phash"])
+        .map_batches(usable, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("phash")
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    bc = band_bucket_counts(uniq_ds, cfg)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
+
+    hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dist": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64())})
+        d = hamming64(
+            t.column("sig_a").to_numpy(zero_copy_only=False),
+            t.column("sig_b").to_numpy(zero_copy_only=False),
+        ).astype(np.int64)
+        hist = np.bincount(d, minlength=max_distance + 1)
+        nz = np.flatnonzero(hist)
+        return pa.table({"dist": pa.array(nz.astype(np.int64)),
+                         "n_pairs": pa.array(hist[nz].astype(np.int64))})
+
+    acc = np.zeros(max_distance + 1, dtype=np.int64)
+    for b in edges.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        dv = b.column("dist").to_numpy(zero_copy_only=False)
+        nv = b.column("n_pairs").to_numpy(zero_copy_only=False)
+        np.add.at(acc, dv, nv)
+    nz = np.flatnonzero(acc)
+    return ray.data.from_arrow(pa.table({
+        "dist": pa.array(nz.astype(np.int64)),
+        "n_pairs": pa.array(acc[nz]),
+    }))
+
+
+def phash_distance_histogram_sql(corpus_glob: str,
+                                 max_distance: int = 4) -> str:
+    """DuckDB oracle for ``phash_distance_histogram``: quadratic
+    bit_count join over DISTINCT phashes (each unordered pair once via
+    a.sig < b.sig — any consistent total order picks the same pair
+    set)."""
+    return (
+        "WITH nodes AS (SELECT DISTINCT phash AS sig "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "pairs AS (SELECT CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) "
+        "AS dist FROM nodes a JOIN nodes b ON a.sig < b.sig "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}) "
+        "SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM pairs GROUP BY dist"
+    )
+
+
+# --- per-format duplication report ------------------------------------------
+
+def dup_rate_by_format(corpus_dir: str):
+    """(fmt, n_images, n_dup_images): per-encoder duplication report —
+    for each format, how many of its rows are byte-identical to some
+    other row ANYWHERE in the corpus (identity-group size > 1). The
+    crawl-health cross-cut that tells you WHICH ingestion path is
+    re-fetching payloads before you pay for a full dedup pass (the
+    image analog of ``dedup_text.dup_rate_by_source``).
+
+    Scale shape: join-free and the payload never shuffles — the
+    per-batch combiner hashes bytes to the identity triple and
+    collapses to distinct (identity, fmt) partial counts; ONE
+    hash-bucket exchange (h1 % 256) lets the per-bucket kernel handle
+    thousands of identity groups with a single Arrow group_by + one
+    lexsort/reduceat pass; a final |fmt|-row groupby sums."""
+    from ray.data.aggregate import Sum
+
+    _empty_pairs = pa.table({
+        "h1": pa.array([], type=pa.int64()),
+        "h2": pa.array([], type=pa.int64()),
+        "ln": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int64()),
+        "fmt": pa.array([], type=pa.string()),
+        "c": pa.array([], type=pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1, h2 = _payload_digests(data, offs, batch.num_rows)
+        t = pa.table({
+            "h1": u64col(h1),
+            "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "fmt": pc.fill_null(
+                pc.cast(batch.column("fmt"), pa.string()), ""),
+        })
+        g = t.group_by(["h1", "h2", "ln", "fmt"]).aggregate([("fmt", "count")])
+        gh1 = g.column("h1").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h1": g.column("h1"),
+            "h2": g.column("h2"),
+            "ln": g.column("ln"),
+            "bucket": pa.array(
+                (gh1.view(UINT64) % UINT64(_CANON_BUCKETS)).astype(np.int64)),
+            "fmt": g.column("fmt"),
+            "c": g.column("fmt_count").cast(pa.int64()),
+        })
+
+    _empty_out = pa.table({
+        "fmt": pa.array([], type=pa.string()),
+        "n_images": pa.array([], type=pa.int64()),
+        "n_dup_images": pa.array([], type=pa.int64()),
+    })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_out
+        # partials of the same (identity, fmt) may arrive from several
+        # batches: collapse first, then share each identity's total
+        m = g.group_by(["h1", "h2", "ln", "fmt"]).aggregate([("c", "sum")])
+        h1 = m.column("h1").to_numpy(zero_copy_only=False)
+        h2 = m.column("h2").to_numpy(zero_copy_only=False)
+        ln = m.column("ln").to_numpy(zero_copy_only=False)
+        c = m.column("c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ln, h2, h1))
+        h1s, h2s, lns, cs = h1[order], h2[order], ln[order], c[order]
+        new = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+                    | (lns[1:] != lns[:-1])]
+        seg_id = np.cumsum(new) - 1
+        totals = np.zeros(int(seg_id[-1]) + 1, dtype=np.int64)
+        np.add.at(totals, seg_id, cs)
+        dup = np.where(totals[seg_id] > 1, cs, 0)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return pa.table({
+            "fmt": m.column("fmt"),
+            "n_images": pa.array(cs[inv]),
+            "n_dup_images": pa.array(dup[inv]),
+        })
+
+    return (
+        read_corpus(corpus_dir, columns=["bytes", "fmt"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Sum("n_images", alias_name="n_images"),
+                   Sum("n_dup_images", alias_name="n_dup_images"))
+    )
+
+
+def dup_rate_by_format_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``dup_rate_by_format`` (groups raw bytes, so
+    a digest collision at test scale would be caught)."""
+    return (
+        "WITH t AS (SELECT coalesce(fmt, '') AS fmt, bytes, "
+        f"CAST(count(*) AS BIGINT) AS c FROM read_parquet('{corpus_glob}') "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT bytes, SUM(c) AS tc FROM t GROUP BY 1) "
+        "SELECT fmt, CAST(SUM(c) AS BIGINT) AS n_images, "
+        "CAST(SUM(CASE WHEN tc > 1 THEN c ELSE 0 END) AS BIGINT) "
+        "AS n_dup_images FROM t JOIN tot USING (bytes) GROUP BY fmt"
+    )
+
+
+# --- per-format payload size quantiles --------------------------------------
+
+def image_size_quantiles(corpus_dir: str):
+    """(fmt, n_images, p25, p50, p75, p90, p99): EXACT per-format
+    discrete quantiles of encoded payload size — the corpus-QA outlier
+    screen ("which encoder is shipping 10 MB images?") run before any
+    decode budget is committed.
+
+    Scale shape: the textstats value-histogram pattern
+    (length_quantiles) — byte lengths come from Arrow offsets (payload
+    never read past the offsets buffer), the per-batch combiner
+    collapses to distinct (fmt, ln, count) rows, the per-fmt kernel
+    walks cumulative counts with searchsorted; index math is
+    ceil(q*n)-1 in double precision, bit-matching DuckDB's
+    quantile_disc. Shuffle volume = distinct (fmt, size) pairs."""
+    import math
+
+    qcols = ["p25", "p50", "p75", "p90", "p99"]
+    qvals = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    _empty_partial = pa.table({
+        "fmt": pa.array([], type=pa.string()),
+        "ln": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial
+        _, offs = _flat_binary(batch.column("bytes"))
+        t = pa.table({
+            "fmt": pc.fill_null(
+                pc.cast(batch.column("fmt"), pa.string()), ""),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+        })
+        g = t.group_by(["fmt", "ln"]).aggregate([("ln", "count")])
+        return pa.table({"fmt": g.column("fmt"), "ln": g.column("ln"),
+                         "n": g.column("ln_count").cast(pa.int64())})
+
+    def per_fmt(g: pa.Table) -> pa.Table:
+        empty = {"fmt": pa.array([], type=pa.string()),
+                 "n_images": pa.array([], type=pa.int64()),
+                 **{c: pa.array([], type=pa.int64()) for c in qcols}}
+        if g.num_rows == 0:
+            return pa.table(empty)
+        ln = g.column("ln").to_numpy(zero_copy_only=False)
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ln, kind="stable")
+        ln, cnt = ln[order], cnt[order]
+        keep = np.r_[True, ln[1:] != ln[:-1]]
+        starts = np.flatnonzero(keep)
+        ln, cnt = ln[starts], np.add.reduceat(cnt, starts)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {"fmt": g.column("fmt").slice(0, 1),
+               "n_images": pa.array([n], type=pa.int64())}
+        for c, q in zip(qcols, qvals):
+            idx = math.ceil(q * n) - 1
+            out[c] = pa.array([int(ln[np.searchsorted(cum, idx + 1)])],
+                              type=pa.int64())
+        return pa.table(out)
+
+    return (
+        read_corpus(corpus_dir, columns=["bytes", "fmt"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fmt")
+        .map_groups(per_fmt, batch_format="pyarrow")
+    )
+
+
+def image_size_quantiles_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``image_size_quantiles``."""
+    return (
+        "SELECT coalesce(fmt, '') AS fmt, "
+        "CAST(count(*) AS BIGINT) AS n_images, "
+        + ", ".join(
+            f"CAST(quantile_disc(octet_length(bytes), {q}) AS BIGINT) "
+            f"AS p{str(q)[2:].ljust(2, '0')}"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+        + f" FROM read_parquet('{corpus_glob}') GROUP BY 1"
+    )

@@ -18,20 +18,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-# queries whose oracle reads the baked sf0.01 corpus path instead of
-# the registered testdata views
-CORPUS_ORACLES = {
-    "humid_uniq_sql", "humid_edges_sql", "humid_assign_sql",
-    "humid_stats_sql", "humid_counts_hist_sql", "humid_neigh_hist_sql",
-    "humid_cluster_hist_sql", "humid_uniq", "humid_edges",
-    "humid_assign_full_sql", "humid_stats_full_sql",
-    "humid_counts_hist_full_sql", "humid_neigh_hist_full_sql",
-    "humid_cluster_hist_full_sql",
-    "multimodal_decode_dims",
-    "audio_decode_dims", "video_decode_dims",
-    "audio_durations", "video_sampled_frames",
-    "image_exact_dedup", "curate_images",
-}
+# Queries whose oracle reads a baked absolute corpus path (the
+# synthetic sf0.01 corpus) instead of the registered testdata views.
+# Derived from the SQL itself so newly added corpus-backed queries
+# can't silently land in the wrong compare tier (a hand-kept list
+# rotted once: corpus oracles checked at sf0.001 against an sf0.01
+# path always mismatch).
+def _corpus_oracles(orc: dict[str, str]) -> set[str]:
+    return {name for name, sql in orc.items() if "read_parquet('/" in sql}
 
 
 def _to_df(r):
@@ -87,8 +81,9 @@ def test_table_oracles_match(entrymod):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_SMALL}/{t}.parquet')"
         )
+    skip = _corpus_oracles(orc)
     for name, sql in orc.items():
-        if name in CORPUS_ORACLES:
+        if name in skip:
             continue
         df = _to_df(qs[name](SF_SMALL))
         odf = con.sql(sql).df()
@@ -98,7 +93,7 @@ def test_table_oracles_match(entrymod):
 def test_corpus_oracles_match(entrymod):
     qs, orc = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
-    for name in sorted(CORPUS_ORACLES):
+    for name in sorted(_corpus_oracles(orc)):
         df = _to_df(qs[name](SF_ORACLE))
         odf = con.sql(orc[name]).df()
         assert _compare(df, odf), f"{name}: ray != oracle at {SF_ORACLE}"

@@ -15,7 +15,9 @@ sys.path.insert(0, "/root/repo")
 # sf0.01 — they are exercised by the e2e suite, not this fixture
 CORPUS_QUERIES_PREFIXES = (
     "humid_", "multimodal_", "audio_", "video_", "image_", "curate_images",
-    "caption_", "tiered_dedup_report_images",
+    "caption_", "tiered_dedup_report_images", "top_dup_clusters",
+    "incremental_image_dedup", "phash_distance_histogram",
+    "dup_rate_by_format",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on

@@ -402,3 +402,286 @@ def test_caption_payload_corr_degenerate(ray_session, tmp_path):
     # _corpus gives distinct captions ("cap img_a"/"cap img_b") of EQUAL
     # length -> x variance 0 -> NULL
     assert pd.isna(out["corr"].iloc[0])
+
+
+# --- incremental image dedup -------------------------------------------------
+
+def _incr_rows(rng, n=60):
+    """Corpus with planted byte-dup groups and Hamming-1 phash pairs."""
+    rows = []
+    for i in range(n):
+        g = i % 7
+        if g == 0:
+            payload = b"shared-payload-A"       # byte-dup group
+            ph = 0x100
+        elif g == 1:
+            payload = bytes(rng.integers(0, 256, 24).astype(np.uint8))
+            ph = 0x101                           # Hamming(0x100,0x101)=1
+        elif g == 2:
+            payload = b"shared-payload-B"
+            ph = 0x200
+        elif g == 3:
+            payload = bytes(rng.integers(0, 256, 16).astype(np.uint8))
+            ph = None                            # unusable
+        else:
+            payload = bytes(rng.integers(0, 256, 20).astype(np.uint8))
+            ph = int(rng.integers(0, 2**62))     # scattered
+        rows.append((f"img_{i:04d}", payload, ph))
+    return rows
+
+
+def test_incremental_image_dedup_oracle_and_bruteforce(ray_session, tmp_path):
+    """Engine == DuckDB oracle == an independent numpy brute force on
+    a planted corpus (byte-dup groups, Hamming-1 pairs, null phash)."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        incremental_image_dedup, incremental_image_dedup_sql,
+    )
+    from humid_ray.stages.joins import hash_string_column
+
+    rng = np.random.default_rng(11)
+    rows = _incr_rows(rng)
+    corpus = _corpus(tmp_path, rows)
+    # wide split so both sides are populated on 60 rows
+    out = (incremental_image_dedup(corpus, new_pct=40, n_buckets=100)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        incremental_image_dedup_sql(f"{corpus}/*.parquet",
+                                    new_pct=40, n_buckets=100)
+    ).df().sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == oracle.image_id.tolist()
+    assert out.exact_dup.tolist() == oracle.exact_dup.tolist()
+    assert out.exact_rep.fillna("-").tolist() == \
+        oracle.exact_rep.fillna("-").tolist()
+    assert out.near_dup.tolist() == oracle.near_dup.tolist()
+    assert out.near_rep.fillna("-").tolist() == \
+        oracle.near_rep.fillna("-").tolist()
+
+    # independent brute force (no SQL, no engine machinery)
+    usable = [r for r in rows if r[2] is not None]
+    ids = pa.array([r[0] for r in usable], type=pa.string())
+    is_new = (hash_string_column(ids) % np.uint64(100)) < np.uint64(40)
+    new = [r for r, m in zip(usable, is_new) if m]
+    base = [r for r, m in zip(usable, is_new) if not m]
+    assert len(new) > 5 and len(base) > 5  # both sides exercised
+    expect = {}
+    for rid, payload, ph in new:
+        ex = sorted(b[0] for b in base if b[1] == payload)
+        nr = sorted(b[0] for b in base
+                    if bin((b[2] ^ ph) & (2**64 - 1)).count("1") <= 1)
+        expect[rid] = (ex[0] if ex else None, nr[0] if nr else None)
+    assert set(out.image_id) == set(expect)
+    for _, r in out.iterrows():
+        ex, nr = expect[r.image_id]
+        assert (r.exact_rep if r.exact_dup else None) == ex, r.image_id
+        assert (r.near_rep if r.near_dup else None) == nr, r.image_id
+
+
+def test_incremental_image_dedup_degenerate_splits(ray_session, tmp_path):
+    """new_pct=0 -> no new rows -> empty; new_pct=n_buckets -> empty
+    base -> every new row novel on both tiers."""
+    from humid_ray.pipelines.images import incremental_image_dedup
+
+    corpus = _corpus(tmp_path, ROWS)
+    assert incremental_image_dedup(corpus, new_pct=0).count() == 0
+    out = (incremental_image_dedup(corpus, new_pct=100)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    # all four usable rows appear, none a dup (base is empty)
+    assert out.image_id.tolist() == ["img_a", "img_b", "img_c", "img_d"]
+    assert not out.exact_dup.any() and not out.near_dup.any()
+    assert out.exact_rep.isna().all() and out.near_rep.isna().all()
+
+
+def test_incremental_image_dedup_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import incremental_image_dedup
+
+    corpus = _corpus(tmp_path, [])
+    assert incremental_image_dedup(corpus).count() == 0
+
+
+# --- phash distance histogram -----------------------------------------------
+
+def test_phash_distance_histogram_planted(ray_session, tmp_path):
+    """Engine == in-test DuckDB oracle == numpy brute force on a
+    corpus whose distinct-phash pair distances are hand-checkable."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        phash_distance_histogram, phash_distance_histogram_sql,
+    )
+
+    # distinct sigs: 0b0000, 0b0001, 0b0011, 0b10111, far outlier
+    phs = [0b0000, 0b0001, 0b0011, 0b10111, 1 << 40]
+    rows = [(f"img_{i}", bytes([i]), p) for i, p in enumerate(phs)]
+    rows.append(("img_dup", b"\xff", 0b0000))  # duplicate sig collapses
+    rows.append(("img_null", b"\xfe", None))   # unusable
+    corpus = _corpus(tmp_path, rows)
+
+    out = (phash_distance_histogram(corpus, max_distance=4)
+           .to_pandas().sort_values("dist").reset_index(drop=True))
+    # brute force over distinct sigs
+    import itertools
+    expect = {}
+    for a, b in itertools.combinations(sorted(set(phs)), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 4:
+            expect[d] = expect.get(d, 0) + 1
+    assert dict(zip(out.dist, out.n_pairs)) == expect
+
+    oracle = (duckdb.sql(
+        phash_distance_histogram_sql(f"{corpus}/*.parquet", max_distance=4)
+    ).df().sort_values("dist").reset_index(drop=True))
+    assert out.dist.tolist() == oracle.dist.tolist()
+    assert out.n_pairs.tolist() == oracle.n_pairs.tolist()
+
+
+def test_phash_distance_histogram_random_vs_bruteforce(ray_session,
+                                                       tmp_path):
+    """Randomized parity: clustered random sigs, engine vs numpy."""
+    from humid_ray.pipelines.images import phash_distance_histogram
+
+    rng = np.random.default_rng(5)
+    centers = rng.integers(0, 2**63, 8, dtype=np.int64)
+    sigs = []
+    for c in centers:
+        sigs.append(int(c))
+        for _ in range(6):  # scatter within radius ~3
+            v = int(c)
+            for bit in rng.integers(0, 64, int(rng.integers(0, 4))):
+                v ^= 1 << int(bit)
+            sigs.append(v)
+    rows = [(f"img_{i:03d}", bytes([i % 251]), s)
+            for i, s in enumerate(sigs)]
+    corpus = _corpus(tmp_path, rows)
+    out = (phash_distance_histogram(corpus, max_distance=3)
+           .to_pandas().sort_values("dist").reset_index(drop=True))
+    uniq = np.array(sorted({np.int64(s).view(np.uint64) if False else s
+                            for s in sigs}), dtype=np.int64).view(np.uint64)
+    x = uniq[:, None] ^ uniq[None, :]
+    d = np.zeros_like(x, dtype=np.int64)
+    for shift in range(64):
+        d += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(uniq), k=1)
+    dv = d[iu]
+    expect = {int(k): int(v) for k, v in
+              zip(*np.unique(dv[dv <= 3], return_counts=True))}
+    assert dict(zip(out.dist, out.n_pairs)) == expect
+
+
+def test_phash_distance_histogram_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import phash_distance_histogram
+
+    corpus = _corpus(tmp_path, [])
+    assert phash_distance_histogram(corpus).count() == 0
+
+
+# --- dup rate by format ------------------------------------------------------
+
+def test_dup_rate_by_format_planted(ray_session, tmp_path):
+    """Cross-format byte-dup counting matches an in-test DuckDB oracle
+    and a hand-derived expectation."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        dup_rate_by_format, dup_rate_by_format_sql,
+    )
+
+    rows = [
+        ("img_a", b"dup-1", 1), ("img_b", b"dup-1", 2),   # png dup pair
+        ("img_c", b"dup-2", 3), ("img_d", b"dup-2", 4),   # png/jpg cross
+        ("img_e", b"uniq-1", 5), ("img_f", b"uniq-2", None),
+    ]
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+        "w": pa.array([4] * len(rows), type=pa.int32()),
+        "h": pa.array([4] * len(rows), type=pa.int32()),
+        "fmt": pa.array(["png", "png", "png", "jpg", "jpg", "png"],
+                        type=pa.string()),
+        "caption": pa.array([f"cap {r[0]}" for r in rows],
+                            type=pa.string()),
+        "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+
+    out = (dup_rate_by_format(str(d)).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    # jpg: img_d (dup via cross-format pair), img_e unique -> 2 rows 1 dup
+    # png: a,b dup; c dup (cross); f unique -> 4 rows 3 dup
+    assert out.fmt.tolist() == ["jpg", "png"]
+    assert out.n_images.tolist() == [2, 4]
+    assert out.n_dup_images.tolist() == [1, 3]
+
+    oracle = (duckdb.sql(dup_rate_by_format_sql(f"{d}/*.parquet")).df()
+              .sort_values("fmt").reset_index(drop=True))
+    assert out.fmt.tolist() == oracle.fmt.tolist()
+    assert out.n_images.tolist() == oracle.n_images.tolist()
+    assert out.n_dup_images.tolist() == oracle.n_dup_images.tolist()
+
+
+def test_dup_rate_by_format_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import dup_rate_by_format
+
+    corpus = _corpus(tmp_path, [])
+    assert dup_rate_by_format(corpus).count() == 0
+
+
+# --- image size quantiles ----------------------------------------------------
+
+def test_image_size_quantiles_planted(ray_session, tmp_path):
+    """Per-format discrete quantiles match DuckDB quantile_disc and a
+    numpy expectation on hand-sized payloads."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        image_size_quantiles, image_size_quantiles_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    rows, fmts = [], []
+    sizes = {"png": [], "jpg": []}
+    for i in range(40):
+        fmt = "png" if i % 2 == 0 else "jpg"
+        nb = int(rng.integers(1, 500))
+        sizes[fmt].append(nb)
+        rows.append((f"img_{i:03d}",
+                     bytes(rng.integers(0, 256, nb).astype(np.uint8)), i))
+        fmts.append(fmt)
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+        "w": pa.array([4] * len(rows), type=pa.int32()),
+        "h": pa.array([4] * len(rows), type=pa.int32()),
+        "fmt": pa.array(fmts, type=pa.string()),
+        "caption": pa.array([f"cap {r[0]}" for r in rows],
+                            type=pa.string()),
+        "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+
+    out = (image_size_quantiles(str(d)).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    oracle = (duckdb.sql(image_size_quantiles_sql(f"{d}/*.parquet")).df()
+              .sort_values("fmt").reset_index(drop=True))
+    import math
+    for fmt in ("jpg", "png"):
+        vals = np.sort(np.array(sizes[fmt]))
+        r = out[out.fmt == fmt].iloc[0]
+        assert r.n_images == len(vals)
+        for col, q in zip(("p25", "p50", "p75", "p90", "p99"),
+                          (0.25, 0.5, 0.75, 0.9, 0.99)):
+            assert r[col] == vals[math.ceil(q * len(vals)) - 1], (fmt, col)
+    for col in ("fmt", "n_images", "p25", "p50", "p75", "p90", "p99"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_image_size_quantiles_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import image_size_quantiles
+
+    corpus = _corpus(tmp_path, [])
+    assert image_size_quantiles(corpus).count() == 0
