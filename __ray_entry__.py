@@ -711,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the value-histogram combiner (bytes never read past offsets)
         "image_size_quantiles":
             lambda sf: images.image_size_quantiles(_corpus_for(sf)),
+        # caption-side language mixture (documents langid scorer over
+        # the caption column; per-batch count combiner)
+        "caption_langid_hist":
+            lambda sf: images.caption_langid_hist(_corpus_for(sf)),
     }
 
 
@@ -1241,6 +1245,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "image_size_quantiles": _images_mod.image_size_quantiles_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "caption_langid_hist": _images_mod.caption_langid_hist_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

@@ -221,6 +221,8 @@ def run_bench() -> dict:
     timed("dup_rate_by_format", lambda: images.dup_rate_by_format(corpus))
     timed("image_size_quantiles",
           lambda: images.image_size_quantiles(corpus))
+    timed("caption_langid_hist",
+          lambda: images.caption_langid_hist(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

@@ -1599,3 +1599,82 @@ def image_size_quantiles_sql(corpus_glob: str) -> str:
         )
         + f" FROM read_parquet('{corpus_glob}') GROUP BY 1"
     )
+
+
+# --- caption language mixture ------------------------------------------------
+
+def caption_langid_hist(corpus_dir: str):
+    """(lang_pred, n_captions): language mixture of the caption side —
+    the multimodal-corpus report ("what languages label this image
+    corpus?") behind per-language sampling quotas. Same deterministic
+    bigram-profile scorer as the documents langid stage
+    (textstats.LangId; a real model swaps in at the same actor-pool
+    seam), applied to captions.
+
+    Scale shape: shuffle-free scoring (Arrow ``count_substring`` per
+    profile bigram — no per-row Python) + per-batch count combiner;
+    the one exchange moves |langs| rows per batch."""
+    from ray.data.aggregate import Sum
+
+    from humid_ray.pipelines.textstats import _PROFILES
+
+    profiles = {lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
+                for lang, bgs in _PROFILES.items()}
+
+    _empty = pa.table({"lang_pred": pa.array([], type=pa.string()),
+                       "n": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        lower = pc.utf8_lower(pc.fill_null(batch.column("caption"), ""))
+        langs = list(profiles)
+        scores = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for bg, w in profiles[lang].items():
+                cnt = pc.count_substring(lower, bg).to_numpy(
+                    zero_copy_only=False)
+                scores[:, li] += w * cnt.astype(np.int64)
+        best = np.argmax(scores, axis=1)  # first max wins (profile order)
+        maxsc = scores[np.arange(len(best)), best]
+        lang_arr = np.array(langs, dtype=object)
+        out = np.where(maxsc > 0, lang_arr[best], "und")
+        u, c = np.unique(out, return_counts=True)
+        return pa.table({"lang_pred": pa.array(u.tolist(), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return (
+        read_corpus(corpus_dir, columns=["caption"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang_pred")
+        .aggregate(Sum("n", alias_name="n_captions"))
+    )
+
+
+def caption_langid_hist_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``caption_langid_hist``: the langid_docs
+    weighted-bigram score expressions (non-overlapping replace()
+    counts equal position counts — every profile bigram has two
+    distinct characters) + the same first-max tie CASE."""
+    from humid_ray.pipelines.textstats import _PROFILES
+
+    def score(lang: str) -> str:
+        bgs = _PROFILES[lang]
+        return " + ".join(
+            f"{len(bgs) - i}*((length(t) - length(replace(t, '{bg}', ''))) / 2)"
+            for i, bg in enumerate(bgs)
+        )
+
+    return (
+        f"WITH s AS (SELECT {score('en')} AS s_en, {score('de')} AS s_de, "
+        f"{score('fr')} AS s_fr, {score('es')} AS s_es "
+        "FROM (SELECT lower(coalesce(caption, '')) AS t "
+        f"FROM read_parquet('{corpus_glob}'))), "
+        "p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 "
+        "THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s) "
+        "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_captions "
+        "FROM p GROUP BY lang_pred"
+    )

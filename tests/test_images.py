@@ -685,3 +685,58 @@ def test_image_size_quantiles_empty(ray_session, tmp_path):
 
     corpus = _corpus(tmp_path, [])
     assert image_size_quantiles(corpus).count() == 0
+
+
+# --- caption language mixture ------------------------------------------------
+
+def test_caption_langid_hist_planted(ray_session, tmp_path):
+    """Caption-language histogram matches the documents LangId scorer
+    applied per caption, and the in-test DuckDB oracle."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        caption_langid_hist, caption_langid_hist_sql,
+    )
+    from humid_ray.pipelines.textstats import LangId
+
+    caps = [
+        "the weather in there is rather fine",   # en-ish
+        "ich bin ein berliner und schreibe",      # de-ish
+        "le monde est grand et les gens",         # fr-ish
+        "0123 9999",                               # no profile bigram -> und
+        "",                                        # empty -> und
+    ] * 4
+    rows = [(f"img_{i:03d}", bytes([i]), i) for i in range(len(caps))]
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+        "w": pa.array([4] * len(rows), type=pa.int32()),
+        "h": pa.array([4] * len(rows), type=pa.int32()),
+        "fmt": pa.array(["png"] * len(rows), type=pa.string()),
+        "caption": pa.array(caps, type=pa.string()),
+        "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+
+    out = (caption_langid_hist(str(d)).to_pandas()
+           .sort_values("lang_pred").reset_index(drop=True))
+    # reference: run the documents scorer on the captions directly
+    ref = LangId()(pa.table({"doc_id": pa.array(range(len(caps))),
+                             "text": pa.array(caps, type=pa.string())}))
+    import collections
+    expect = collections.Counter(ref.column("lang_pred").to_pylist())
+    assert dict(zip(out.lang_pred, out.n_captions)) == dict(expect)
+
+    oracle = (duckdb.sql(caption_langid_hist_sql(f"{d}/*.parquet")).df()
+              .sort_values("lang_pred").reset_index(drop=True))
+    assert out.lang_pred.tolist() == oracle.lang_pred.tolist()
+    assert out.n_captions.tolist() == oracle.n_captions.tolist()
+
+
+def test_caption_langid_hist_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import caption_langid_hist
+
+    corpus = _corpus(tmp_path, [])
+    assert caption_langid_hist(corpus).count() == 0
