@@ -719,16 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _langid_score_sql(lang: str) -> str:
-    """Weighted bigram-count score; every profile bigram has two
-    distinct characters, so replace()-based non-overlapping counts
-    equal the scorer's position counts exactly."""
-    from humid_ray.pipelines.textstats import _PROFILES
+    """Shared builder: humid_ray.oracles.langid_score_sql."""
+    from humid_ray.oracles import langid_score_sql
 
-    bgs = _PROFILES[lang]
-    return " + ".join(
-        f"{len(bgs) - i}*((length(t) - length(replace(t, '{bg}', ''))) / 2)"
-        for i, bg in enumerate(bgs)
-    )
+    return langid_score_sql(lang)
 
 
 def _decode_dims_oracle() -> str:
@@ -1140,10 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_langid_score_sql('de')} AS s_de, {_langid_score_sql('fr')} AS s_fr, "
             f"{_langid_score_sql('es')} AS s_es "
             "FROM (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents)) "
-            "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' "
-            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
-            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
-            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+            f"SELECT doc_id, {_orc.langid_pred_case_sql()} AS lang_pred FROM s"
         ),
         "multimodal_decode_dims": _decode_dims_oracle(),
         "audio_decode_dims": _audio_dims_oracle(),

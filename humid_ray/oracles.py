@@ -857,3 +857,30 @@ def corpus_checksum_sql(table: str = "documents") -> str:
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         f"{_to_int64(f'SUM(c) % {TWO64}')} AS checksum FROM cmb"
     )
+
+
+def langid_score_sql(lang: str) -> str:
+    """Weighted bigram-count score over a lowered-text alias ``t`` —
+    the SQL twin of textstats.LangId's per-language score. Every
+    profile bigram has two distinct characters, so replace()-based
+    non-overlapping counts equal the scorer's position counts exactly.
+    Shared by the langid_docs oracle and the caption variant."""
+    from humid_ray.pipelines.textstats import _PROFILES
+
+    bgs = _PROFILES[lang]
+    return " + ".join(
+        f"{len(bgs) - i}*((length(t) - length(replace(t, '{bg}', ''))) / 2)"
+        for i, bg in enumerate(bgs)
+    )
+
+
+def langid_pred_case_sql() -> str:
+    """CASE expression mapping (s_en, s_de, s_fr, s_es) to lang_pred —
+    textstats.LangId's first-max tie rule (profile order) with the
+    score<=0 'und' gate."""
+    return (
+        "CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+    )

@@ -162,6 +162,22 @@ def _canonical_bucket(extra_cols: tuple[str, ...] = ()):
     return kernel
 
 
+def _edges_with_hot_salting(uniq_ds, cfg: HumidConfig):
+    """uniq (sig, count) Dataset -> verified edge Dataset via the
+    flagship chain: counting pre-pass -> hot (band, key) set ->
+    salted banded LSH + per-bucket Hamming verify. Shared by every
+    image operator that builds the phash cluster graph (curate,
+    tiered report, top clusters, distance histogram)."""
+    bc = band_bucket_counts(uniq_ds, cfg)
+    hot_tab = bc.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"),
+                                      cfg.hot_band_threshold)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+    return find_edges(uniq_ds, cfg, hot_keys or None)
+
+
 def image_exact_dedup(corpus_dir: str):
     """(image_id, canonical_id, keep): byte-identical image dedup —
     canonical_id = min image_id among byte-equal rows, keep iff the
@@ -256,14 +272,7 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000,
             batch_format="pyarrow",
         )
     ).materialize()
-    bc = band_bucket_counts(uniq_ds, cfg)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
-
-    hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
-    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
-    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
     # (sig, comp); edge-touched only — tiny (edge-bounded)
     comp = connected_components(edges, cfg).materialize()
 
@@ -833,15 +842,7 @@ def tiered_dedup_report_images(corpus_dir: str):
     ).materialize()
     n_uniq = uniq_ds.count()
     if n_uniq:
-        bc = band_bucket_counts(uniq_ds, cfg)
-        hot_tab = bc.map_batches(
-            lambda t: t.filter(pc.greater(t.column("n"),
-                                          cfg.hot_band_threshold)),
-            batch_format="pyarrow",
-        ).take_all()
-        hot_keys = {(int(r["band_id"]), int(r["band_key"]))
-                    for r in hot_tab}
-        edges = find_edges(uniq_ds, cfg, hot_keys or None)
+        edges = _edges_with_hot_salting(uniq_ds, cfg)
         comp = connected_components(edges, cfg).materialize()
         n_touched = comp.count()
         n_labels = (
@@ -935,13 +936,7 @@ def top_dup_clusters(corpus_dir: str, k: int = 10, max_distance: int = 1):
         )
     ).materialize()
 
-    bc = band_bucket_counts(uniq_ds, cfg)
-    hot_tab = bc.map_batches(
-        lambda t: t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold)),
-        batch_format="pyarrow",
-    ).take_all()
-    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
-    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
     comp = connected_components(edges, cfg).materialize()
 
     parts = [
@@ -1270,14 +1265,20 @@ def incremental_image_dedup(corpus_dir: str, new_pct: int = 20,
         base_ph, join_type="inner", on=("probe",),
         **join_kwargs(n_new * 65, n_base),
     )
+    # materialize: the count guard AND the new3 join both consume it
+    # (un-materialized, the 65x expansion + join lineage would run
+    # twice), and its TRUE row count sizes the rep join — sizing by
+    # n_new would spread a tiny rep table over many partitions, and an
+    # empty partition side crashes acero (see join_partitions)
     near = matched.groupby("new_phash").aggregate(
         Min("ph_rep", alias_name="near_rep")
-    ).rename_columns(["phash", "near_rep"])
-    if near.count() == 0:
+    ).rename_columns(["phash", "near_rep"]).materialize()
+    n_near = near.count()
+    if n_near == 0:
         return new2.map_batches(_incr_img_finish, batch_format="pyarrow")
     new3 = new2.join(
         near, join_type="left_outer", on=("phash",),
-        **join_kwargs(n_new, n_new),
+        **join_kwargs(n_new, n_near),
     )
     return new3.map_batches(_incr_img_finish, batch_format="pyarrow")
 
@@ -1356,14 +1357,7 @@ def phash_distance_histogram(corpus_dir: str, max_distance: int = 4):
             batch_format="pyarrow",
         )
     ).materialize()
-    bc = band_bucket_counts(uniq_ds, cfg)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
-
-    hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
-    hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
-    edges = find_edges(uniq_ds, cfg, hot_keys or None)
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1529,10 +1523,10 @@ def image_size_quantiles(corpus_dir: str):
     (length_quantiles) — byte lengths come from Arrow offsets (payload
     never read past the offsets buffer), the per-batch combiner
     collapses to distinct (fmt, ln, count) rows, the per-fmt kernel
-    walks cumulative counts with searchsorted; index math is
-    ceil(q*n)-1 in double precision, bit-matching DuckDB's
-    quantile_disc. Shuffle volume = distinct (fmt, size) pairs."""
-    import math
+    folds the histogram through the SHARED quantile helper
+    (util.weighted_discrete_quantiles, bit-matching DuckDB's
+    quantile_disc). Shuffle volume = distinct (fmt, size) pairs."""
+    from humid_ray.util import weighted_discrete_quantiles
 
     qcols = ["p25", "p50", "p75", "p90", "p99"]
     qvals = (0.25, 0.5, 0.75, 0.9, 0.99)
@@ -1564,19 +1558,12 @@ def image_size_quantiles(corpus_dir: str):
             return pa.table(empty)
         ln = g.column("ln").to_numpy(zero_copy_only=False)
         cnt = g.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(ln, kind="stable")
-        ln, cnt = ln[order], cnt[order]
-        keep = np.r_[True, ln[1:] != ln[:-1]]
-        starts = np.flatnonzero(keep)
-        ln, cnt = ln[starts], np.add.reduceat(cnt, starts)
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
+        n = int(cnt.sum())
         out = {"fmt": g.column("fmt").slice(0, 1),
                "n_images": pa.array([n], type=pa.int64())}
-        for c, q in zip(qcols, qvals):
-            idx = math.ceil(q * n) - 1
-            out[c] = pa.array([int(ln[np.searchsorted(cum, idx + 1)])],
-                              type=pa.int64())
+        for c, val in zip(qcols,
+                          weighted_discrete_quantiles(ln, cnt, qvals)):
+            out[c] = pa.array([val], type=pa.int64())
         return pa.table(out)
 
     return (
@@ -1616,10 +1603,9 @@ def caption_langid_hist(corpus_dir: str):
     the one exchange moves |langs| rows per batch."""
     from ray.data.aggregate import Sum
 
-    from humid_ray.pipelines.textstats import _PROFILES
+    from humid_ray.pipelines.textstats import LangId
 
-    profiles = {lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
-                for lang, bgs in _PROFILES.items()}
+    scorer = LangId()  # ONE scorer instance; profiles built once
 
     _empty = pa.table({"lang_pred": pa.array([], type=pa.string()),
                        "n": pa.array([], type=pa.int64())})
@@ -1627,18 +1613,12 @@ def caption_langid_hist(corpus_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty
-        lower = pc.utf8_lower(pc.fill_null(batch.column("caption"), ""))
-        langs = list(profiles)
-        scores = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
-        for li, lang in enumerate(langs):
-            for bg, w in profiles[lang].items():
-                cnt = pc.count_substring(lower, bg).to_numpy(
-                    zero_copy_only=False)
-                scores[:, li] += w * cnt.astype(np.int64)
-        best = np.argmax(scores, axis=1)  # first max wins (profile order)
-        maxsc = scores[np.arange(len(best)), best]
-        lang_arr = np.array(langs, dtype=object)
-        out = np.where(maxsc > 0, lang_arr[best], "und")
+        scored = scorer(pa.table({
+            "doc_id": pa.array(np.arange(batch.num_rows)),
+            "text": batch.column("caption"),
+        }))
+        out = np.asarray(scored.column("lang_pred").to_pylist(),
+                         dtype=object)
         u, c = np.unique(out, return_counts=True)
         return pa.table({"lang_pred": pa.array(u.tolist(), type=pa.string()),
                          "n": pa.array(c.astype(np.int64))})
@@ -1652,29 +1632,19 @@ def caption_langid_hist(corpus_dir: str):
 
 
 def caption_langid_hist_sql(corpus_glob: str) -> str:
-    """DuckDB oracle for ``caption_langid_hist``: the langid_docs
-    weighted-bigram score expressions (non-overlapping replace()
-    counts equal position counts — every profile bigram has two
-    distinct characters) + the same first-max tie CASE."""
-    from humid_ray.pipelines.textstats import _PROFILES
-
-    def score(lang: str) -> str:
-        bgs = _PROFILES[lang]
-        return " + ".join(
-            f"{len(bgs) - i}*((length(t) - length(replace(t, '{bg}', ''))) / 2)"
-            for i, bg in enumerate(bgs)
-        )
+    """DuckDB oracle for ``caption_langid_hist``: the SHARED langid
+    score + first-max-CASE builders (humid_ray.oracles — same
+    expressions as the langid_docs oracle) over the caption column."""
+    from humid_ray.oracles import langid_pred_case_sql, langid_score_sql
 
     return (
-        f"WITH s AS (SELECT {score('en')} AS s_en, {score('de')} AS s_de, "
-        f"{score('fr')} AS s_fr, {score('es')} AS s_es "
+        f"WITH s AS (SELECT {langid_score_sql('en')} AS s_en, "
+        f"{langid_score_sql('de')} AS s_de, "
+        f"{langid_score_sql('fr')} AS s_fr, "
+        f"{langid_score_sql('es')} AS s_es "
         "FROM (SELECT lower(coalesce(caption, '')) AS t "
         f"FROM read_parquet('{corpus_glob}'))), "
-        "p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 "
-        "THEN 'und' "
-        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
-        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
-        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s) "
+        f"p AS (SELECT {langid_pred_case_sql()} AS lang_pred FROM s) "
         "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_captions "
         "FROM p GROUP BY lang_pred"
     )

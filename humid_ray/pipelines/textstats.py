@@ -323,10 +323,10 @@ def length_quantiles(sf_dir: str):
     sort, but the value domain (n_chars) is small-cardinality, so the
     per-batch combiner collapses each batch to (lang, n_chars, count)
     rows — a VALUE HISTOGRAM. Shuffle volume is distinct (lang, len)
-    pairs, never documents; the per-lang kernel walks cumulative
-    counts with searchsorted. Index math is ceil(q*n)-1 in double
-    precision, bit-matching DuckDB's quantile_disc."""
-    import math
+    pairs, never documents; the per-lang kernel folds the histogram
+    through the shared helper (util.weighted_discrete_quantiles,
+    ceil(q*n)-1 index math bit-matching DuckDB's quantile_disc)."""
+    from humid_ray.util import weighted_discrete_quantiles
 
     partial = _length_hist_partial
 
@@ -339,14 +339,11 @@ def length_quantiles(sf_dir: str):
         if g.num_rows == 0:
             return pa.table(empty)
         ln, cnt = _merged_length_hist(g)
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
         out = {"lang": g.column("lang").slice(0, 1),
-               "n_docs": pa.array([n], type=pa.int64())}
-        for c, q in zip(cols, QUANTILES):
-            idx = math.ceil(q * n) - 1
-            out[c] = pa.array([int(ln[np.searchsorted(cum, idx + 1)])],
-                              type=pa.int64())
+               "n_docs": pa.array([int(cnt.sum())], type=pa.int64())}
+        for c, val in zip(cols,
+                          weighted_discrete_quantiles(ln, cnt, QUANTILES)):
+            out[c] = pa.array([val], type=pa.int64())
         return pa.table(out)
 
     return (

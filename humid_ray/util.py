@@ -299,3 +299,24 @@ def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
 
 def int64_to_uint64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.int64).view(UINT64)
+
+
+def weighted_discrete_quantiles(values: np.ndarray, counts: np.ndarray,
+                                qs) -> list[int]:
+    """Exact discrete quantiles of a VALUE HISTOGRAM (values need not
+    be sorted or distinct; counts are per-value multiplicities).
+    Index math is ceil(q*n)-1 in double precision, bit-matching
+    DuckDB's quantile_disc — the one convention every quantile
+    consumer (documents length stats, image payload sizes) must share
+    so a future index-rule fix lands everywhere at once."""
+    import math
+
+    order = np.argsort(values, kind="stable")
+    v, c = values[order], counts[order]
+    keep = np.r_[True, v[1:] != v[:-1]]
+    starts = np.flatnonzero(keep)
+    v, c = v[starts], np.add.reduceat(c, starts)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    return [int(v[np.searchsorted(cum, math.ceil(q * n) - 1 + 1)])
+            for q in qs]

@@ -542,13 +542,17 @@ def test_phash_distance_histogram_random_vs_bruteforce(ray_session,
     from humid_ray.pipelines.images import phash_distance_histogram
 
     rng = np.random.default_rng(5)
-    centers = rng.integers(0, 2**63, 8, dtype=np.int64)
+    # bit 63 excluded from centers AND flips: test sigs stay < 2^63 so
+    # Python-int -> int64 conversions below can't overflow on a seed
+    # change (the engine's uint64 view handles negatives; the planted
+    # test covers that via ROWS)
+    centers = rng.integers(0, 2**62, 8, dtype=np.int64)
     sigs = []
     for c in centers:
         sigs.append(int(c))
         for _ in range(6):  # scatter within radius ~3
             v = int(c)
-            for bit in rng.integers(0, 64, int(rng.integers(0, 4))):
+            for bit in rng.integers(0, 63, int(rng.integers(0, 4))):
                 v ^= 1 << int(bit)
             sigs.append(v)
     rows = [(f"img_{i:03d}", bytes([i % 251]), s)
@@ -556,8 +560,7 @@ def test_phash_distance_histogram_random_vs_bruteforce(ray_session,
     corpus = _corpus(tmp_path, rows)
     out = (phash_distance_histogram(corpus, max_distance=3)
            .to_pandas().sort_values("dist").reset_index(drop=True))
-    uniq = np.array(sorted({np.int64(s).view(np.uint64) if False else s
-                            for s in sigs}), dtype=np.int64).view(np.uint64)
+    uniq = np.array(sorted(set(sigs)), dtype=np.int64).view(np.uint64)
     x = uniq[:, None] ^ uniq[None, :]
     d = np.zeros_like(x, dtype=np.int64)
     for shift in range(64):
