@@ -715,6 +715,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the caption column; per-batch count combiner)
         "caption_langid_hist":
             lambda sf: images.caption_langid_hist(_corpus_for(sf)),
+        # eval-suite decontamination on the image axis: byte-identity
+        # + exhaustive Hamming-probe membership against the broadcast
+        # eval side (the image twin of decontaminate_docs)
+        "decontaminate_images":
+            lambda sf: images.decontaminate_images(_corpus_for(sf)),
+        # signature-health audit: per-bit pHash population counts
+        # (degenerate bits break the banding pigeonhole)
+        "phash_bit_stats":
+            lambda sf: images.phash_bit_stats(_corpus_for(sf)),
+        # label-noise audit: distinct captions per pHash near-dup
+        # cluster (A-axis labels over the B-axis cluster structure)
+        "cluster_caption_consistency":
+            lambda sf: images.cluster_caption_consistency(_corpus_for(sf)),
     }
 
 
@@ -1241,6 +1254,16 @@ def oracle_sql() -> dict[str, str]:
         "caption_langid_hist": _images_mod.caption_langid_hist_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
+        "decontaminate_images": _images_mod.decontaminate_images_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "phash_bit_stats": _images_mod.phash_bit_stats_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "cluster_caption_consistency":
+            _images_mod.cluster_caption_consistency_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

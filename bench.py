@@ -223,6 +223,12 @@ def run_bench() -> dict:
           lambda: images.image_size_quantiles(corpus))
     timed("caption_langid_hist",
           lambda: images.caption_langid_hist(corpus))
+    timed("decontaminate_images",
+          lambda: images.decontaminate_images(corpus))
+    timed("phash_bit_stats",
+          lambda: images.phash_bit_stats(corpus), consume=None)
+    timed("cluster_caption_consistency",
+          lambda: images.cluster_caption_consistency(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

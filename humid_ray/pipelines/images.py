@@ -1648,3 +1648,411 @@ def caption_langid_hist_sql(corpus_glob: str) -> str:
         "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_captions "
         "FROM p GROUP BY lang_pred"
     )
+
+
+# --- eval-set decontamination (image axis) -----------------------------------
+
+class _ContamProbe:
+    """Broadcast eval-side probe state, built ONCE on the driver from
+    the (small) eval split and read per actor:
+
+    - exact tier: eval identity triples (h1, h2, ln) sorted by h1;
+      probes expand h1-run candidates via the repeat/arange segment
+      gather, so equal-h1 digest runs (vanishingly rare but possible)
+      are checked exhaustively — membership is exact on the full
+      128-bit+length composite, never a further-compressed key.
+    - near tier: the sorted np.unique of every eval phash XOR every
+      <= max_distance bit-flip mask (exhaustive by construction, the
+      incremental_image_dedup probe idea with d in {0, 1, 2}) —
+      train membership is one searchsorted per batch.
+    """
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray, ln: np.ndarray,
+                 phash: np.ndarray, max_distance: int):
+        order = np.lexsort((ln, h2, h1))
+        self.h1 = np.ascontiguousarray(h1[order])
+        self.h2 = np.ascontiguousarray(h2[order])
+        self.ln = np.ascontiguousarray(ln[order])
+        ph = np.unique(phash.view(UINT64))
+        masks = [np.zeros(1, dtype=UINT64)]
+        if max_distance >= 1:
+            masks.append(np.uint64(1) << np.arange(64, dtype=UINT64))
+        if max_distance >= 2:
+            i, j = np.triu_indices(64, k=1)
+            masks.append((np.uint64(1) << i.astype(UINT64))
+                         | (np.uint64(1) << j.astype(UINT64)))
+        if max_distance > 2:
+            raise ValueError("max_distance > 2 not supported (probe blowup)")
+        flips = np.concatenate(masks)
+        self.probes = np.unique(
+            (ph[:, None] ^ flips[None, :]).ravel()
+        ) if len(ph) else np.empty(0, dtype=UINT64)
+
+    def exact_member(self, h1: np.ndarray, h2: np.ndarray,
+                     ln: np.ndarray) -> np.ndarray:
+        from humid_ray.util import _gather_segments
+
+        n = len(h1)
+        member = np.zeros(n, dtype=bool)
+        if not len(self.h1) or not n:
+            return member
+        lo = np.searchsorted(self.h1, h1, side="left")
+        hi = np.searchsorted(self.h1, h1, side="right")
+        width = hi - lo
+        cand = np.flatnonzero(width)
+        if not len(cand):
+            return member
+        lens = width[cand]
+        idx = _gather_segments(
+            np.arange(len(self.h1), dtype=np.int64), lo[cand], lens)
+        pi = np.repeat(cand, lens)
+        ok = (self.h2[idx] == h2[pi]) & (self.ln[idx] == ln[pi])
+        member[pi[ok]] = True
+        return member
+
+    def near_member(self, phash: np.ndarray) -> np.ndarray:
+        if not len(self.probes) or not len(phash):
+            return np.zeros(len(phash), dtype=bool)
+        ph = phash.view(UINT64)
+        pos = np.searchsorted(self.probes, ph)
+        pos[pos == len(self.probes)] = 0
+        return self.probes[pos] == ph
+
+
+_DECONTAM_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "exact_contam": pa.array([], type=pa.bool_()),
+    "near_contam": pa.array([], type=pa.bool_()),
+})
+
+
+def decontaminate_images(corpus_dir: str, eval_pct: int = 10,
+                         n_buckets: int = 100, max_distance: int = 1):
+    """(image_id, exact_contam, near_contam) per usable TRAIN row:
+    benchmark decontamination on the image axis — the eval suite's
+    images must not leak into training data, neither byte-identical
+    (re-crawled eval files) nor perceptually (resized / re-encoded
+    eval images within pHash Hamming <= max_distance). The image-side
+    twin of ``dedup_text.decontaminate``. eval/train is the
+    deterministic splitmix64-id-hash split (standing in for the real
+    held-out suite), reusing the ``incremental_image_dedup`` tag
+    kernel with is_new == is_eval.
+
+    Scale shape (the OPPOSITE asymmetry to the daily increment:
+    |eval| is a benchmark suite, thousands of rows, while train is
+    the 10^12-image corpus): the eval side collapses to distinct
+    identities + distinct phashes and BROADCASTS once via ``ray.put``
+    (``dedup_text.decontaminate``'s bench-union pattern); the train
+    side then streams through one shuffle-free membership kernel —
+    no join, no train-side exchange at all. Payloads hash in-batch
+    in the single corpus scan both sides derive from; exact
+    membership is checked on the full 128-bit+length composite
+    (h1-run candidates expanded and verified, never a compressed
+    key); near membership is exhaustive <= max_distance bit-flip
+    probes (no banding recall caveat). Reference parity: the eval
+    probes play trie.find (src/humid.cc:223) against a pre-built
+    index, with the index side tiny and replicated."""
+    tagged = read_corpus(
+        corpus_dir, columns=["image_id", "bytes", "phash"]
+    ).map_batches(
+        _incr_img_tag_kernel(eval_pct, n_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    ev = _side(tagged, True)
+    parts = [
+        b.select(["h1", "h2", "ln", "phash"])
+        for b in ev.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if parts:
+        evt = pa.concat_tables(parts)
+        probe = _ContamProbe(
+            evt.column("h1").to_numpy(zero_copy_only=False),
+            evt.column("h2").to_numpy(zero_copy_only=False),
+            evt.column("ln").to_numpy(zero_copy_only=False),
+            evt.column("phash").to_numpy(zero_copy_only=False),
+            max_distance,
+        )
+    else:
+        probe = _ContamProbe(*(np.empty(0, dtype=np.int64),) * 3,
+                             np.empty(0, dtype=np.int64), max_distance)
+    ref = ray.put(probe)
+
+    class _Screen:
+        def __init__(self):
+            self.probe: _ContamProbe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _DECONTAM_EMPTY
+            h1 = t.column("h1").to_numpy(zero_copy_only=False)
+            h2 = t.column("h2").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            ph = t.column("phash").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "exact_contam": pa.array(self.probe.exact_member(h1, h2, ln)),
+                "near_contam": pa.array(self.probe.near_member(ph)),
+            })
+
+    return _side(tagged, False).map_batches(
+        _Screen, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+def decontaminate_images_sql(corpus_glob: str, eval_pct: int = 10,
+                             n_buckets: int = 100,
+                             max_distance: int = 1) -> str:
+    """DuckDB oracle for ``decontaminate_images``: the same id-hash
+    split chain as ``incremental_image_dedup_sql``, then raw-bytes /
+    bit_count(xor) EXISTS probes against the eval side."""
+    from humid_ray.oracles import _horner_fold, _sm64_cols
+
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(tb) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(tb), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    return (
+        f"WITH c AS (SELECT image_id, bytes, phash, encode(image_id) AS tb "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        f"braw AS (SELECT image_id, bytes, phash, "
+        f"{_horner_fold(byte_list)} AS hraw FROM c), "
+        f"th AS (SELECT image_id, bytes, phash, "
+        f"{_sm64_cols('hraw', 'ih')} FROM braw), "
+        f"split AS (SELECT image_id, bytes, phash, "
+        f"(ih % {n_buckets} < {eval_pct}) AS is_eval FROM th), "
+        "eval_b AS (SELECT DISTINCT bytes FROM split WHERE is_eval), "
+        "eval_p AS (SELECT DISTINCT phash FROM split WHERE is_eval) "
+        "SELECT t.image_id, "
+        "EXISTS(SELECT 1 FROM eval_b e WHERE e.bytes = t.bytes) "
+        "AS exact_contam, "
+        "EXISTS(SELECT 1 FROM eval_p p "
+        f"WHERE bit_count(xor(p.phash, t.phash)) <= {max_distance}) "
+        "AS near_contam "
+        "FROM split t WHERE NOT t.is_eval"
+    )
+
+
+# --- signature-health audit (per-bit pHash statistics) -----------------------
+
+def phash_bit_stats(corpus_dir: str):
+    """(bit, n_ones, n_rows) for every bit 0..63 of the stored pHash
+    over usable rows: the signature-health audit behind the flagship's
+    banding math. The pigeonhole guarantee needs every band to carry
+    entropy — a degenerate bit (always 0 / always 1: a DC term the
+    hash forgot to drop, a stuck encoder) silently concentrates band
+    keys and turns "salted hot buckets" into "every bucket is hot".
+    Run this before trusting a new signature source; n_ones far from
+    n_rows/2 on any bit is the alarm.
+
+    Scale shape: shuffle-free — one streaming pass of per-batch
+    ``np.unpackbits`` partials (a 64-int vector per batch), folded
+    driver-side like ``phash_distance_histogram``; nothing but the
+    64-row report ever leaves the tasks."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"bit": pa.array([], type=pa.int64()),
+               "n_ones": pa.array([], type=pa.int64()),
+               "n_rows": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        # little-endian uint8 view: unpacked column j == bit j (the
+        # value of (phash >> j) & 1)
+        bits = np.unpackbits(
+            np.ascontiguousarray(ph.view(UINT64)).view(np.uint8)
+            .reshape(-1, 8),
+            axis=1, bitorder="little",
+        )
+        ones = bits.sum(axis=0, dtype=np.int64)
+        return pa.table({
+            "bit": pa.array(np.arange(64, dtype=np.int64)),
+            "n_ones": pa.array(ones),
+            "n_rows": pa.array(
+                np.full(64, batch.num_rows, dtype=np.int64)),
+        })
+
+    # fold keyed on the carried bit column — iter_batches re-batches
+    # freely (concatenating / splitting partials), so positional
+    # alignment cannot be assumed
+    acc = np.zeros(64, dtype=np.int64)
+    rows = np.zeros(64, dtype=np.int64)
+    for b in read_corpus(corpus_dir, columns=["phash"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        bit = b.column("bit").to_numpy(zero_copy_only=False)
+        np.add.at(acc, bit, b.column("n_ones").to_numpy(zero_copy_only=False))
+        np.add.at(rows, bit,
+                  b.column("n_rows").to_numpy(zero_copy_only=False))
+    n_rows = int(rows[0])
+    return ray.data.from_arrow(pa.table({
+        "bit": pa.array(np.arange(64, dtype=np.int64)),
+        "n_ones": pa.array(acc),
+        "n_rows": pa.array(np.full(64, n_rows, dtype=np.int64)),
+    }))
+
+
+def phash_bit_stats_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``phash_bit_stats``. DuckDB's ``>>`` on
+    BIGINT is a logical (zero-fill) shift, so ``(phash >> bit) & 1``
+    extracts every bit including the sign bit; the LEFT JOIN keeps
+    all 64 report rows even over an empty corpus."""
+    return (
+        "WITH u AS (SELECT phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL) "
+        "SELECT jj AS bit, "
+        "CAST(coalesce(sum((phash >> CAST(jj AS INTEGER)) & 1), 0) "
+        "AS BIGINT) AS n_ones, "
+        "CAST(count(phash) AS BIGINT) AS n_rows "
+        "FROM range(0, 64) t(jj) LEFT JOIN u ON TRUE GROUP BY jj"
+    )
+
+
+# --- label-noise audit: caption consistency per near-dup cluster -------------
+
+def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
+    """(n_captions, n_clusters): how many pHash near-dup clusters
+    carry exactly n distinct captions — the label-noise audit of an
+    image+caption corpus. A multi-caption cluster is the same picture
+    labeled differently across crawls (contradictory supervision —
+    and the cluster representative silently picks ONE of them); the
+    histogram says whether that is a corner case or the corpus norm.
+    Joins the A axis (caption) onto the B-axis cluster structure —
+    the report-side complement of ``caption_phash_neardup``.
+
+    Scale shape: captions never shuffle — each batch collapses to
+    batch-distinct (phash, caption-hash) pairs via one C-speed Arrow
+    ``group_by``; clusters come from the flagship chain over DISTINCT
+    phashes (uniq collapse -> counting pre-pass -> salted banded LSH
+    -> connected components), labels broadcast once (edge-bounded);
+    the remaining exchanges carry two-int64 rows bounded by the
+    distinct-pair count, never the corpus. Caption identity is the
+    64-bit ``hash_string_column`` digest; a collision would
+    undercount n_captions (probability ~pairs^2/2^65 within one
+    cluster; the DuckDB oracle counts the raw strings and would
+    surface it at test scale)."""
+    from humid_ray.stages.joins import hash_string_column
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        out = {"phash": pa.array([], type=pa.int64()),
+               "caphash": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        ch = hash_string_column(
+            pc.fill_null(batch.column("caption"), "").combine_chunks()
+        )
+        t = pa.table({
+            "phash": batch.column("phash"),
+            "caphash": pa.array(ch.view(np.int64)),
+        })
+        return t.group_by(["phash", "caphash"]).aggregate([]).select(
+            ["phash", "caphash"])
+
+    # batch-distinct -> globally distinct (phash, caphash) pairs
+    pairs = read_corpus(
+        corpus_dir, columns=["phash", "caption"]
+    ).map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["phash", "caphash"]).aggregate(Count()).select_columns(
+        ["phash", "caphash"]
+    ).materialize()
+
+    # flagship cluster graph over the DISTINCT phashes
+    uniq_ds = pairs.groupby("phash").aggregate(
+        Count(alias_name="count")
+    ).map_batches(
+        lambda t: pa.table({"sig": t.column("phash"),
+                            "count": t.column("count")}),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
+    comp = connected_components(edges, cfg)
+
+    parts = [
+        (b.column("sig").to_numpy(zero_copy_only=False),
+         b.column("comp").to_numpy(zero_copy_only=False))
+        for b in comp.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if parts:
+        sig_arr = np.concatenate([p[0] for p in parts])
+        lab_arr = np.concatenate([p[1] for p in parts])
+        order = np.argsort(sig_arr, kind="stable")
+        sig_arr, lab_arr = sig_arr[order], lab_arr[order]
+    else:
+        sig_arr = np.empty(0, dtype=np.int64)
+        lab_arr = np.empty(0, dtype=np.int64)
+    ref = ray.put((sig_arr, lab_arr))
+
+    def label_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "caphash": pa.array([], type=pa.int64())})
+        keys, labs = ray.get(ref)
+        lab = t.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.int64).copy()
+        if len(keys):
+            pos = np.searchsorted(keys, lab)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == lab
+            lab[hit] = labs[pos[hit]]
+        return pa.table({"label": pa.array(lab),
+                         "caphash": t.column("caphash")})
+
+    # distinct (label, caption) per cluster -> captions per cluster ->
+    # histogram; every exchange is two int64 columns, edge-bounded
+    percl = (
+        pairs.map_batches(label_kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(["label", "caphash"]).aggregate(Count())
+        .groupby("label").aggregate(Count(alias_name="n_captions"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "n_captions": pa.array([], type=pa.int64()),
+                "n_clusters": pa.array([], type=pa.int64())})
+        return pa.table({"n_captions": t.column("n_captions"),
+                         "n_clusters": t.column("count()")})
+
+    return percl.groupby("n_captions").aggregate(Count()).map_batches(
+        finish, batch_format="pyarrow")
+
+
+def cluster_caption_consistency_sql(corpus_glob: str,
+                                    max_distance: int = 1) -> str:
+    """DuckDB oracle for ``cluster_caption_consistency``: recursive
+    Hamming closure over distinct phash (the ``curate_images_sql``
+    chain), count(DISTINCT caption) per component, histogram."""
+    return (
+        "WITH RECURSIVE u AS (SELECT coalesce(caption, '') AS caption, "
+        f"phash FROM read_parquet('{corpus_glob}') "
+        "WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT m.label, c.caption FROM u c "
+        "JOIN comp m ON m.sig = c.phash), "
+        "percl AS (SELECT label, "
+        "CAST(count(DISTINCT caption) AS BIGINT) AS n_captions "
+        "FROM lab GROUP BY label) "
+        "SELECT n_captions, CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM percl GROUP BY n_captions"
+    )

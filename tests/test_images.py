@@ -743,3 +743,232 @@ def test_caption_langid_hist_empty(ray_session, tmp_path):
 
     corpus = _corpus(tmp_path, [])
     assert caption_langid_hist(corpus).count() == 0
+
+
+# --- eval-set decontamination (image axis) ----------------------------------
+
+def test_decontaminate_images_oracle_and_bruteforce(ray_session, tmp_path):
+    """Engine == DuckDB oracle == an independent numpy brute force on
+    the planted incremental-dedup corpus (byte-dup groups, Hamming-1
+    phash pairs, null phash)."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        decontaminate_images, decontaminate_images_sql,
+    )
+    from humid_ray.stages.joins import hash_string_column
+
+    rng = np.random.default_rng(23)
+    rows = _incr_rows(rng)
+    corpus = _corpus(tmp_path, rows)
+    out = (decontaminate_images(corpus, eval_pct=40, n_buckets=100)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        decontaminate_images_sql(f"{corpus}/*.parquet",
+                                 eval_pct=40, n_buckets=100)
+    ).df().sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == oracle.image_id.tolist()
+    assert out.exact_contam.tolist() == oracle.exact_contam.tolist()
+    assert out.near_contam.tolist() == oracle.near_contam.tolist()
+
+    # independent brute force (no SQL, no engine machinery)
+    usable = [r for r in rows if r[2] is not None]
+    ids = pa.array([r[0] for r in usable], type=pa.string())
+    is_eval = (hash_string_column(ids) % np.uint64(100)) < np.uint64(40)
+    ev = [r for r, m in zip(usable, is_eval) if m]
+    tr = [r for r, m in zip(usable, is_eval) if not m]
+    assert len(ev) > 5 and len(tr) > 5  # both sides exercised
+    ev_bytes = {r[1] for r in ev}
+    ev_ph = {r[2] for r in ev}
+    expect = {
+        rid: (payload in ev_bytes,
+              any(bin((p ^ ph) & (2**64 - 1)).count("1") <= 1
+                  for p in ev_ph))
+        for rid, payload, ph in tr
+    }
+    assert set(out.image_id) == set(expect)
+    for _, r in out.iterrows():
+        assert (r.exact_contam, r.near_contam) == expect[r.image_id], \
+            r.image_id
+    # the planted corpus must actually exercise both contamination
+    # tiers (byte-dup groups + Hamming-1 pairs straddle the split)
+    assert out.exact_contam.any() and out.near_contam.any()
+
+
+def test_decontaminate_images_distance2_bruteforce(ray_session, tmp_path):
+    """max_distance=2 probes (the triu pair masks) vs brute force."""
+    from humid_ray.pipelines.images import decontaminate_images
+    from humid_ray.stages.joins import hash_string_column
+
+    rng = np.random.default_rng(31)
+    rows = _incr_rows(rng, n=40)
+    corpus = _corpus(tmp_path, rows)
+    out = (decontaminate_images(corpus, eval_pct=40, n_buckets=100,
+                                max_distance=2)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    usable = [r for r in rows if r[2] is not None]
+    ids = pa.array([r[0] for r in usable], type=pa.string())
+    is_eval = (hash_string_column(ids) % np.uint64(100)) < np.uint64(40)
+    ev_ph = {r[2] for r, m in zip(usable, is_eval) if m}
+    tr = [r for r, m in zip(usable, is_eval) if not m]
+    expect = {rid: any(bin((p ^ ph) & (2**64 - 1)).count("1") <= 2
+                       for p in ev_ph)
+              for rid, _, ph in tr}
+    assert dict(zip(out.image_id, out.near_contam)) == expect
+
+
+def test_decontaminate_images_degenerate_splits(ray_session, tmp_path):
+    """eval_pct=0 -> empty eval -> nothing contaminated;
+    eval_pct=100 -> empty train -> empty output; distance>2 raises."""
+    import pytest as _pytest
+
+    from humid_ray.pipelines.images import decontaminate_images
+
+    corpus = _corpus(tmp_path, ROWS)
+    out = (decontaminate_images(corpus, eval_pct=0)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == ["img_a", "img_b", "img_c", "img_d"]
+    assert not out.exact_contam.any() and not out.near_contam.any()
+    assert decontaminate_images(corpus, eval_pct=100).count() == 0
+    with _pytest.raises(ValueError):
+        decontaminate_images(corpus, max_distance=3).count()
+
+
+def test_decontaminate_images_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import decontaminate_images
+
+    corpus = _corpus(tmp_path, [])
+    assert decontaminate_images(corpus).count() == 0
+
+
+# --- signature-health audit (per-bit pHash statistics) -----------------------
+
+def test_phash_bit_stats_planted(ray_session, tmp_path):
+    """Hand-checkable bit counts incl. the int64 sign bit, plus
+    DuckDB parity on the same corpus."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        phash_bit_stats, phash_bit_stats_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", -1),      # all 64 bits set
+        ("img_b", b"\x02", 0),       # no bits
+        ("img_c", b"\x03", 0x10),    # bit 4 only
+        ("img_d", b"", None),        # unusable, excluded
+    ]
+    corpus = _corpus(tmp_path, rows)
+    out = (phash_bit_stats(corpus).to_pandas()
+           .sort_values("bit").reset_index(drop=True))
+    assert out.bit.tolist() == list(range(64))
+    assert (out.n_rows == 3).all()
+    expect = [2 if b == 4 else 1 for b in range(64)]
+    assert out.n_ones.tolist() == expect
+
+    oracle = (duckdb.sql(phash_bit_stats_sql(f"{corpus}/*.parquet")).df()
+              .sort_values("bit").reset_index(drop=True))
+    assert out.bit.tolist() == oracle.bit.tolist()
+    assert out.n_ones.tolist() == oracle.n_ones.tolist()
+    assert out.n_rows.tolist() == oracle.n_rows.tolist()
+
+
+def test_phash_bit_stats_random_vs_numpy(ray_session, tmp_path):
+    """Random multi-row corpus vs a direct numpy popcount-per-bit."""
+    from humid_ray.pipelines.images import phash_bit_stats
+
+    rng = np.random.default_rng(7)
+    ph = rng.integers(-2**63, 2**63, 500, dtype=np.int64)
+    rows = [(f"img_{i:04d}", bytes([i % 256]), int(p))
+            for i, p in enumerate(ph)]
+    corpus = _corpus(tmp_path, rows)
+    out = (phash_bit_stats(corpus).to_pandas()
+           .sort_values("bit").reset_index(drop=True))
+    expect = [int(((ph.view(np.uint64) >> np.uint64(b))
+                   & np.uint64(1)).sum()) for b in range(64)]
+    assert out.n_ones.tolist() == expect
+    assert (out.n_rows == 500).all()
+
+
+def test_phash_bit_stats_empty(ray_session, tmp_path):
+    """Empty corpus still yields the full 64-row report (all zero)."""
+    from humid_ray.pipelines.images import phash_bit_stats
+
+    corpus = _corpus(tmp_path, [])
+    out = (phash_bit_stats(corpus).to_pandas()
+           .sort_values("bit").reset_index(drop=True))
+    assert out.bit.tolist() == list(range(64))
+    assert (out.n_ones == 0).all() and (out.n_rows == 0).all()
+
+
+# --- label-noise audit: captions per near-dup cluster ------------------------
+
+def test_cluster_caption_consistency_planted(ray_session, tmp_path):
+    """Planted clusters with known caption multiplicity, plus DuckDB
+    parity: {0x10,0x11} carries 2 captions, 0xF0 carries 1, 0x200
+    carries 2 (two rows, two captions); null phash excluded."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        cluster_caption_consistency, cluster_caption_consistency_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", 0x10, "capX"),
+        ("img_b", b"\x02", 0x10, "capX"),     # same caption, same phash
+        ("img_c", b"\x03", 0x11, "capY"),     # Hamming-1 neighbor
+        ("img_d", b"\x04", 0xF0, "capZ"),     # isolated, 1 caption
+        ("img_e", b"\x05", 0x200, "capP"),    # isolated phash ...
+        ("img_f", b"\x06", 0x200, "capQ"),    # ... with 2 captions
+        ("img_g", b"", None, "capN"),         # unusable
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (cluster_caption_consistency(corpus).to_pandas()
+           .sort_values("n_captions").reset_index(drop=True))
+    assert dict(zip(out.n_captions, out.n_clusters)) == {1: 1, 2: 2}
+
+    oracle = (duckdb.sql(
+        cluster_caption_consistency_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("n_captions").reset_index(drop=True))
+    assert out.n_captions.tolist() == oracle.n_captions.tolist()
+    assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
+
+
+def test_cluster_caption_consistency_null_caption(ray_session, tmp_path):
+    """Null and empty captions coalesce to the same '' identity on
+    both engine and oracle sides."""
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    from humid_ray.pipelines.images import (
+        cluster_caption_consistency, cluster_caption_consistency_sql,
+    )
+
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c"], type=pa.string()),
+        "bytes": pa.array([b"\x01", b"\x02", b"\x03"], type=pa.binary()),
+        "w": pa.array([4, 4, 4], type=pa.int32()),
+        "h": pa.array([4, 4, 4], type=pa.int32()),
+        "fmt": pa.array(["png"] * 3, type=pa.string()),
+        "caption": pa.array([None, "", "x"], type=pa.string()),
+        "phash": pa.array([0x40, 0x40, 0x41], type=pa.int64()),
+    })
+    d = tmp_path / "corpus_null"
+    d.mkdir()
+    _pq.write_table(t, d / "part-0.parquet")
+    out = (cluster_caption_consistency(str(d)).to_pandas()
+           .sort_values("n_captions").reset_index(drop=True))
+    # one cluster {0x40, 0x41}; captions {'', 'x'} (null == '')
+    assert dict(zip(out.n_captions, out.n_clusters)) == {2: 1}
+    oracle = (duckdb.sql(
+        cluster_caption_consistency_sql(f"{d}/*.parquet")
+    ).df().sort_values("n_captions").reset_index(drop=True))
+    assert out.n_captions.tolist() == oracle.n_captions.tolist()
+    assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
+
+
+def test_cluster_caption_consistency_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import cluster_caption_consistency
+
+    corpus = _corpus_cap(tmp_path, [])
+    assert cluster_caption_consistency(corpus).count() == 0
