@@ -728,6 +728,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster (A-axis labels over the B-axis cluster structure)
         "cluster_caption_consistency":
             lambda sf: images.cluster_caption_consistency(_corpus_for(sf)),
+        # capacity planning: rows/bytes reclaimed per format by the
+        # quality-aware keep-best dedup
+        "dedup_storage_savings":
+            lambda sf: images.dedup_storage_savings(_corpus_for(sf)),
+        # chaining audit: max intra-cluster Hamming distance histogram
+        # (transitive closure can merge A-B-C with Hamming(A,C)=2d)
+        "cluster_diameter_hist":
+            lambda sf: images.cluster_diameter_hist(_corpus_for(sf)),
     }
 
 
@@ -1264,6 +1272,12 @@ def oracle_sql() -> dict[str, str]:
             _images_mod.cluster_caption_consistency_sql(
                 _corpus_for("sf0.01") + "/*.parquet"
             ),
+        "dedup_storage_savings": _images_mod.dedup_storage_savings_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "cluster_diameter_hist": _images_mod.cluster_diameter_hist_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

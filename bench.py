@@ -229,6 +229,10 @@ def run_bench() -> dict:
           lambda: images.phash_bit_stats(corpus), consume=None)
     timed("cluster_caption_consistency",
           lambda: images.cluster_caption_consistency(corpus))
+    timed("dedup_storage_savings",
+          lambda: images.dedup_storage_savings(corpus))
+    timed("cluster_diameter_hist",
+          lambda: images.cluster_diameter_hist(corpus), consume=None)
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

@@ -2056,3 +2056,230 @@ def cluster_caption_consistency_sql(corpus_glob: str,
         "SELECT n_captions, CAST(count(*) AS BIGINT) AS n_clusters "
         "FROM percl GROUP BY n_captions"
     )
+
+
+# --- storage-savings report (bytes reclaimed by the keep-best dedup) ---------
+
+_SAVINGS_EMPTY = pa.table({
+    "fmt": pa.array([], type=pa.string()),
+    "rows_kept": pa.array([], type=pa.int64()),
+    "rows_removed": pa.array([], type=pa.int64()),
+    "bytes_kept": pa.array([], type=pa.int64()),
+    "bytes_removed": pa.array([], type=pa.int64()),
+})
+
+
+def dedup_storage_savings(corpus_dir: str):
+    """(fmt, rows_kept, rows_removed, bytes_kept, bytes_removed): what
+    the quality-aware dedup actually reclaims, per encoded format —
+    the capacity-planning number behind a 100 TB dedup run ("the jpeg
+    tier shrinks 38%, the png tier 4%"). Keep decisions are exactly
+    ``curate_images_keep_best``'s (usable gate -> byte-exact canonical
+    -> pHash Hamming cluster, keep = largest payload, tie min id);
+    scope is usable rows (non-NULL stored phash), like every curate
+    operator.
+
+    Scale shape: the keep-list side collapses to ONE image_id per
+    cluster (the keep rows), pulled bounded and broadcast once via
+    ``ray.put`` — the same |labels|-bounded driver pull the curate
+    family already makes; the corpus side then streams through a
+    shuffle-free membership + per-batch (fmt, keep) Arrow group_by
+    combiner, byte lengths from the Arrow offsets (payload never
+    copied, never shuffled); the global exchange moves |fmt|x2-row
+    partials. At 10^12 rows the keep side would read the curate
+    keep-list checkpoint instead of re-deriving it by lineage."""
+    kb = curate_images_keep_best(corpus_dir)
+    rep_parts = []
+    for b in kb.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            rep_parts.append(b.filter(b.column("keep")).column("image_id"))
+    reps = (pa.concat_arrays([c for ca in rep_parts for c in ca.chunks])
+            if rep_parts else pa.array([], type=pa.string()))
+    ref = ray.put(reps)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"fmt": pa.array([], type=pa.string()),
+               "keep": pa.array([], type=pa.bool_()),
+               "n": pa.array([], type=pa.int64()),
+               "b": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        keep_ids = ray.get(ref)
+        _, offs = _flat_binary(batch.column("bytes"))
+        t = pa.table({
+            "fmt": batch.column("fmt"),
+            "keep": pc.is_in(batch.column("image_id"),
+                             value_set=keep_ids),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+        })
+        g = t.group_by(["fmt", "keep"]).aggregate(
+            [("ln", "sum"), ("ln", "count")])
+        return pa.table({"fmt": g.column("fmt"), "keep": g.column("keep"),
+                         "n": g.column("ln_count"),
+                         "b": g.column("ln_sum")})
+
+    def pivot(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SAVINGS_EMPTY
+        keep = g.column("keep").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fmt": g.column("fmt").slice(0, 1),
+            "rows_kept": pa.array([int(n[keep].sum())], type=pa.int64()),
+            "rows_removed": pa.array([int(n[~keep].sum())],
+                                     type=pa.int64()),
+            "bytes_kept": pa.array([int(b[keep].sum())], type=pa.int64()),
+            "bytes_removed": pa.array([int(b[~keep].sum())],
+                                      type=pa.int64()),
+        })
+
+    return (
+        read_corpus(corpus_dir,
+                    columns=["image_id", "fmt", "bytes", "phash"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fmt")
+        .map_groups(pivot, batch_format="pyarrow")
+    )
+
+
+def dedup_storage_savings_sql(corpus_glob: str,
+                              max_distance: int = 1) -> str:
+    """DuckDB oracle for ``dedup_storage_savings``: the
+    ``curate_images_keep_best`` closure + window, folded to per-format
+    row/byte sums."""
+    return (
+        "WITH RECURSIVE u AS (SELECT image_id, bytes, fmt, phash, "
+        "CAST(octet_length(bytes) AS BIGINT) AS ln "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "k AS (SELECT c.fmt, c.ln, c.image_id = first_value(c.image_id) "
+        "OVER (PARTITION BY m.label ORDER BY c.ln DESC, c.image_id) "
+        "AS keep FROM u c JOIN comp m ON m.sig = c.phash) "
+        "SELECT fmt, "
+        "CAST(count(*) FILTER (keep) AS BIGINT) AS rows_kept, "
+        "CAST(count(*) FILTER (NOT keep) AS BIGINT) AS rows_removed, "
+        "CAST(coalesce(sum(ln) FILTER (keep), 0) AS BIGINT) AS bytes_kept, "
+        "CAST(coalesce(sum(ln) FILTER (NOT keep), 0) AS BIGINT) "
+        "AS bytes_removed "
+        "FROM k GROUP BY fmt"
+    )
+
+
+# --- chaining audit: near-dup cluster diameter histogram ---------------------
+
+def cluster_diameter_hist(corpus_dir: str, max_distance: int = 1):
+    """(diameter, n_clusters): histogram of the max pairwise Hamming
+    distance WITHIN each pHash near-dup cluster — the chaining audit.
+    Transitive closure over <=d edges happily merges A-B-C where
+    Hamming(A, C) = 2d; a heavy tail here means clusters are chains of
+    barely-related images and the single kept representative is
+    discarding non-duplicates. Singleton clusters report diameter 0.
+
+    Scale shape: runs entirely on the DISTINCT-phash cluster table
+    (uniq collapse -> counting pre-pass -> salted banded LSH ->
+    distributed CC — the flagship chain, edge-bounded and tiny
+    relative to the corpus); the per-cluster all-pairs max is
+    inherently quadratic IN THE CLUSTER, computed as chunked
+    vectorized XOR+popcount inside one map_groups kernel per label
+    (memory bounded by chunk x members, never materializing the full
+    pair matrix); the final exchange is one int64 per cluster."""
+    from ray.data.aggregate import Count as _Count
+
+    from humid_ray.util import popcount64
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+
+    ph = read_corpus(corpus_dir, columns=["phash"])
+
+    def usable_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    uniq_ds = (
+        ph.map_batches(usable_only, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("phash").aggregate(_Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    n_uniq = uniq_ds.count()
+    empty = pa.table({"diameter": pa.array([], type=pa.int64()),
+                      "n_clusters": pa.array([], type=pa.int64())})
+    if n_uniq == 0:
+        return ray.data.from_arrow(empty)
+
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
+    comp = connected_components(edges, cfg).materialize()
+    n_touched = comp.count()
+
+    def diam_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"diameter": pa.array([], type=pa.int64())})
+        sigs = np.ascontiguousarray(
+            g.column("sig").to_numpy(zero_copy_only=False)).view(UINT64)
+        best = 0
+        for lo in range(0, len(sigs), 512):
+            chunk = sigs[lo:lo + 512]
+            d = popcount64(chunk[:, None] ^ sigs[None, :])
+            best = max(best, int(d.max()))
+        return pa.table({"diameter": pa.array([best], type=pa.int64())})
+
+    hist: dict[int, int] = {}
+    if n_touched:
+        per = (comp.groupby("comp").map_groups(
+            diam_kernel, batch_format="pyarrow")
+            .groupby("diameter").aggregate(_Count(alias_name="n")))
+        for b in per.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for d, n in zip(b.column("diameter").to_pylist(),
+                            b.column("n").to_pylist()):
+                hist[int(d)] = hist.get(int(d), 0) + int(n)
+    n_single = n_uniq - n_touched
+    if n_single:
+        hist[0] = hist.get(0, 0) + n_single
+    ds = sorted(hist)
+    return ray.data.from_arrow(pa.table({
+        "diameter": pa.array(ds, type=pa.int64()),
+        "n_clusters": pa.array([hist[d] for d in ds], type=pa.int64()),
+    }))
+
+
+def cluster_diameter_hist_sql(corpus_glob: str,
+                              max_distance: int = 1) -> str:
+    """DuckDB oracle for ``cluster_diameter_hist``: recursive Hamming
+    closure over distinct phash, max pairwise bit_count per component
+    (LEFT JOIN keeps singletons at diameter 0), histogram."""
+    return (
+        "WITH RECURSIVE u AS (SELECT phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "diam AS (SELECT a.label, "
+        "max(bit_count(xor(a.sig, b.sig))) AS d "
+        "FROM comp a JOIN comp b ON a.label = b.label AND a.sig < b.sig "
+        "GROUP BY a.label), "
+        "percl AS (SELECT label FROM comp GROUP BY label) "
+        "SELECT CAST(coalesce(d.d, 0) AS BIGINT) AS diameter, "
+        "CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM percl p LEFT JOIN diam d ON d.label = p.label "
+        "GROUP BY diameter"
+    )

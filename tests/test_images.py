@@ -972,3 +972,139 @@ def test_cluster_caption_consistency_empty(ray_session, tmp_path):
 
     corpus = _corpus_cap(tmp_path, [])
     assert cluster_caption_consistency(corpus).count() == 0
+
+
+# --- storage-savings report --------------------------------------------------
+
+def test_dedup_storage_savings_planted(ray_session, tmp_path):
+    """Hand-checkable per-format row/byte sums, DuckDB parity, and
+    internal consistency with curate_images_keep_best's keep flags."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        dedup_storage_savings, dedup_storage_savings_sql,
+    )
+
+    rows = [
+        # _corpus_cap fmt: i=0 jpeg, 1 png, 2 jpeg, 3 png, 4 jpeg
+        ("img_a", b"\x01\x02\x03\x04", 0x10, "ca"),       # jpeg, removed
+        ("img_b", b"\x01\x02\x03\x04", 0x10, "cb"),       # png, removed
+        ("img_c", b"\x05\x06\x07\x08\x09\x0a", 0x11, "cc"),  # jpeg, keeper
+        ("img_d", b"\x99\x99", 0xF0, "cd"),               # png, keeper
+        ("img_e", b"", None, "ce"),                        # jpeg, excluded
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (dedup_storage_savings(corpus).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    assert out.fmt.tolist() == ["jpeg", "png"]
+    assert out.rows_kept.tolist() == [1, 1]
+    assert out.rows_removed.tolist() == [1, 1]
+    assert out.bytes_kept.tolist() == [6, 2]
+    assert out.bytes_removed.tolist() == [4, 4]
+
+    oracle = (duckdb.sql(
+        dedup_storage_savings_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("fmt").reset_index(drop=True))
+    for col in ("fmt", "rows_kept", "rows_removed",
+                "bytes_kept", "bytes_removed"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_dedup_storage_savings_randomized(ray_session, tmp_path):
+    """Randomized corpus vs the DuckDB oracle (clusters, byte-dups,
+    nulls all present)."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        dedup_storage_savings, dedup_storage_savings_sql,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = _incr_rows(rng, n=80)
+    corpus = _corpus(tmp_path, rows)
+    out = (dedup_storage_savings(corpus).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        dedup_storage_savings_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("fmt").reset_index(drop=True))
+    for col in ("fmt", "rows_kept", "rows_removed",
+                "bytes_kept", "bytes_removed"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+    # totals reconcile with the keep-best keep-list itself
+    from humid_ray.pipelines.images import curate_images_keep_best
+    kb = curate_images_keep_best(corpus).to_pandas()
+    assert out.rows_kept.sum() == int(kb.keep.sum())
+    assert out.rows_removed.sum() == int((~kb.keep).sum())
+
+
+def test_dedup_storage_savings_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import dedup_storage_savings
+
+    corpus = _corpus_cap(tmp_path, [])
+    assert dedup_storage_savings(corpus).count() == 0
+
+
+# --- chaining audit: cluster diameter histogram -------------------------------
+
+def test_cluster_diameter_hist_planted(ray_session, tmp_path):
+    """Chain 0x00-0x01-0x03 closes at diameter 2 under distance-1
+    edges (the chaining artifact this audit exists to expose); a
+    Hamming-1 pair reports 1; an isolated sig reports 0."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        cluster_diameter_hist, cluster_diameter_hist_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", 0x00, "c"),
+        ("img_b", b"\x02", 0x01, "c"),     # 1 from a
+        ("img_c", b"\x03", 0x03, "c"),     # 1 from b, 2 from a
+        ("img_d", b"\x04", 0xF0, "c"),     # isolated (>=3 from all)
+        ("img_e", b"\x05", 0x3C0, "c"),
+        ("img_f", b"\x06", 0x3C1, "c"),    # pair at 1 (>=4 from chain)
+        ("img_g", b"", None, "c"),          # unusable
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (cluster_diameter_hist(corpus).to_pandas()
+           .sort_values("diameter").reset_index(drop=True))
+    assert dict(zip(out.diameter, out.n_clusters)) == {0: 1, 1: 1, 2: 1}
+
+    oracle = (duckdb.sql(
+        cluster_diameter_hist_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("diameter").reset_index(drop=True))
+    assert out.diameter.tolist() == oracle.diameter.tolist()
+    assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
+
+
+def test_cluster_diameter_hist_randomized(ray_session, tmp_path):
+    """Random low-entropy phashes (dense Hamming graph) vs DuckDB."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        cluster_diameter_hist, cluster_diameter_hist_sql,
+    )
+
+    rng = np.random.default_rng(43)
+    # 6-bit space forces many collisions, chains, and multi-node
+    # clusters at distance 1
+    ph = rng.integers(0, 64, 90)
+    rows = [(f"img_{i:04d}", bytes([i % 256]), int(p))
+            for i, p in enumerate(ph)]
+    corpus = _corpus(tmp_path, rows)
+    out = (cluster_diameter_hist(corpus).to_pandas()
+           .sort_values("diameter").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        cluster_diameter_hist_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("diameter").reset_index(drop=True))
+    assert out.diameter.tolist() == oracle.diameter.tolist()
+    assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
+    # chaining must actually occur in this corpus for the test to bite
+    assert out.diameter.max() > 1
+
+
+def test_cluster_diameter_hist_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import cluster_diameter_hist
+
+    corpus = _corpus_cap(tmp_path, [])
+    assert cluster_diameter_hist(corpus).count() == 0
