@@ -736,6 +736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (transitive closure can merge A-B-C with Hamming(A,C)=2d)
         "cluster_diameter_hist":
             lambda sf: images.cluster_diameter_hist(_corpus_for(sf)),
+        # A/B-axis agreement: pairs sharing caption vs pHash cluster
+        # (pure C(n,2) counting, no pair ever materialized)
+        "caption_cluster_agreement":
+            lambda sf: images.caption_cluster_agreement(_corpus_for(sf)),
     }
 
 
@@ -1278,6 +1282,10 @@ def oracle_sql() -> dict[str, str]:
         "cluster_diameter_hist": _images_mod.cluster_diameter_hist_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
+        "caption_cluster_agreement":
+            _images_mod.caption_cluster_agreement_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

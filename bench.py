@@ -233,6 +233,8 @@ def run_bench() -> dict:
           lambda: images.dedup_storage_savings(corpus))
     timed("cluster_diameter_hist",
           lambda: images.cluster_diameter_hist(corpus), consume=None)
+    timed("caption_cluster_agreement",
+          lambda: images.caption_cluster_agreement(corpus), consume=None)
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

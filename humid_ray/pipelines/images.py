@@ -1916,6 +1916,27 @@ def phash_bit_stats_sql(corpus_glob: str) -> str:
 
 # --- label-noise audit: caption consistency per near-dup cluster -------------
 
+def _phash_label_arrays(uniq_ds, cfg: HumidConfig):
+    """DISTINCT-phash uniq (sig, count) Dataset -> (sig_arr, lab_arr):
+    sorted-by-sig numpy int64 arrays mapping each EDGE-TOUCHED sig to
+    its component label (untouched singletons are absent — probe with
+    searchsorted and fall back to the sig itself). Edge-bounded driver
+    pull; callers ``ray.put`` the tuple and probe per batch."""
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
+    comp = connected_components(edges, cfg)
+    parts = [
+        (b.column("sig").to_numpy(zero_copy_only=False),
+         b.column("comp").to_numpy(zero_copy_only=False))
+        for b in comp.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if parts:
+        sig_arr = np.concatenate([p[0] for p in parts])
+        lab_arr = np.concatenate([p[1] for p in parts])
+        order = np.argsort(sig_arr, kind="stable")
+        return sig_arr[order], lab_arr[order]
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+
 def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
     """(n_captions, n_clusters): how many pHash near-dup clusters
     carry exactly n distinct captions — the label-noise audit of an
@@ -1977,23 +1998,7 @@ def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
                             "count": t.column("count")}),
         batch_format="pyarrow",
     ).materialize()
-    edges = _edges_with_hot_salting(uniq_ds, cfg)
-    comp = connected_components(edges, cfg)
-
-    parts = [
-        (b.column("sig").to_numpy(zero_copy_only=False),
-         b.column("comp").to_numpy(zero_copy_only=False))
-        for b in comp.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    if parts:
-        sig_arr = np.concatenate([p[0] for p in parts])
-        lab_arr = np.concatenate([p[1] for p in parts])
-        order = np.argsort(sig_arr, kind="stable")
-        sig_arr, lab_arr = sig_arr[order], lab_arr[order]
-    else:
-        sig_arr = np.empty(0, dtype=np.int64)
-        lab_arr = np.empty(0, dtype=np.int64)
-    ref = ray.put((sig_arr, lab_arr))
+    ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
 
     def label_kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -2282,4 +2287,161 @@ def cluster_diameter_hist_sql(corpus_glob: str,
         "CAST(count(*) AS BIGINT) AS n_clusters "
         "FROM percl p LEFT JOIN diam d ON d.label = p.label "
         "GROUP BY diameter"
+    )
+
+
+# --- A/B-axis agreement: caption identity vs pHash cluster -------------------
+
+def caption_cluster_agreement(corpus_dir: str, max_distance: int = 1):
+    """(relation, n_pairs) with relation in {both, caption_only,
+    cluster_only}: of all unordered usable-row pairs related on EITHER
+    axis, how many share a caption AND a pHash near-dup cluster, how
+    many share only the caption (same label, visually unrelated — the
+    stock-photo-caption smell), and how many share only the cluster
+    (same picture, different labels — the supervision-noise smell).
+    The summary-number complement of ``caption_phash_neardup`` (which
+    emits the joint pairs) and ``cluster_caption_consistency`` (the
+    per-cluster histogram).
+
+    Scale shape: NO pair is ever materialized — every count is a
+    sum of C(n, 2) over group sizes. One corpus scan collapses to
+    distinct (caption-hash, phash) counts via per-batch Arrow
+    group_by; cluster labels come from the flagship chain over
+    DISTINCT phashes and broadcast once; the three pair-sums fold
+    from the (label, caphash, n) table via three tiny aggregations
+    (distinct-pair-bounded, never the corpus). C(n, 2) stays inside
+    int64 for any group under ~4.3e9 rows — beyond any real caption
+    or cluster multiplicity; the BIGINT oracle shares the bound.
+    Caption identity is the 64-bit ``hash_string_column`` digest
+    (collision caveat as ``cluster_caption_consistency``)."""
+    from ray.data.aggregate import Sum
+
+    from humid_ray.stages.joins import hash_string_column
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        out = {"phash": pa.array([], type=pa.int64()),
+               "caphash": pa.array([], type=pa.int64()),
+               "n": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        ch = hash_string_column(
+            pc.fill_null(batch.column("caption"), "").combine_chunks()
+        )
+        t = pa.table({
+            "phash": batch.column("phash"),
+            "caphash": pa.array(ch.view(np.int64)),
+        })
+        g = t.group_by(["phash", "caphash"]).aggregate([("phash", "count")])
+        return pa.table({"phash": g.column("phash"),
+                         "caphash": g.column("caphash"),
+                         "n": g.column("phash_count")})
+
+    cells = (
+        read_corpus(corpus_dir, columns=["phash", "caption"])
+        .map_batches(pairs_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["phash", "caphash"]).aggregate(Sum("n", alias_name="n"))
+    ).materialize()
+
+    uniq_ds = cells.groupby("phash").aggregate(
+        Count(alias_name="count")
+    ).map_batches(
+        lambda t: pa.table({"sig": t.column("phash"),
+                            "count": t.column("count")}),
+        batch_format="pyarrow",
+    ).materialize()
+    ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
+
+    def label_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "caphash": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        keys, labs = ray.get(ref)
+        lab = t.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.int64).copy()
+        if len(keys):
+            pos = np.searchsorted(keys, lab)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == lab
+            lab[hit] = labs[pos[hit]]
+        return pa.table({"label": pa.array(lab),
+                         "caphash": t.column("caphash"),
+                         "n": t.column("n")})
+
+    # (label, caphash, n) cells: collapse possible multi-phash cells
+    # of one (label, caption) pair before any C(n,2)
+    g = (cells.map_batches(label_kernel, batch_format="pyarrow",
+                           zero_copy_batch=True)
+         .groupby(["label", "caphash"]).aggregate(Sum("n", alias_name="n"))
+         ).materialize()
+
+    def _pair_sum(ds, key: str | None) -> int:
+        """sum of C(n,2) over ds['n'], optionally re-grouped by key."""
+        if key is not None:
+            ds = ds.groupby(key).aggregate(Sum("n", alias_name="n"))
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"s": pa.array([], type=pa.int64())})
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array(
+                [int((n * (n - 1) // 2).sum())], type=pa.int64())})
+
+        total = 0
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            if b.num_rows:
+                total += int(pc.sum(b.column("s")).as_py() or 0)
+        return total
+
+    both = _pair_sum(g, None)
+    cap = _pair_sum(g, "caphash")
+    clus = _pair_sum(g, "label")
+    return ray.data.from_arrow(pa.table({
+        "relation": pa.array(["both", "caption_only", "cluster_only"],
+                             type=pa.string()),
+        "n_pairs": pa.array([both, cap - both, clus - both],
+                            type=pa.int64()),
+    }))
+
+
+def caption_cluster_agreement_sql(corpus_glob: str,
+                                  max_distance: int = 1) -> str:
+    """DuckDB oracle for ``caption_cluster_agreement``: recursive
+    Hamming closure, then three sum-of-C(n,2) folds over the
+    (caption, label) cell counts (`//` = integer division)."""
+    return (
+        "WITH RECURSIVE u AS (SELECT coalesce(caption, '') AS caption, "
+        f"phash FROM read_parquet('{corpus_glob}') "
+        "WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT c.caption, m.label FROM u c "
+        "JOIN comp m ON m.sig = c.phash), "
+        "g AS (SELECT caption, label, CAST(count(*) AS BIGINT) AS n "
+        "FROM lab GROUP BY caption, label), "
+        "b AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM g), "
+        "capv AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM "
+        "(SELECT sum(n) AS c FROM g GROUP BY caption)), "
+        "cluv AS (SELECT coalesce(sum(m * (m - 1) // 2), 0) AS v FROM "
+        "(SELECT sum(n) AS m FROM g GROUP BY label)) "
+        "SELECT 'both' AS relation, CAST(b.v AS BIGINT) AS n_pairs FROM b "
+        "UNION ALL SELECT 'caption_only', CAST(capv.v - b.v AS BIGINT) "
+        "FROM capv, b "
+        "UNION ALL SELECT 'cluster_only', CAST(cluv.v - b.v AS BIGINT) "
+        "FROM cluv, b"
     )

@@ -1108,3 +1108,115 @@ def test_cluster_diameter_hist_empty(ray_session, tmp_path):
 
     corpus = _corpus_cap(tmp_path, [])
     assert cluster_diameter_hist(corpus).count() == 0
+
+
+# --- A/B-axis agreement report ------------------------------------------------
+
+def _bf_agreement(rows, max_distance=1):
+    """Brute force: all usable row pairs, caption equality vs
+    union-find pHash closure membership."""
+    usable = [(rid, ph, cap) for rid, _b, ph, cap in rows if ph is not None]
+    sigs = sorted({ph for _r, ph, _c in usable})
+    parent = {s: s for s in sigs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            if bin((a ^ b) & (2**64 - 1)).count("1") <= max_distance:
+                parent[find(a)] = find(b)
+    both = cap_only = clus_only = 0
+    for i in range(len(usable)):
+        for j in range(i + 1, len(usable)):
+            same_cap = usable[i][2] == usable[j][2]
+            same_clu = find(usable[i][1]) == find(usable[j][1])
+            if same_cap and same_clu:
+                both += 1
+            elif same_cap:
+                cap_only += 1
+            elif same_clu:
+                clus_only += 1
+    return {"both": both, "caption_only": cap_only,
+            "cluster_only": clus_only}
+
+
+def test_caption_cluster_agreement_planted(ray_session, tmp_path):
+    """Hand-checkable relations + DuckDB parity: cluster {0x10,0x11}
+    holds rows a,b,c with captions (same,same,other) -> pairs a-b both,
+    a-c/b-c cluster_only; d shares a's caption but not its cluster ->
+    caption_only pairs a-d and b-d."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        caption_cluster_agreement, caption_cluster_agreement_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", 0x10, "capX"),
+        ("img_b", b"\x02", 0x10, "capX"),
+        ("img_c", b"\x03", 0x11, "capY"),
+        ("img_d", b"\x04", 0xF0, "capX"),
+        ("img_e", b"", None, "capX"),     # unusable, excluded
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (caption_cluster_agreement(corpus).to_pandas()
+           .sort_values("relation").reset_index(drop=True))
+    got = dict(zip(out.relation, out.n_pairs))
+    assert got == {"both": 1, "caption_only": 2, "cluster_only": 2}
+    assert got == _bf_agreement(rows)
+
+    oracle = (duckdb.sql(
+        caption_cluster_agreement_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("relation").reset_index(drop=True))
+    assert out.relation.tolist() == oracle.relation.tolist()
+    assert out.n_pairs.tolist() == oracle.n_pairs.tolist()
+
+
+def test_caption_cluster_agreement_randomized(ray_session, tmp_path):
+    """Random dense-Hamming corpus with few captions vs brute force
+    and DuckDB."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        caption_cluster_agreement, caption_cluster_agreement_sql,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for i in range(70):
+        if i % 13 == 5:
+            ph = None                          # unusable
+        elif i % 3:
+            ph = int(rng.integers(0, 48))      # dense Hamming region
+        else:
+            ph = int(rng.integers(0, 2**62))   # scattered singletons
+        cap = f"cap{int(rng.integers(0, 6))}"
+        rows.append((f"img_{i:04d}", bytes([i % 256]), ph, cap))
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (caption_cluster_agreement(corpus).to_pandas()
+           .sort_values("relation").reset_index(drop=True))
+    got = dict(zip(out.relation, out.n_pairs))
+    assert got == _bf_agreement(rows)
+    assert min(got.values()) > 0  # all three relations exercised
+
+    oracle = (duckdb.sql(
+        caption_cluster_agreement_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("relation").reset_index(drop=True))
+    assert out.n_pairs.tolist() == oracle.n_pairs.tolist()
+
+
+def test_caption_cluster_agreement_empty(ray_session, tmp_path):
+    """Empty corpus still reports the three relations, all zero (the
+    oracle's scalar folds do the same)."""
+    from humid_ray.pipelines.images import caption_cluster_agreement
+
+    corpus = _corpus_cap(tmp_path, [])
+    out = (caption_cluster_agreement(corpus).to_pandas()
+           .sort_values("relation").reset_index(drop=True))
+    assert out.relation.tolist() == ["both", "caption_only",
+                                     "cluster_only"]
+    assert out.n_pairs.tolist() == [0, 0, 0]
