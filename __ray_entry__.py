@@ -740,6 +740,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pure C(n,2) counting, no pair ever materialized)
         "caption_cluster_agreement":
             lambda sf: images.caption_cluster_agreement(_corpus_for(sf)),
+        # banding-health audit: per-band distinct keys + hottest key
+        # over the flagship's actual pigeonhole layout
+        "phash_band_entropy":
+            lambda sf: images.phash_band_entropy(_corpus_for(sf)),
+        # decode/resize batch-geometry planning: orientation + pixel
+        # budget per format (metadata columns only)
+        "aspect_ratio_stats":
+            lambda sf: images.aspect_ratio_stats(_corpus_for(sf)),
     }
 
 
@@ -1286,6 +1294,12 @@ def oracle_sql() -> dict[str, str]:
             _images_mod.caption_cluster_agreement_sql(
                 _corpus_for("sf0.01") + "/*.parquet"
             ),
+        "phash_band_entropy": _images_mod.phash_band_entropy_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "aspect_ratio_stats": _images_mod.aspect_ratio_stats_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
         "token_count_docs": (
             "SELECT doc_id, "
             "len(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS n_tokens, "

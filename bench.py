@@ -235,6 +235,10 @@ def run_bench() -> dict:
           lambda: images.cluster_diameter_hist(corpus), consume=None)
     timed("caption_cluster_agreement",
           lambda: images.caption_cluster_agreement(corpus), consume=None)
+    timed("phash_band_entropy",
+          lambda: images.phash_band_entropy(corpus), consume=None)
+    timed("aspect_ratio_stats",
+          lambda: images.aspect_ratio_stats(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

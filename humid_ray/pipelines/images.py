@@ -2445,3 +2445,182 @@ def caption_cluster_agreement_sql(corpus_glob: str,
         "UNION ALL SELECT 'cluster_only', CAST(cluv.v - b.v AS BIGINT) "
         "FROM cluv, b"
     )
+
+
+# --- banding-health audit: per-band key distribution --------------------------
+
+def phash_band_entropy(corpus_dir: str, max_distance: int = 1):
+    """(band, shift, width, n_keys, max_rows, n_rows) for each band of
+    the FLAGSHIP's LSH layout (``band_layout(64, max_distance+1)`` —
+    the same pigeonhole split ``find_edges`` buckets by): how many
+    distinct keys the band produces over usable rows, how many rows the
+    hottest key holds, and the row total. The bucket-level complement
+    of ``phash_bit_stats``: a band whose ``max_rows`` approaches
+    ``n_rows`` (one mega-bucket) defeats banding even when every
+    individual bit looks healthy, and is exactly the shape the hot-band
+    salting exists for — this report says whether the salting threshold
+    is conservative or load-bearing on a given corpus.
+
+    Scale shape: band keys are shift/mask numpy ops per batch; the only
+    exchange carries distinct (band, key) partial counts (bounded by
+    bands x distinct sigs, never the corpus); the per-band fold is a
+    |bands|-group aggregate; missing bands zero-fill driver-side so the
+    report always has ``max_distance + 1`` rows."""
+    from ray.data.aggregate import Max, Sum
+
+    from humid_ray.stages.lsh import band_keys, band_layout
+
+    layout = band_layout(64, max_distance + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"band": pa.array([], type=pa.int64()),
+               "key": pa.array([], type=pa.int64()),
+               "n": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return pa.table(out)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        keys = band_keys(ph.view(UINT64), layout)
+        t = pa.table({
+            "band": pa.array(np.repeat(
+                np.arange(len(layout), dtype=np.int64), batch.num_rows)),
+            "key": pa.array(keys.ravel().view(np.int64)),
+        })
+        g = t.group_by(["band", "key"]).aggregate([("key", "count")])
+        return pa.table({"band": g.column("band"), "key": g.column("key"),
+                         "n": g.column("key_count")})
+
+    per_band = (
+        read_corpus(corpus_dir, columns=["phash"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "key"]).aggregate(Sum("n", alias_name="n"))
+        .groupby("band").aggregate(Count(alias_name="n_keys"),
+                                   Max("n", alias_name="max_rows"),
+                                   Sum("n", alias_name="n_rows"))
+    )
+
+    rows = {int(r["band"]): (int(r["n_keys"]), int(r["max_rows"]),
+                             int(r["n_rows"]))
+            for b in per_band.iter_batches(batch_size=4096,
+                                           batch_format="pyarrow")
+            for r in b.to_pylist()}
+    return ray.data.from_arrow(pa.table({
+        "band": pa.array(range(len(layout)), type=pa.int64()),
+        "shift": pa.array([s for s, _w in layout], type=pa.int64()),
+        "width": pa.array([w for _s, w in layout], type=pa.int64()),
+        "n_keys": pa.array([rows.get(b, (0, 0, 0))[0]
+                            for b in range(len(layout))], type=pa.int64()),
+        "max_rows": pa.array([rows.get(b, (0, 0, 0))[1]
+                              for b in range(len(layout))],
+                             type=pa.int64()),
+        "n_rows": pa.array([rows.get(b, (0, 0, 0))[2]
+                            for b in range(len(layout))], type=pa.int64()),
+    }))
+
+
+def phash_band_entropy_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """DuckDB oracle for ``phash_band_entropy``: one UNION ALL branch
+    per band of the same layout (``>>`` on BIGINT is zero-fill, so the
+    shift/mask matches the numpy uint64 path bit-for-bit)."""
+    from humid_ray.stages.lsh import band_layout
+
+    layout = band_layout(64, max_distance + 1)
+    branches = []
+    for b, (shift, width) in enumerate(layout):
+        mask = (1 << width) - 1
+        branches.append(
+            f"SELECT CAST({b} AS BIGINT) AS band, "
+            f"CAST({shift} AS BIGINT) AS shift, "
+            f"CAST({width} AS BIGINT) AS width, "
+            "CAST(coalesce(count(*), 0) AS BIGINT) AS n_keys, "
+            "CAST(coalesce(max(n), 0) AS BIGINT) AS max_rows, "
+            "CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows FROM "
+            f"(SELECT (phash >> {shift}) & {mask} AS key, count(*) AS n "
+            "FROM u GROUP BY 1)"
+        )
+    return (
+        "WITH u AS (SELECT phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+# --- aspect-ratio / resolution profile ----------------------------------------
+
+def aspect_ratio_stats(corpus_dir: str):
+    """(fmt, orientation, n, avg_megapixels): resolution profile per
+    format and orientation (landscape w>h / portrait w<h / square) —
+    the batch-shape planning report for a decode/resize stage (GPU
+    batch geometry wants same-orientation grouping; megapixels size
+    the decode-stage memory budget).
+
+    Scale shape: shuffle-free row-local kernel over the two int32
+    metadata columns only (``bytes`` is never read); per-batch
+    (fmt, orientation) Arrow group_by partials with exact int64
+    pixel sums, one |fmt x 3|-row exchange; the float division
+    happens ONCE per output row after the integer sums (DuckDB
+    bit-equal, the ``image_format_stats`` convention)."""
+    from ray.data.aggregate import Sum
+
+    from humid_ray.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"fmt": pa.array([], type=pa.string()),
+               "orientation": pa.array([], type=pa.string()),
+               "n": pa.array([], type=pa.int64()),
+               "px": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ori = np.where(w > h, "landscape", np.where(w < h, "portrait",
+                                                    "square"))
+        t = pa.table({"fmt": batch.column("fmt"),
+                      "orientation": pa.array(ori),
+                      "px": pa.array(w * h)})
+        g = t.group_by(["fmt", "orientation"]).aggregate(
+            [("px", "sum"), ("px", "count")])
+        return pa.table({"fmt": g.column("fmt"),
+                         "orientation": g.column("orientation"),
+                         "n": g.column("px_count"),
+                         "px": g.column("px_sum")})
+
+    agg = (
+        read_corpus(corpus_dir, columns=["fmt", "w", "h"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["fmt", "orientation"])
+        .aggregate(Sum("n", alias_name="n"), Sum("px", alias_name="px"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "fmt": pa.array([], type=pa.string()),
+                "orientation": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "avg_megapixels": pa.array([], type=pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        px = t.column("px").to_numpy(zero_copy_only=False)
+        avg = round_half_away(px.astype(np.float64) / 1e6
+                              / n.astype(np.float64))
+        return pa.table({"fmt": t.column("fmt"),
+                         "orientation": t.column("orientation"),
+                         "n": t.column("n"),
+                         "avg_megapixels": pa.array(avg)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def aspect_ratio_stats_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``aspect_ratio_stats`` (same sum-then-divide
+    order: exact integer pixel sums, ONE double division, round 6)."""
+    return (
+        "SELECT fmt, CASE WHEN w > h THEN 'landscape' "
+        "WHEN w < h THEN 'portrait' ELSE 'square' END AS orientation, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "round(CAST(sum(CAST(w AS BIGINT) * h) AS DOUBLE) / 1e6 "
+        "/ count(*), 6) AS avg_megapixels "
+        f"FROM read_parquet('{corpus_glob}') GROUP BY fmt, orientation"
+    )

@@ -17,9 +17,9 @@ CORPUS_QUERIES_PREFIXES = (
     "humid_", "multimodal_", "audio_", "video_", "image_", "curate_images",
     "caption_", "tiered_dedup_report_images", "top_dup_clusters",
     "incremental_image_dedup", "phash_distance_histogram",
-    "dup_rate_by_format", "decontaminate_images", "phash_bit_stats",
+    "dup_rate_by_format", "decontaminate_images", "phash_",
     "cluster_caption_consistency", "cluster_diameter_hist",
-    "dedup_storage_savings",
+    "dedup_storage_savings", "aspect_ratio_stats",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on

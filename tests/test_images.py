@@ -1220,3 +1220,132 @@ def test_caption_cluster_agreement_empty(ray_session, tmp_path):
     assert out.relation.tolist() == ["both", "caption_only",
                                      "cluster_only"]
     assert out.n_pairs.tolist() == [0, 0, 0]
+
+
+# --- banding-health audit ------------------------------------------------------
+
+def test_phash_band_entropy_planted(ray_session, tmp_path):
+    """Two 32-bit bands at max_distance=1: hand-checked key counts
+    incl. a negative phash (sign handling), plus DuckDB parity."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        phash_band_entropy, phash_band_entropy_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", 0x1_0000_0000),   # band0 key 1, band1 key 0
+        ("img_b", b"\x02", 0x2_0000_0000),   # band0 key 2, band1 key 0
+        ("img_c", b"\x03", 0x1_0000_0005),   # band0 key 1, band1 key 5
+        ("img_d", b"\x04", -1),              # keys 0xFFFFFFFF / 0xFFFFFFFF
+        ("img_e", b"", None),                # excluded
+    ]
+    corpus = _corpus(tmp_path, rows)
+    out = (phash_band_entropy(corpus).to_pandas()
+           .sort_values("band").reset_index(drop=True))
+    assert out.band.tolist() == [0, 1]
+    assert out["shift"].tolist() == [32, 0]
+    assert out.width.tolist() == [32, 32]
+    # band0 keys {1: 2, 2: 1, 0xFFFFFFFF: 1}; band1 {0: 2, 5: 1, F..F: 1}
+    assert out.n_keys.tolist() == [3, 3]
+    assert out.max_rows.tolist() == [2, 2]
+    assert out.n_rows.tolist() == [4, 4]
+
+    oracle = (duckdb.sql(
+        phash_band_entropy_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("band").reset_index(drop=True))
+    for col in ("band", "shift", "width", "n_keys", "max_rows", "n_rows"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_phash_band_entropy_distance2_randomized(ray_session, tmp_path):
+    """Three-band layout (21/21/22 bits) on random phashes vs DuckDB."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        phash_band_entropy, phash_band_entropy_sql,
+    )
+
+    rng = np.random.default_rng(53)
+    ph = rng.integers(-2**63, 2**63, 300, dtype=np.int64)
+    rows = [(f"img_{i:04d}", bytes([i % 256]), int(p))
+            for i, p in enumerate(ph)]
+    corpus = _corpus(tmp_path, rows)
+    out = (phash_band_entropy(corpus, max_distance=2).to_pandas()
+           .sort_values("band").reset_index(drop=True))
+    assert out.width.tolist() == [21, 21, 22]
+    assert out["shift"].tolist() == [43, 22, 0]
+    oracle = (duckdb.sql(
+        phash_band_entropy_sql(f"{corpus}/*.parquet", max_distance=2)
+    ).df().sort_values("band").reset_index(drop=True))
+    for col in ("band", "shift", "width", "n_keys", "max_rows", "n_rows"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_phash_band_entropy_empty(ray_session, tmp_path):
+    """Empty corpus still yields one zero row per band."""
+    from humid_ray.pipelines.images import phash_band_entropy
+
+    corpus = _corpus(tmp_path, [])
+    out = (phash_band_entropy(corpus).to_pandas()
+           .sort_values("band").reset_index(drop=True))
+    assert out.band.tolist() == [0, 1]
+    assert (out.n_keys == 0).all() and (out.n_rows == 0).all()
+    assert (out.max_rows == 0).all()
+
+
+# --- aspect-ratio profile -------------------------------------------------------
+
+def _corpus_wh(tmp_path, rows):
+    """rows: (image_id, w, h, fmt)."""
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([b"\x00"] * len(rows), type=pa.binary()),
+        "w": pa.array([r[1] for r in rows], type=pa.int32()),
+        "h": pa.array([r[2] for r in rows], type=pa.int32()),
+        "fmt": pa.array([r[3] for r in rows], type=pa.string()),
+        "caption": pa.array(["c"] * len(rows), type=pa.string()),
+        "phash": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = tmp_path / "corpus_wh"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    return str(d)
+
+
+def test_aspect_ratio_stats_planted(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        aspect_ratio_stats, aspect_ratio_stats_sql,
+    )
+
+    rows = [
+        ("img_a", 1920, 1080, "jpeg"),   # landscape, 2.0736 MP
+        ("img_b", 1080, 1920, "jpeg"),   # portrait
+        ("img_c", 512, 512, "png"),      # square, 0.262144 MP
+        ("img_d", 256, 256, "png"),      # square, 0.065536 MP
+        ("img_e", 640, 480, "jpeg"),     # landscape, 0.3072 MP
+    ]
+    corpus = _corpus_wh(tmp_path, rows)
+    out = (aspect_ratio_stats(corpus).to_pandas()
+           .sort_values(["fmt", "orientation"]).reset_index(drop=True))
+    assert list(zip(out.fmt, out.orientation, out.n)) == [
+        ("jpeg", "landscape", 2), ("jpeg", "portrait", 1),
+        ("png", "square", 2),
+    ]
+    # (2.0736 + 0.3072) / 2 = 1.1904; (0.262144 + 0.065536) / 2
+    assert out.avg_megapixels.tolist() == [1.1904, 2.0736, 0.16384]
+
+    oracle = (duckdb.sql(aspect_ratio_stats_sql(f"{corpus}/*.parquet"))
+              .df().sort_values(["fmt", "orientation"])
+              .reset_index(drop=True))
+    for col in ("fmt", "orientation", "n", "avg_megapixels"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_aspect_ratio_stats_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import aspect_ratio_stats
+
+    corpus = _corpus_wh(tmp_path, [])
+    assert aspect_ratio_stats(corpus).count() == 0
