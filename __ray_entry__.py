@@ -748,6 +748,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # budget per format (metadata columns only)
         "aspect_ratio_stats":
             lambda sf: images.aspect_ratio_stats(_corpus_for(sf)),
+        # multi-evidence FUSED dedup: one CC over the union of the
+        # byte/caption/pHash evidence graphs + per-cluster provenance
+        "fused_dedup_images":
+            lambda sf: images.fused_dedup_images(_corpus_for(sf)),
     }
 
 
@@ -1298,6 +1302,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "aspect_ratio_stats": _images_mod.aspect_ratio_stats_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "fused_dedup_images": _images_mod.fused_dedup_images_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

@@ -239,6 +239,8 @@ def run_bench() -> dict:
           lambda: images.phash_band_entropy(corpus), consume=None)
     timed("aspect_ratio_stats",
           lambda: images.aspect_ratio_stats(corpus))
+    timed("fused_dedup_images",
+          lambda: images.fused_dedup_images(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

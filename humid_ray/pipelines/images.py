@@ -2624,3 +2624,413 @@ def aspect_ratio_stats_sql(corpus_glob: str) -> str:
         "/ count(*), 6) AS avg_megapixels "
         f"FROM read_parquet('{corpus_glob}') GROUP BY fmt, orientation"
     )
+
+
+# --- multi-evidence FUSED dedup (tier union with provenance) -----------------
+#
+# The tier-dedup funnel (tiered_dedup_report_images) applies the
+# evidence tiers SEQUENTIALLY and reports counts; the fused operator
+# answers the other production question: "link two images into ONE
+# identity when ANY tier connects them — byte-identical payload, the
+# same non-empty caption, or pHash within Hamming<=m — and tell me
+# which tiers fired per cluster". One connected-components pass over
+# the UNION of the three evidence graphs (reference semantics:
+# src/humid.cc findClusters' transitive closure, here over a
+# multi-relation edge set), with per-cluster provenance flags.
+
+
+def _star_edges(ds, key_cols: tuple[str, ...], bucket_col: str):
+    """Clique contraction for an EQUALITY evidence tier: rows sharing
+    the key become star edges (member node -> group-min node), so a
+    group of n byte-identical crawls contributes n-1 edges, never the
+    C(n,2) clique. ONE bucket exchange (int64 columns only); the
+    per-bucket kernel canonicalizes MANY groups with a single lexsort
+    + segment pass — no per-group Python."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        out = {"sig_a": pa.array([], type=pa.int64()),
+               "sig_b": pa.array([], type=pa.int64())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        keys = [g.column(c).to_numpy(zero_copy_only=False)
+                for c in key_cols]
+        # primary = key_cols[0], ..., then node ascending (int64 view)
+        order = np.lexsort((node, *reversed(keys)))
+        ns = node[order]
+        ks = [k[order] for k in keys]
+        new = np.zeros(len(ns), dtype=bool)
+        new[0] = True
+        for k in ks:
+            new[1:] |= k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0)
+        )
+        centers = ns[seg_start]
+        mask = ns != centers  # group members other than the center
+        if not mask.any():
+            return pa.table(out)
+        return pa.table({"sig_a": pa.array(ns[mask]),
+                         "sig_b": pa.array(centers[mask])})
+
+    return ds.groupby(bucket_col).map_groups(kernel, batch_format="pyarrow")
+
+
+def _distinct_i64(ds, col: str) -> np.ndarray:
+    """Distinct values of an int64 column, pulled driver-side.
+    Per-batch ``np.unique`` partials bound the transfer by the
+    distinct count (callers only use this on edge-bounded datasets)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({col: pa.array([], type=pa.int64())})
+        return pa.table({col: pa.array(np.unique(
+            t.column(col).to_numpy(zero_copy_only=False)))})
+
+    parts = [b.column(col).to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
+    """(image_id, cluster_rep, keep, ev_byte, ev_caption, ev_phash):
+    multi-evidence fused dedup — images are one identity when ANY
+    evidence tier links them (transitively):
+
+    * ``byte``    — byte-identical payload (the 128-bit+len composite),
+    * ``caption`` — the same NON-EMPTY caption (A axis),
+    * ``phash``   — pHash within Hamming <= ``max_distance``, equal
+      phashes included (B axis; reference neighbor semantics,
+      src/humid.cc:113-130).
+
+    ``cluster_rep`` = min image_id of the fused cluster, ``keep`` one
+    row per cluster; ``ev_*`` are CLUSTER-level flags: tier t is true
+    iff some edge of tier t is internal to the cluster. Every row is
+    a node (rows with NULL phash / empty caption still byte-group).
+
+    Scale shape: payload bytes hash in-batch and never shuffle; each
+    equality tier is clique-CONTRACTED to member->group-min star
+    edges (O(rows), one bucket exchange each); the Hamming tier runs
+    the flagship chain over DISTINCT phashes (counting pre-pass ->
+    salted banded LSH -> capped verify) and its edge list maps to
+    per-phash representative nodes through an is_in-filtered,
+    edge-bounded pull. One connected-components pass over the union
+    (auto local/distributed); the node->label map and the three
+    evidence label sets are edge-bounded and broadcast once via
+    ``ray.put`` — above that ceiling the label application switches
+    to the distributed-join pattern of ``curate_images``. Node ids
+    are 64-bit image_id digests (collision ~n^2/2^65; the DuckDB
+    oracle links by the raw strings and would surface one at test
+    scale)."""
+    from humid_ray.util import hash_bytes_segments, splitmix64
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+    nb = UINT64(_CANON_BUCKETS)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        out = {"image_id": pa.array([], type=pa.string()),
+               "node": pa.array([], type=pa.int64()),
+               "h1": pa.array([], type=pa.int64()),
+               "h2": pa.array([], type=pa.int64()),
+               "ln": pa.array([], type=pa.int64()),
+               "bb": pa.array([], type=pa.int64()),
+               "cap_h": pa.array([], type=pa.int64()),
+               "cb": pa.array([], type=pa.int64()),
+               "phash": pa.array([], type=pa.int64()),
+               "pb": pa.array([], type=pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(out)
+        n = batch.num_rows
+        ids = batch.column("image_id").combine_chunks()
+        idata, ioffs = _flat_str(ids)
+        node = hash_bytes_segments(idata, ioffs)
+        data, offs = _flat_binary(batch.column("bytes"))
+        h1, h2 = _payload_digests(data, offs, n)
+        cap = batch.column("caption").combine_chunks()
+        cap_ok = pc.and_(pc.is_valid(cap), pc.not_equal(
+            pc.fill_null(cap, ""), "")).to_numpy(zero_copy_only=False)
+        cdata, coffs = _flat_str(pc.fill_null(cap, "").combine_chunks()
+                                 if cap.null_count else cap)
+        cap_h = hash_bytes_segments(cdata, coffs)
+        ph = batch.column("phash")
+        ph_filled = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "node": u64col(node),
+            "h1": u64col(h1),
+            "h2": u64col(h2),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "bb": pa.array((h1 % nb).astype(np.int64)),
+            "cap_h": pa.array(cap_h.view(np.int64), mask=~cap_ok),
+            "cb": pa.array((cap_h % nb).astype(np.int64)),
+            "phash": ph,
+            "pb": pa.array((splitmix64(ph_filled.view(UINT64)) % nb)
+                           .astype(np.int64)),
+        })
+
+    rows = read_corpus(
+        corpus_dir, columns=["image_id", "bytes", "caption", "phash"]
+    ).map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    # one narrow projection, five consumers (three tiers, the uniq
+    # collapse, the final labeling) — at flagship scale this slot is
+    # the per-phase parquet checkpoint (state/checkpoints.py)
+    rows = rows.materialize()
+
+    stars_b = _star_edges(
+        rows.select_columns(["node", "h1", "h2", "ln", "bb"]),
+        ("h1", "h2", "ln"), "bb")
+
+    def cap_valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("cap_h")))
+
+    stars_c = _star_edges(
+        rows.select_columns(["node", "cap_h", "cb"]).map_batches(
+            cap_valid, batch_format="pyarrow"),
+        ("cap_h",), "cb")
+
+    def ph_valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    ph_rows = rows.select_columns(["node", "phash", "pb"]).map_batches(
+        ph_valid, batch_format="pyarrow")
+    stars_p = _star_edges(ph_rows, ("phash",), "pb")
+
+    # DISTINCT-phash uniq collapse carrying a representative node
+    def ph_partial(t: pa.Table) -> pa.Table:
+        out = {"sig": pa.array([], type=pa.int64()),
+               "count": pa.array([], type=pa.int64()),
+               "node": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(out)
+        g = t.group_by("phash").aggregate([("phash", "count"),
+                                           ("node", "min")])
+        return pa.table({"sig": g.column("phash"),
+                         "count": g.column("phash_count"),
+                         "node": g.column("node_min")})
+
+    from ray.data.aggregate import Min, Sum
+
+    uniq_ph = (
+        ph_rows.map_batches(ph_partial, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(Sum("count", alias_name="count"),
+                   Min("node", alias_name="node"))
+    ).materialize()
+    ph_edges = _edges_with_hot_salting(
+        uniq_ph.select_columns(["sig", "count"]), cfg)
+
+    # Hamming edges over phash VALUES -> representative-node space.
+    # Everything here is edge-bounded (the flagship's own CC pull).
+    ea_parts, eb_parts = [], []
+    for b in ph_edges.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        ea_parts.append(b.column("sig_a").to_numpy(zero_copy_only=False))
+        eb_parts.append(b.column("sig_b").to_numpy(zero_copy_only=False))
+    if ea_parts:
+        ea = np.concatenate(ea_parts)
+        eb = np.concatenate(eb_parts)
+    else:
+        ea = np.empty(0, dtype=np.int64)
+        eb = np.empty(0, dtype=np.int64)
+    if len(ea):
+        touched = np.unique(np.concatenate([ea, eb]))
+        tref = ray.put(touched)
+
+        def touched_only(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"sig": pa.array([], type=pa.int64()),
+                                 "node": pa.array([], type=pa.int64())})
+            sig = t.column("sig").to_numpy(zero_copy_only=False)
+            keep = np.isin(sig, ray.get(tref))
+            return pa.table({"sig": pa.array(sig[keep]),
+                             "node": pc.array_filter(
+                                 t.column("node"), pa.array(keep))})
+
+        mparts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("node").to_numpy(zero_copy_only=False))
+            for b in uniq_ph.map_batches(touched_only,
+                                         batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        msig = np.concatenate([p[0] for p in mparts]) if mparts \
+            else np.empty(0, dtype=np.int64)
+        mnode = np.concatenate([p[1] for p in mparts]) if mparts \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(msig, kind="stable")
+        msig, mnode = msig[order], mnode[order]
+        na = mnode[np.searchsorted(msig, ea)]
+        nbv = mnode[np.searchsorted(msig, eb)]
+    else:
+        na = np.empty(0, dtype=np.int64)
+        nbv = np.empty(0, dtype=np.int64)
+    ph_node_edges = ray.data.from_arrow(pa.table(
+        {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
+
+    all_edges = stars_b.union(stars_c, stars_p, ph_node_edges) \
+        .materialize()
+    comp = connected_components(all_edges, cfg)
+
+    # node -> label map (edge-bounded; fallback label = own node)
+    cparts = [
+        (b.column("sig").to_numpy(zero_copy_only=False),
+         b.column("comp").to_numpy(zero_copy_only=False))
+        for b in comp.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow")
+    ]
+    if cparts:
+        csig = np.concatenate([p[0] for p in cparts])
+        clab = np.concatenate([p[1] for p in cparts])
+        order = np.argsort(csig, kind="stable")
+        csig, clab = csig[order], clab[order]
+    else:
+        csig = np.empty(0, dtype=np.int64)
+        clab = np.empty(0, dtype=np.int64)
+
+    def lab_of(nodes: np.ndarray) -> np.ndarray:
+        lab = nodes.copy()
+        if len(csig) and len(nodes):
+            pos = np.searchsorted(csig, nodes)
+            pos[pos == len(csig)] = 0
+            hit = csig[pos] == nodes
+            lab[hit] = clab[pos[hit]]
+        return lab
+
+    # evidence label sets: tier t fired in cluster c iff some tier-t
+    # edge lies inside c — i.e. c contains a tier-t star center (the
+    # group had >= 2 members) or a Hamming-edge endpoint
+    ev_sets = []
+    for centers in (_distinct_i64(stars_b, "sig_b"),
+                    _distinct_i64(stars_c, "sig_b"),
+                    np.unique(np.concatenate([
+                        _distinct_i64(stars_p, "sig_b"), na, nbv]))):
+        ev_sets.append(np.unique(lab_of(centers)))
+    ref = ray.put((csig, clab, ev_sets[0], ev_sets[1], ev_sets[2]))
+
+    from humid_ray.stages.joins import copart_buckets, key_buckets
+
+    nbk = copart_buckets(rows.count())
+
+    def label_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        ks, kl, _, _, _ = ray.get(ref)
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lab = node.copy()
+        if len(ks):
+            pos = np.searchsorted(ks, node)
+            pos[pos == len(ks)] = 0
+            hit = ks[pos] == node
+            lab[hit] = kl[pos[hit]]
+        return pa.table({"image_id": t.column("image_id"),
+                         "label": pa.array(lab),
+                         "bucket": pa.array(key_buckets(lab, nbk))})
+
+    def rep_bucket(g: pa.Table) -> pa.Table:
+        out = {"image_id": pa.array([], type=pa.string()),
+               "cluster_rep": pa.array([], type=pa.string()),
+               "keep": pa.array([], type=pa.bool_()),
+               "ev_byte": pa.array([], type=pa.bool_()),
+               "ev_caption": pa.array([], type=pa.bool_()),
+               "ev_phash": pa.array([], type=pa.bool_())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        _, _, evb, evc, evp = ray.get(ref)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lab))
+        labs = lab[order]
+        new = np.r_[True, labs[1:] != labs[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0))
+        ids_sorted = ids[order]
+        rep_sorted = ids_sorted[seg_start]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        rep = rep_sorted[inv]
+
+        def member(s: np.ndarray) -> np.ndarray:
+            if not len(s):
+                return np.zeros(len(lab), dtype=bool)
+            pos = np.searchsorted(s, lab)
+            pos[pos == len(s)] = 0
+            return s[pos] == lab
+
+        return pa.table({
+            "image_id": g.column("image_id"),
+            "cluster_rep": pa.array(rep.tolist(), type=pa.string()),
+            "keep": pa.array(ids == rep),
+            "ev_byte": pa.array(member(evb)),
+            "ev_caption": pa.array(member(evc)),
+            "ev_phash": pa.array(member(evp)),
+        })
+
+    return (
+        rows.select_columns(["image_id", "node"])
+        .map_batches(label_kernel, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rep_bucket, batch_format="pyarrow")
+    )
+
+
+def fused_dedup_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """DuckDB oracle for ``fused_dedup_images``: star edges per
+    equality tier + distinct-phash Hamming edges over representative
+    ids, recursive closure over the union, per-label evidence via
+    count-vs-distinct / pairwise bit_count."""
+    m = max_distance
+    return (
+        "WITH RECURSIVE r AS (SELECT image_id, bytes, caption, phash "
+        f"FROM read_parquet('{corpus_glob}')), "
+        "sb AS (SELECT image_id AS a, "
+        "min(image_id) OVER (PARTITION BY bytes) AS b FROM r), "
+        "sc AS (SELECT image_id AS a, "
+        "min(image_id) OVER (PARTITION BY caption) AS b FROM r "
+        "WHERE caption IS NOT NULL AND caption <> ''), "
+        "sp AS (SELECT image_id AS a, "
+        "min(image_id) OVER (PARTITION BY phash) AS b FROM r "
+        "WHERE phash IS NOT NULL), "
+        "pu AS (SELECT phash, min(image_id) AS rep FROM r "
+        "WHERE phash IS NOT NULL GROUP BY phash), "
+        "sh AS (SELECT x.rep AS a, y.rep AS b FROM pu x JOIN pu y "
+        "ON x.phash < y.phash "
+        f"AND bit_count(xor(x.phash, y.phash)) <= {m}), "
+        "e0 AS (SELECT a, b FROM sb WHERE a <> b "
+        "UNION SELECT a, b FROM sc WHERE a <> b "
+        "UNION SELECT a, b FROM sp WHERE a <> b "
+        "UNION SELECT a, b FROM sh), "
+        "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), "
+        "reach(src, dst) AS (SELECT image_id, image_id FROM r "
+        "UNION SELECT rr.src, e.b FROM reach rr JOIN e ON e.a = rr.dst), "
+        "comp AS (SELECT src AS image_id, min(dst) AS label "
+        "FROM reach GROUP BY src), "
+        "lab AS (SELECT r.image_id, r.bytes, r.caption, r.phash, c.label "
+        "FROM r JOIN comp c ON c.image_id = r.image_id), "
+        "evb AS (SELECT label FROM lab GROUP BY label "
+        "HAVING count(*) > count(DISTINCT bytes)), "
+        "evc AS (SELECT label FROM lab "
+        "WHERE caption IS NOT NULL AND caption <> '' GROUP BY label "
+        "HAVING count(*) > count(DISTINCT caption)), "
+        "pl AS (SELECT DISTINCT label, phash FROM lab "
+        "WHERE phash IS NOT NULL), "
+        "evp AS (SELECT label FROM lab WHERE phash IS NOT NULL "
+        "GROUP BY label HAVING count(*) > count(DISTINCT phash) "
+        "UNION SELECT DISTINCT p1.label FROM pl p1 JOIN pl p2 "
+        "ON p1.label = p2.label AND p1.phash < p2.phash "
+        f"AND bit_count(xor(p1.phash, p2.phash)) <= {m}) "
+        "SELECT l.image_id, "
+        "min(l.image_id) OVER (PARTITION BY l.label) AS cluster_rep, "
+        "l.image_id = min(l.image_id) OVER (PARTITION BY l.label) "
+        "AS \"keep\", "
+        "l.label IN (SELECT label FROM evb) AS ev_byte, "
+        "l.label IN (SELECT label FROM evc) AS ev_caption, "
+        "l.label IN (SELECT label FROM evp) AS ev_phash "
+        "FROM lab l"
+    )

@@ -1349,3 +1349,117 @@ def test_aspect_ratio_stats_empty(ray_session, tmp_path):
 
     corpus = _corpus_wh(tmp_path, [])
     assert aspect_ratio_stats(corpus).count() == 0
+
+
+# --- multi-evidence fused dedup ---------------------------------------------
+
+def _fused_corpus(tmp_path, rows, name="fcorpus"):
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+        "w": pa.array([4] * len(rows), type=pa.int32()),
+        "h": pa.array([4] * len(rows), type=pa.int32()),
+        "fmt": pa.array(["png"] * len(rows), type=pa.string()),
+        "caption": pa.array([r[2] for r in rows], type=pa.string()),
+        "phash": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    return str(d)
+
+
+FUSED_ROWS = [
+    # (image_id, bytes, caption, phash)
+    ("img_a", b"\x01\x02", "cat photo", 0x10),   # byte-dup with b
+    ("img_b", b"\x01\x02", "unrelated1", 0x40),  # byte link a-b
+    ("img_c", b"\x03\x04", "cat photo", 0x80),   # caption link a-c
+    ("img_d", b"\x05\x06", "", 0x81),            # Hamming link c-d
+    ("img_e", b"\x07\x08", "", None),            # isolated
+    ("img_f", b"\x09\x0a", "dog", 0x200),        # phash-equal pair f-g
+    ("img_g", b"\x0b\x0c", "bird", 0x200),
+    ("img_h", b"", "", None),                    # empty payloads h-i
+    ("img_i", b"", "", None),                    #   byte-link each other
+]
+
+
+def test_fused_dedup_images_planted(ray_session, tmp_path):
+    """Transitive chain across ALL THREE tiers (byte a-b, caption a-c,
+    Hamming c-d), a pHash-equal-only pair, the empty-payload clique,
+    and an isolated row; empty captions must NOT link."""
+    from humid_ray.pipelines.images import fused_dedup_images
+
+    corpus = _fused_corpus(tmp_path, FUSED_ROWS)
+    out = (fused_dedup_images(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.cluster_rep.tolist() == [
+        "img_a", "img_a", "img_a", "img_a", "img_e",
+        "img_f", "img_f", "img_h", "img_h",
+    ]
+    assert out.keep.tolist() == [
+        True, False, False, False, True, True, False, True, False,
+    ]
+    # cluster {a,b,c,d}: all three tiers fired; {f,g}: phash only
+    # (equal phash, different bytes+captions); {h,i}: byte only
+    assert out.ev_byte.tolist() == [
+        True, True, True, True, False, False, False, True, True]
+    assert out.ev_caption.tolist() == [
+        True, True, True, True, False, False, False, False, False]
+    assert out.ev_phash.tolist() == [
+        True, True, True, True, False, True, True, False, False]
+
+
+def test_fused_dedup_images_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        fused_dedup_images, fused_dedup_images_sql,
+    )
+
+    corpus = _fused_corpus(tmp_path, FUSED_ROWS)
+    mine = (fused_dedup_images(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(fused_dedup_images_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "cluster_rep", "keep",
+                "ev_byte", "ev_caption", "ev_phash"):
+        assert mine[col].tolist() == oracle[col].tolist(), col
+
+
+def test_fused_dedup_images_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized corpus with heavy collisions in every tier —
+    exercises multi-group buckets, hot equality groups, and chains
+    the planted case can't reach."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        fused_dedup_images, fused_dedup_images_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    payloads = [bytes([b]) * 3 for b in range(8)]
+    captions = ["", "alpha", "beta", "gamma"]
+    for i in range(120):
+        ph = (int(rng.integers(0, 16)) << 2) | int(rng.integers(0, 4))
+        rows.append((
+            f"img_{i:03d}",
+            payloads[int(rng.integers(0, len(payloads)))],
+            captions[int(rng.integers(0, len(captions)))],
+            None if rng.random() < 0.1 else ph,
+        ))
+    corpus = _fused_corpus(tmp_path, rows, name="rcorpus")
+    mine = (fused_dedup_images(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(fused_dedup_images_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "cluster_rep", "keep",
+                "ev_byte", "ev_caption", "ev_phash"):
+        assert mine[col].tolist() == oracle[col].tolist(), col
+
+
+def test_fused_dedup_images_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import fused_dedup_images
+
+    corpus = _fused_corpus(tmp_path, [], name="ecorpus")
+    assert fused_dedup_images(corpus).count() == 0
