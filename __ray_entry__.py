@@ -752,6 +752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte/caption/pHash evidence graphs + per-cluster provenance
         "fused_dedup_images":
             lambda sf: images.fused_dedup_images(_corpus_for(sf)),
+        # threshold-sensitivity audit: how radius-1 clusters chain
+        # together at radius 2 (one banding run, two CC passes)
+        "cluster_merge_profile":
+            lambda sf: images.cluster_merge_profile(_corpus_for(sf)),
     }
 
 
@@ -1305,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "fused_dedup_images": _images_mod.fused_dedup_images_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "cluster_merge_profile": _images_mod.cluster_merge_profile_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

@@ -3034,3 +3034,156 @@ def fused_dedup_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "l.label IN (SELECT label FROM evp) AS ev_phash "
         "FROM lab l"
     )
+
+
+# --- threshold-sensitivity audit: cluster merging across radii ---------------
+
+def cluster_merge_profile(corpus_dir: str, m1: int = 1, m2: int = 2):
+    """(n_subclusters, n_clusters): for each pHash near-dup cluster at
+    the WIDER radius ``m2``, how many radius-``m1`` clusters it chains
+    together — the threshold-sensitivity companion to
+    ``phash_distance_histogram`` (which calibrates the radius) and
+    ``cluster_diameter_hist`` (which audits chaining at one radius).
+    A histogram dominated by n_subclusters=1 says loosening m1 -> m2
+    barely changes the partition; a heavy tail says the extra bit of
+    distance is fusing previously-distinct duplicate families.
+
+    Scale shape: ONE banding run at the wider radius (the flagship
+    chain over DISTINCT phashes: uniq collapse -> counting pre-pass ->
+    salted banded LSH -> capped verify) emits the edge list once with
+    Hamming distances attached; the m1 graph is a FILTER of that edge
+    list (pairs within m1 are a subset of pairs within m2, and
+    pigeonhole banding at m2 is exhaustive for both), so the second
+    radius costs no second shuffle. Both component maps are
+    edge-bounded driver pulls (the flagship CC pattern); the pair
+    fold is one lexsort over touched sigs."""
+    from ray.data.aggregate import Count as _Count
+
+    from humid_ray.util import hamming64
+
+    if not (0 <= m1 < m2):
+        raise ValueError("need 0 <= m1 < m2")
+    cfg2 = HumidConfig(sources=("phash",), clustering="maximum",
+                       max_distance=m2)
+
+    ph = read_corpus(corpus_dir, columns=["phash"])
+
+    def usable_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    uniq_ds = (
+        ph.map_batches(usable_only, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("phash").aggregate(_Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    n_uniq = uniq_ds.count()
+    empty = pa.table({"n_subclusters": pa.array([], type=pa.int64()),
+                      "n_clusters": pa.array([], type=pa.int64())})
+    if n_uniq == 0:
+        return ray.data.from_arrow(empty)
+
+    def with_dist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"sig_a": pa.array([], type=pa.int64()),
+                             "sig_b": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        a = t.column("sig_a").to_numpy(zero_copy_only=False).view(UINT64)
+        b = t.column("sig_b").to_numpy(zero_copy_only=False).view(UINT64)
+        return t.append_column(
+            "dist", pa.array(hamming64(a, b).astype(np.int64)))
+
+    edges2 = _edges_with_hot_salting(uniq_ds, cfg2).map_batches(
+        with_dist, batch_format="pyarrow").materialize()
+
+    def le_m1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"sig_a": pa.array([], type=pa.int64()),
+                             "sig_b": pa.array([], type=pa.int64())})
+        keep = t.filter(pc.less_equal(t.column("dist"), m1))
+        return keep.select(["sig_a", "sig_b"])
+
+    comp2 = connected_components(
+        edges2.select_columns(["sig_a", "sig_b"]), cfg2)
+    comp1 = connected_components(
+        edges2.map_batches(le_m1, batch_format="pyarrow"), cfg2)
+
+    def _pull(comp) -> tuple[np.ndarray, np.ndarray]:
+        parts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("comp").to_numpy(zero_copy_only=False))
+            for b in comp.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        ]
+        if not parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        s = np.concatenate([p[0] for p in parts])
+        c = np.concatenate([p[1] for p in parts])
+        order = np.argsort(s, kind="stable")
+        return s[order], c[order]
+
+    s2, c2 = _pull(comp2)
+    s1, c1 = _pull(comp1)
+    # m1 label of each m2-touched sig (fallback: singleton = own sig)
+    l1 = s2.copy()
+    if len(s1) and len(s2):
+        pos = np.searchsorted(s1, s2)
+        pos[pos == len(s1)] = 0
+        hit = s1[pos] == s2
+        l1[hit] = c1[pos[hit]]
+    hist: dict[int, int] = {}
+    if len(s2):
+        order = np.lexsort((l1, c2))
+        c2s, l1s = c2[order], l1[order]
+        new_pair = np.r_[True, (c2s[1:] != c2s[:-1]) | (l1s[1:] != l1s[:-1])]
+        pc2 = c2s[new_pair]  # one row per distinct (comp2, lab1)
+        new_lab = np.r_[True, pc2[1:] != pc2[:-1]]
+        bounds = np.flatnonzero(np.r_[new_lab, True])
+        nsub = np.diff(bounds)
+        for k, n in zip(*np.unique(nsub, return_counts=True)):
+            hist[int(k)] = hist.get(int(k), 0) + int(n)
+    # sigs untouched at m2 are singleton m2 clusters with 1 subcluster
+    n_single = n_uniq - len(s2)
+    if n_single:
+        hist[1] = hist.get(1, 0) + int(n_single)
+    ks = sorted(hist)
+    return ray.data.from_arrow(pa.table({
+        "n_subclusters": pa.array(ks, type=pa.int64()),
+        "n_clusters": pa.array([hist[k] for k in ks], type=pa.int64()),
+    }))
+
+
+def cluster_merge_profile_sql(corpus_glob: str, m1: int = 1,
+                              m2: int = 2) -> str:
+    """DuckDB oracle for ``cluster_merge_profile``: two recursive
+    Hamming closures over distinct phash (radii m1 and m2), distinct
+    m1-labels per m2-label, histogram."""
+    return (
+        "WITH RECURSIVE u AS (SELECT phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e2 AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {m2}), "
+        "e1 AS (SELECT sa, sb FROM e2 "
+        f"WHERE bit_count(xor(sa, sb)) <= {m1}), "
+        "r2(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e2.sb FROM r2 r JOIN e2 ON e2.sa = r.dst), "
+        "r1(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e1.sb FROM r1 r JOIN e1 ON e1.sa = r.dst), "
+        "c2 AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS lab2 FROM r2 GROUP BY src), "
+        "c1 AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS lab1 FROM r1 GROUP BY src), "
+        "per AS (SELECT c2.lab2, "
+        "CAST(count(DISTINCT c1.lab1) AS BIGINT) AS n_subclusters "
+        "FROM c2 JOIN c1 ON c1.sig = c2.sig GROUP BY c2.lab2) "
+        "SELECT n_subclusters, CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM per GROUP BY n_subclusters"
+    )

@@ -1463,3 +1463,53 @@ def test_fused_dedup_images_empty(ray_session, tmp_path):
 
     corpus = _fused_corpus(tmp_path, [], name="ecorpus")
     assert fused_dedup_images(corpus).count() == 0
+
+
+# --- threshold-sensitivity audit: cluster merging across radii ---------------
+
+def test_cluster_merge_profile_planted(ray_session, tmp_path):
+    """Two m1 families that merge at m2 (2 subclusters), one m1 family
+    isolated at both radii, one untouched singleton."""
+    from humid_ray.pipelines.images import cluster_merge_profile
+
+    phs = [0x0F0, 0x0F1,                     # family A (d=1)
+           0x0F6, 0x0F7,                     # family B; A-B at d=2 only
+           0xF00, 0xF01,                     # family C, far from A/B
+           0xAAAA,                           # singleton
+           None]                             # unusable
+    rows = [(f"img_{i}", bytes([i]) * 2, f"c{i}", p)
+            for i, p in enumerate(phs)]
+    corpus = _fused_corpus(tmp_path, rows, name="mcorpus")
+    out = (cluster_merge_profile(corpus).to_pandas()
+           .sort_values("n_subclusters").reset_index(drop=True))
+    # m2 clusters: {A u B} = 2 subclusters; C = 1; singleton = 1
+    assert list(zip(out.n_subclusters, out.n_clusters)) == [(1, 2), (2, 1)]
+
+
+def test_cluster_merge_profile_randomized_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        cluster_merge_profile, cluster_merge_profile_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    # 10-bit space: dense enough to chain, sparse enough to fragment
+    phs = [int(x) for x in rng.integers(0, 1024, size=150)]
+    rows = [(f"img_{i:03d}", bytes([i % 9]) * 2, "", p)
+            for i, p in enumerate(phs)]
+    corpus = _fused_corpus(tmp_path, rows, name="mrcorpus")
+    mine = (cluster_merge_profile(corpus).to_pandas()
+            .sort_values("n_subclusters").reset_index(drop=True))
+    oracle = (duckdb.sql(cluster_merge_profile_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("n_subclusters").reset_index(drop=True))
+    assert mine.values.tolist() == oracle.values.tolist()
+    # sanity: some merging must actually occur at this density
+    assert (mine.n_subclusters > 1).any()
+
+
+def test_cluster_merge_profile_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import cluster_merge_profile
+
+    corpus = _fused_corpus(tmp_path, [], name="mecorpus")
+    assert cluster_merge_profile(corpus).count() == 0
