@@ -2753,7 +2753,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
         cap = batch.column("caption").combine_chunks()
         cap_ok = pc.and_(pc.is_valid(cap), pc.not_equal(
             pc.fill_null(cap, ""), "")).to_numpy(zero_copy_only=False)
-        cdata, coffs = _flat_str(pc.fill_null(cap, "").combine_chunks()
+        cdata, coffs = _flat_str(pc.fill_null(cap, "")
                                  if cap.null_count else cap)
         cap_h = hash_bytes_segments(cdata, coffs)
         ph = batch.column("phash")

@@ -1513,3 +1513,27 @@ def test_cluster_merge_profile_empty(ray_session, tmp_path):
 
     corpus = _fused_corpus(tmp_path, [], name="mecorpus")
     assert cluster_merge_profile(corpus).count() == 0
+
+
+def test_fused_dedup_images_null_captions(ray_session, tmp_path):
+    """NULL captions (not just empty strings) must not link rows and
+    must not crash the caption-hash kernel's fill_null path."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        fused_dedup_images, fused_dedup_images_sql,
+    )
+
+    rows = [("a", b"\x01", None, 5), ("b", b"\x02", None, 5),
+            ("c", b"\x03", "x", None)]
+    corpus = _fused_corpus(tmp_path, rows, name="ncorpus")
+    mine = (fused_dedup_images(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(fused_dedup_images_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    for col in mine.columns:
+        assert mine[col].tolist() == oracle[col].tolist(), col
+    # a-b link via equal phash only; c isolated
+    assert mine.cluster_rep.tolist() == ["a", "a", "c"]
+    assert mine.ev_phash.tolist() == [True, True, False]
+    assert mine.ev_caption.tolist() == [False, False, False]
