@@ -2781,9 +2781,12 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
     # the per-phase parquet checkpoint (state/checkpoints.py)
     rows = rows.materialize()
 
+    # each stars dataset has TWO consumers (the CC edge union and the
+    # evidence-center pull) — materialize so the corpus-wide bucket
+    # exchange runs once, not once per consumer (edge-bounded output)
     stars_b = _star_edges(
         rows.select_columns(["node", "h1", "h2", "ln", "bb"]),
-        ("h1", "h2", "ln"), "bb")
+        ("h1", "h2", "ln"), "bb").materialize()
 
     def cap_valid(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column("cap_h")))
@@ -2791,14 +2794,14 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
     stars_c = _star_edges(
         rows.select_columns(["node", "cap_h", "cb"]).map_batches(
             cap_valid, batch_format="pyarrow"),
-        ("cap_h",), "cb")
+        ("cap_h",), "cb").materialize()
 
     def ph_valid(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column("phash")))
 
     ph_rows = rows.select_columns(["node", "phash", "pb"]).map_batches(
         ph_valid, batch_format="pyarrow")
-    stars_p = _star_edges(ph_rows, ("phash",), "pb")
+    stars_p = _star_edges(ph_rows, ("phash",), "pb").materialize()
 
     # DISTINCT-phash uniq collapse carrying a representative node
     def ph_partial(t: pa.Table) -> pa.Table:
@@ -2872,8 +2875,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
     ph_node_edges = ray.data.from_arrow(pa.table(
         {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
 
-    all_edges = stars_b.union(stars_c, stars_p, ph_node_edges) \
-        .materialize()
+    all_edges = stars_b.union(stars_c, stars_p, ph_node_edges)
     comp = connected_components(all_edges, cfg)
 
     # node -> label map (edge-bounded; fallback label = own node)
