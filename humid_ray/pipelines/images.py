@@ -2695,7 +2695,8 @@ def _distinct_i64(ds, col: str) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
+def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
+                       broadcast_max_labels: int = 1_000_000):
     """(image_id, cluster_rep, keep, ev_byte, ev_caption, ev_phash):
     multi-evidence fused dedup — images are one identity when ANY
     evidence tier links them (transitively):
@@ -2876,64 +2877,105 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
         {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
 
     all_edges = stars_b.union(stars_c, stars_p, ph_node_edges)
-    comp = connected_components(all_edges, cfg)
+    comp = connected_components(all_edges, cfg).materialize()
+    n_labels = comp.count()
 
-    # node -> label map (edge-bounded; fallback label = own node)
-    cparts = [
-        (b.column("sig").to_numpy(zero_copy_only=False),
-         b.column("comp").to_numpy(zero_copy_only=False))
-        for b in comp.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow")
-    ]
-    if cparts:
-        csig = np.concatenate([p[0] for p in cparts])
-        clab = np.concatenate([p[1] for p in cparts])
-        order = np.argsort(csig, kind="stable")
-        csig, clab = csig[order], clab[order]
-    else:
-        csig = np.empty(0, dtype=np.int64)
-        clab = np.empty(0, dtype=np.int64)
+    # tier-t star centers / Hamming-edge endpoints: tier t fired in
+    # cluster c iff c contains one of these nodes (all appear in comp)
+    centers_by_tier = (
+        _distinct_i64(stars_b, "sig_b"),
+        _distinct_i64(stars_c, "sig_b"),
+        np.unique(np.concatenate([
+            _distinct_i64(stars_p, "sig_b"), na, nbv])),
+    )
 
-    def lab_of(nodes: np.ndarray) -> np.ndarray:
-        lab = nodes.copy()
-        if len(csig) and len(nodes):
-            pos = np.searchsorted(csig, nodes)
-            pos[pos == len(csig)] = 0
-            hit = csig[pos] == nodes
-            lab[hit] = clab[pos[hit]]
-        return lab
-
-    # evidence label sets: tier t fired in cluster c iff some tier-t
-    # edge lies inside c — i.e. c contains a tier-t star center (the
-    # group had >= 2 members) or a Hamming-edge endpoint
-    ev_sets = []
-    for centers in (_distinct_i64(stars_b, "sig_b"),
-                    _distinct_i64(stars_c, "sig_b"),
-                    np.unique(np.concatenate([
-                        _distinct_i64(stars_p, "sig_b"), na, nbv]))):
-        ev_sets.append(np.unique(lab_of(centers)))
-    ref = ray.put((csig, clab, ev_sets[0], ev_sets[1], ev_sets[2]))
-
-    from humid_ray.stages.joins import copart_buckets, key_buckets
+    from humid_ray.stages.joins import (copart_buckets, join_kwargs,
+                                        key_buckets)
 
     nbk = copart_buckets(rows.count())
+    narrow_ids = rows.select_columns(["image_id", "node"])
 
-    def label_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"image_id": pa.array([], type=pa.string()),
-                             "label": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.int64())})
-        ks, kl, _, _, _ = ray.get(ref)
-        node = t.column("node").to_numpy(zero_copy_only=False)
-        lab = node.copy()
-        if len(ks):
-            pos = np.searchsorted(ks, node)
-            pos[pos == len(ks)] = 0
-            hit = ks[pos] == node
-            lab[hit] = kl[pos[hit]]
-        return pa.table({"image_id": t.column("image_id"),
-                         "label": pa.array(lab),
-                         "bucket": pa.array(key_buckets(lab, nbk))})
+    if n_labels <= broadcast_max_labels:
+        # broadcast path: node -> label map pulled once (edge-bounded;
+        # fallback label = own node), evidence labels by searchsorted
+        cparts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("comp").to_numpy(zero_copy_only=False))
+            for b in comp.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        ]
+        if cparts:
+            csig = np.concatenate([p[0] for p in cparts])
+            clab = np.concatenate([p[1] for p in cparts])
+            order = np.argsort(csig, kind="stable")
+            csig, clab = csig[order], clab[order]
+        else:
+            csig = np.empty(0, dtype=np.int64)
+            clab = np.empty(0, dtype=np.int64)
+
+        def lab_of(nodes: np.ndarray) -> np.ndarray:
+            lab = nodes.copy()
+            if len(csig) and len(nodes):
+                pos = np.searchsorted(csig, nodes)
+                pos[pos == len(csig)] = 0
+                hit = csig[pos] == nodes
+                lab[hit] = clab[pos[hit]]
+            return lab
+
+        ev_sets = [np.unique(lab_of(c)) for c in centers_by_tier]
+        mref = ray.put((csig, clab))
+
+        def label_kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"image_id": pa.array([], type=pa.string()),
+                     "label": pa.array([], type=pa.int64()),
+                     "bucket": pa.array([], type=pa.int64())})
+            ks, kl = ray.get(mref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            lab = node.copy()
+            if len(ks):
+                pos = np.searchsorted(ks, node)
+                pos[pos == len(ks)] = 0
+                hit = ks[pos] == node
+                lab[hit] = kl[pos[hit]]
+            return pa.table({"image_id": t.column("image_id"),
+                             "label": pa.array(lab),
+                             "bucket": pa.array(key_buckets(lab, nbk))})
+
+        labeled = narrow_ids.map_batches(label_kernel,
+                                         batch_format="pyarrow")
+    else:
+        # distributed path: the label map never leaves the cluster —
+        # one left-outer Dataset.join (comp is the small side), and
+        # each tier's evidence labels come from an inner semi-join
+        joined = narrow_ids.join(
+            comp, join_type="left_outer", on=("node",),
+            right_on=("sig",), **join_kwargs(n_labels))
+
+        def fill(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"image_id": pa.array([], type=pa.string()),
+                     "label": pa.array([], type=pa.int64()),
+                     "bucket": pa.array([], type=pa.int64())})
+            lab = pc.coalesce(t.column("comp"), t.column("node")) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"image_id": t.column("image_id"),
+                             "label": pa.array(lab),
+                             "bucket": pa.array(key_buckets(lab, nbk))})
+
+        labeled = joined.map_batches(fill, batch_format="pyarrow")
+        ev_sets = []
+        for c in centers_by_tier:
+            if not len(c):
+                ev_sets.append(np.empty(0, dtype=np.int64))
+                continue
+            cds = ray.data.from_arrow(pa.table({"sig": pa.array(c)}))
+            j = cds.join(comp, join_type="inner", on=("sig",),
+                         **join_kwargs(len(c), n_labels))
+            ev_sets.append(_distinct_i64(j, "comp"))
+    ref = ray.put((ev_sets[0], ev_sets[1], ev_sets[2]))
 
     def rep_bucket(g: pa.Table) -> pa.Table:
         out = {"image_id": pa.array([], type=pa.string()),
@@ -2944,7 +2986,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
                "ev_phash": pa.array([], type=pa.bool_())}
         if g.num_rows == 0:
             return pa.table(out)
-        _, _, evb, evc, evp = ray.get(ref)
+        evb, evc, evp = ray.get(ref)
         ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
         lab = g.column("label").to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, lab))
@@ -2975,9 +3017,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1):
         })
 
     return (
-        rows.select_columns(["image_id", "node"])
-        .map_batches(label_kernel, batch_format="pyarrow")
-        .groupby("bucket")
+        labeled.groupby("bucket")
         .map_groups(rep_bucket, batch_format="pyarrow")
     )
 

@@ -1537,3 +1537,15 @@ def test_fused_dedup_images_null_captions(ray_session, tmp_path):
     assert mine.cluster_rep.tolist() == ["a", "a", "c"]
     assert mine.ev_phash.tolist() == [True, True, False]
     assert mine.ev_caption.tolist() == [False, False, False]
+
+
+def test_fused_dedup_images_join_branch_equals_broadcast(ray_session,
+                                                         tmp_path):
+    from humid_ray.pipelines.images import fused_dedup_images
+
+    corpus = _fused_corpus(tmp_path, FUSED_ROWS, name="jcorpus")
+    a = (fused_dedup_images(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (fused_dedup_images(corpus, broadcast_max_labels=0).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert a.equals(b)
