@@ -756,6 +756,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # together at radius 2 (one banding run, two CC passes)
         "cluster_merge_profile":
             lambda sf: images.cluster_merge_profile(_corpus_for(sf)),
+        # the per-row curation artifact: keep + drop reason
+        # (unusable / byte_dup / near_dup / kept)
+        "image_drop_report":
+            lambda sf: images.image_drop_report(_corpus_for(sf)),
     }
 
 
@@ -1312,6 +1316,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "cluster_merge_profile": _images_mod.cluster_merge_profile_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "image_drop_report": _images_mod.image_drop_report_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

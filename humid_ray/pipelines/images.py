@@ -3229,3 +3229,77 @@ def cluster_merge_profile_sql(corpus_glob: str, m1: int = 1,
         "SELECT n_subclusters, CAST(count(*) AS BIGINT) AS n_clusters "
         "FROM per GROUP BY n_subclusters"
     )
+
+
+# --- per-row curation drop report (the keep-list, with reasons) --------------
+
+def image_drop_report(corpus_dir: str):
+    """(image_id, keep, drop_reason): the production curation artifact
+    — every corpus row tagged with WHY it survives or falls:
+
+    * ``unusable`` — NULL stored phash (undecodable; the flagship's
+      usable gate, reference filtered-word semantics src/humid.cc:94-98),
+    * ``byte_dup`` — dropped and byte-identical to an earlier-id row,
+    * ``near_dup`` — dropped as a non-representative of its pHash
+      Hamming<=1 cluster (byte-distinct content),
+    * ``kept``    — the cluster representative.
+
+    A pure projection over ``curate_images`` (same clusters, same
+    representative rule) plus the unusable rows the keep-list omits —
+    the funnel counts of ``tiered_dedup_report_images`` per-row.
+
+    Scale shape: inherits curate_images' (payload never shuffles,
+    DISTINCT-phash cluster graph, broadcast/join label auto-switch);
+    the unusable side is one shuffle-free metadata scan."""
+    curated = curate_images(corpus_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "keep": pa.array([], type=pa.bool_()),
+                             "drop_reason": pa.array([], type=pa.string())})
+        kept = t.column("keep")
+        byte_dup = pc.not_equal(t.column("canonical_id"),
+                                t.column("image_id"))
+        reason = pc.if_else(
+            kept, pa.scalar("kept"),
+            pc.if_else(byte_dup, pa.scalar("byte_dup"),
+                       pa.scalar("near_dup")))
+        return pa.table({"image_id": t.column("image_id"),
+                         "keep": kept,
+                         "drop_reason": reason})
+
+    def unusable(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "keep": pa.array([], type=pa.bool_()),
+                             "drop_reason": pa.array([], type=pa.string())})
+        bad = t.filter(pc.is_null(t.column("phash")))
+        n = bad.num_rows
+        return pa.table({
+            "image_id": bad.column("image_id"),
+            "keep": pa.array(np.zeros(n, dtype=bool)),
+            "drop_reason": pa.array(["unusable"] * n, type=pa.string()),
+        })
+
+    bad_rows = read_corpus(
+        corpus_dir, columns=["image_id", "phash"]
+    ).map_batches(unusable, batch_format="pyarrow", zero_copy_batch=True)
+    return curated.map_batches(
+        project, batch_format="pyarrow").union(bad_rows)
+
+
+def image_drop_report_sql(corpus_glob: str, max_distance: int = 1) -> str:
+    """DuckDB oracle for ``image_drop_report``: the curate_images
+    closure wrapped in a drop-reason CASE, plus the unusable rows."""
+    inner = curate_images_sql(corpus_glob, max_distance)
+    return (
+        f"WITH curated AS ({inner}) "
+        "SELECT image_id, \"keep\", "
+        "CASE WHEN \"keep\" THEN 'kept' "
+        "WHEN canonical_id <> image_id THEN 'byte_dup' "
+        "ELSE 'near_dup' END AS drop_reason FROM curated "
+        "UNION ALL "
+        "SELECT image_id, FALSE AS \"keep\", 'unusable' AS drop_reason "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NULL"
+    )

@@ -1549,3 +1549,40 @@ def test_fused_dedup_images_join_branch_equals_broadcast(ray_session,
     b = (fused_dedup_images(corpus, broadcast_max_labels=0).to_pandas()
          .sort_values("image_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+# --- per-row curation drop report --------------------------------------------
+
+def test_image_drop_report_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import image_drop_report
+
+    corpus = _corpus(tmp_path, ROWS)
+    out = (image_drop_report(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == [r[0] for r in ROWS]
+    assert out.drop_reason.tolist() == [
+        "kept", "byte_dup", "near_dup", "kept", "unusable"]
+    assert out.keep.tolist() == [True, False, False, True, False]
+
+
+def test_image_drop_report_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        image_drop_report, image_drop_report_sql,
+    )
+
+    corpus = _corpus(tmp_path, ROWS)
+    mine = (image_drop_report(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(image_drop_report_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    for c in ("image_id", "keep", "drop_reason"):
+        assert mine[c].tolist() == oracle[c].tolist(), c
+
+
+def test_image_drop_report_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import image_drop_report
+
+    corpus = _corpus(tmp_path, [])
+    assert image_drop_report(corpus).count() == 0
