@@ -20,6 +20,7 @@ CORPUS_QUERIES_PREFIXES = (
     "dup_rate_by_format", "decontaminate_images", "phash_",
     "cluster_caption_consistency", "cluster_diameter_hist",
     "dedup_storage_savings", "aspect_ratio_stats",
+    "fused_dedup_images", "cluster_merge_profile",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on
