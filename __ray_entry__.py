@@ -760,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (unusable / byte_dup / near_dup / kept)
         "image_drop_report":
             lambda sf: images.image_drop_report(_corpus_for(sf)),
+        # A-axis NEAR-dup: caption SimHash Hamming<=3 pairs
+        "caption_simhash_neardup":
+            lambda sf: images.caption_simhash_neardup(_corpus_for(sf)),
     }
 
 
@@ -1319,6 +1322,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "image_drop_report": _images_mod.image_drop_report_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "caption_simhash_neardup": _images_mod.caption_simhash_neardup_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

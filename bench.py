@@ -252,6 +252,8 @@ def run_bench() -> dict:
           lambda: images.cluster_merge_profile(corpus))
     timed("image_drop_report",
           lambda: images.image_drop_report(corpus))
+    timed("caption_simhash_neardup",
+          lambda: images.caption_simhash_neardup(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

@@ -3303,3 +3303,65 @@ def image_drop_report_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "SELECT image_id, FALSE AS \"keep\", 'unusable' AS drop_reason "
         f"FROM read_parquet('{corpus_glob}') WHERE phash IS NULL"
     )
+
+
+# --- A-axis NEAR-dup: caption SimHash neighbors on the image corpus ----------
+
+def caption_simhash_neardup(corpus_dir: str, max_distance: int = 3):
+    """(sig_a, sig_b): distinct unordered pairs of DISTINCT caption
+    SimHash values within Hamming <= ``max_distance`` over the image
+    corpus — the A-axis NEAR-duplicate finder (caption_collisions and
+    the caption tier of fused_dedup_images stop at byte equality; this
+    catches paraphrase-level caption reuse). Same 2-token-shingle
+    SimHash as the flagship's caption signature source and the
+    documents operator (functions/simhash.py), so the DuckDB oracle is
+    the existing bit-for-bit HUGEINT SimHash chain re-pointed at the
+    caption column.
+
+    Scale shape: the per-batch kernel collapses rows to (image_id,
+    simhash); the uniq combiner + groupby moves one row per DISTINCT
+    sim value; pairs come from the flagship pigeonhole banding
+    (exhaustive at this distance) + in-bucket verify. Captions sharing
+    one simhash are exact-dup groups handled by the equality tiers,
+    not edges (the flagship's uniq/edges split)."""
+    from humid_ray.functions.simhash import (
+        shingle_hashes, simhash_from_shingles,
+    )
+    from humid_ray.functions.text import tokenize_batch
+    from humid_ray.stages.exact import unique_signatures
+    from humid_ray.stages.lsh import find_edges
+
+    def sim_kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "sig": pa.array([], type=pa.int64())})
+        th, offs = tokenize_batch(batch.column("caption"))
+        sh, sh_offs = shingle_hashes(th, offs, 2)
+        sim = simhash_from_shingles(sh, sh_offs)
+        return pa.table({"image_id": batch.column("image_id"),
+                         "sig": u64col(sim)})
+
+    sigs = read_corpus(
+        corpus_dir, columns=["image_id", "caption"]
+    ).map_batches(sim_kernel, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = unique_signatures(sigs)
+    cfg = HumidConfig(word_bits=64, max_distance=max_distance)
+    out = find_edges(uniq, cfg, None)
+    if out.count() == 0:
+        # a zero-row Dataset loses its schema through to_pandas; the
+        # typed Arrow table keeps (sig_a, sig_b) visible downstream
+        return pa.table(
+            {"sig_a": pa.array([], type=pa.int64()),
+             "sig_b": pa.array([], type=pa.int64())})
+    return out
+
+
+def caption_simhash_neardup_sql(corpus_glob: str,
+                                max_distance: int = 3) -> str:
+    """DuckDB oracle: the bit-for-bit HUGEINT SimHash chain
+    (humid_ray/oracles.py) over the caption column."""
+    from humid_ray.oracles import simhash_neardup_sql
+
+    src = (f"(SELECT image_id AS doc_id, caption AS text "
+           f"FROM read_parquet('{corpus_glob}'))")
+    return simhash_neardup_sql(table=src, max_distance=max_distance)

@@ -1586,3 +1586,53 @@ def test_image_drop_report_empty(ray_session, tmp_path):
 
     corpus = _corpus(tmp_path, [])
     assert image_drop_report(corpus).count() == 0
+
+
+# --- A-axis near-dup: caption SimHash neighbors ------------------------------
+
+def test_caption_simhash_neardup_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized near-identical captions (0-2 word edits of a base
+    sentence) MUST yield some Hamming<=3 SimHash pairs, and the edge
+    set must match the bit-for-bit HUGEINT SimHash oracle."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        caption_simhash_neardup, caption_simhash_neardup_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    words = ["red", "blue", "cat", "dog", "park", "night", "photo",
+             "city", "tree", "old"]
+    base = ("a photo of a cat sitting on an old bench in the city "
+            "park at night")
+    caps = []
+    for _ in range(150):
+        toks = base.split()
+        for _ in range(int(rng.integers(0, 3))):
+            toks[int(rng.integers(0, len(toks)))] = \
+                words[int(rng.integers(0, len(words)))]
+        caps.append(" ".join(toks))
+    caps += ["", "totally unrelated caption about spacecraft engines",
+             None]
+    rows = [(f"img_{i:03d}", b"x", c, i) for i, c in enumerate(caps)]
+    corpus = _fused_corpus(tmp_path, rows, name="cscorpus")
+    mine = (caption_simhash_neardup(corpus).to_pandas()
+            .sort_values(["sig_a", "sig_b"]).reset_index(drop=True))
+    oracle = (duckdb.sql(
+        caption_simhash_neardup_sql(f"{corpus}/*.parquet"))
+        .df().sort_values(["sig_a", "sig_b"]).reset_index(drop=True))
+    assert mine.values.tolist() == oracle.values.tolist()
+    assert len(mine) > 0
+
+
+def test_caption_simhash_neardup_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import caption_simhash_neardup
+
+    corpus = _fused_corpus(tmp_path, [], name="csecorpus")
+    res = caption_simhash_neardup(corpus)
+    n = res.num_rows if isinstance(res, pa.Table) else res.count()
+    assert n == 0
+    # the zero-pair result must keep its (sig_a, sig_b) schema
+    names = (res.schema.names if isinstance(res, pa.Table)
+             else res.schema().names)
+    assert names == ["sig_a", "sig_b"]
