@@ -763,6 +763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A-axis NEAR-dup: caption SimHash Hamming<=3 pairs
         "caption_simhash_neardup":
             lambda sf: images.caption_simhash_neardup(_corpus_for(sf)),
+        # image-axis ranked similarity search: exact Hamming top-k
+        "phash_knn":
+            lambda sf: images.phash_knn(_corpus_for(sf)),
     }
 
 
@@ -1325,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "caption_simhash_neardup": _images_mod.caption_simhash_neardup_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "phash_knn": _images_mod.phash_knn_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

@@ -254,6 +254,7 @@ def run_bench() -> dict:
           lambda: images.image_drop_report(corpus))
     timed("caption_simhash_neardup",
           lambda: images.caption_simhash_neardup(corpus))
+    timed("phash_knn", lambda: images.phash_knn(corpus), consume=None)
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))

@@ -3365,3 +3365,120 @@ def caption_simhash_neardup_sql(corpus_glob: str,
     src = (f"(SELECT image_id AS doc_id, caption AS text "
            f"FROM read_parquet('{corpus_glob}'))")
     return simhash_neardup_sql(table=src, max_distance=max_distance)
+
+
+# --- Hamming-space k-NN over pHash (image-axis similarity search) ------------
+
+_KNN_EMPTY = pa.table({
+    "query_id": pa.array([], type=pa.string()),
+    "neighbor_id": pa.array([], type=pa.string()),
+    "rank": pa.array([], type=pa.int64()),
+    "dist": pa.array([], type=pa.int64()),
+})
+
+
+def phash_knn(corpus_dir: str, k: int = 5, n_queries: int = 8):
+    """(query_id, neighbor_id, rank, dist): exact Hamming top-k over
+    the pHash column for the first ``n_queries`` usable images (by
+    image_id) — the image-axis similarity search (the embedding kNN's
+    sibling; radius search is the LSH stage, this is ranked retrieval,
+    e.g. "find the k most visually similar images to these").
+    Deterministic tie-break: (dist asc, neighbor_id asc); the query
+    row itself is excluded.
+
+    Scale shape: queries broadcast once via ``ray.put``; every batch
+    computes an 8 x B XOR+popcount matrix and emits its LOCAL top-k
+    per query (the top-k semigroup — k x blocks x queries rows reach
+    the driver, never the corpus). Same partial/merge pattern as
+    ann.knn_bruteforce."""
+    from humid_ray.util import popcount64
+
+    ds = read_corpus(corpus_dir, columns=["image_id", "phash"])
+
+    def usable(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    ds = ds.map_batches(usable, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    head = ds.sort("image_id").limit(n_queries).take_all()
+    if not head:
+        return _KNN_EMPTY
+    q_ids = np.asarray([r["image_id"] for r in head], dtype=object)
+    q_ph = np.asarray([r["phash"] for r in head],
+                      dtype=np.int64).view(UINT64)
+    qref = ray.put((q_ids, q_ph))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _KNN_EMPTY.drop_columns(["rank"])
+        qi, qp = ray.get(qref)
+        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        ph = np.ascontiguousarray(
+            t.column("phash").to_numpy(zero_copy_only=False)).view(UINT64)
+        d = popcount64(qp[:, None] ^ ph[None, :]).astype(np.int64)
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qi)):
+            mask = ids != qi[j]
+            cand_ids = ids[mask]
+            cand_d = d[j][mask]
+            if not len(cand_ids):
+                continue
+            order = np.lexsort((cand_ids, cand_d))[:k]
+            out_q.extend([qi[j]] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_d.extend(cand_d[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            "neighbor_id": pa.array(out_n, type=pa.string()),
+            "dist": pa.array(out_d, type=pa.int64()),
+        })
+
+    rows_q, rows_n, rows_d = [], [], []
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        rows_q.extend(b.column("query_id").to_pylist())
+        rows_n.extend(b.column("neighbor_id").to_pylist())
+        rows_d.extend(b.column("dist").to_pylist())
+    if not rows_q:
+        return _KNN_EMPTY
+    rq = np.asarray(rows_q, dtype=object)
+    rn = np.asarray(rows_n, dtype=object)
+    rd = np.asarray(rows_d, dtype=np.int64)
+    out_q, out_n, out_r, out_d = [], [], [], []
+    for j in range(len(q_ids)):
+        mask = rq == q_ids[j]
+        if not mask.any():
+            continue
+        order = np.lexsort((rn[mask], rd[mask]))[:k]
+        nn, dd = rn[mask][order], rd[mask][order]
+        out_q.extend([q_ids[j]] * len(order))
+        out_n.extend(nn.tolist())
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(dd.tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.string()),
+        "neighbor_id": pa.array(out_n, type=pa.string()),
+        "rank": pa.array(out_r, type=pa.int64()),
+        "dist": pa.array(out_d, type=pa.int64()),
+    })
+
+
+def phash_knn_sql(corpus_glob: str, k: int = 5, n_queries: int = 8) -> str:
+    """DuckDB oracle for ``phash_knn``: row_number over
+    (bit_count asc, neighbor_id asc) per query."""
+    return (
+        "WITH u AS (SELECT image_id, phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        f"q AS (SELECT image_id AS qid, phash AS qph FROM u "
+        f"ORDER BY image_id LIMIT {n_queries}), "
+        "d AS (SELECT q.qid AS query_id, u.image_id AS neighbor_id, "
+        "CAST(bit_count(xor(q.qph, u.phash)) AS BIGINT) AS dist "
+        "FROM q JOIN u ON u.image_id <> q.qid), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY dist, neighbor_id) AS rk FROM d) "
+        "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, dist "
+        f"FROM r WHERE rk <= {k}"
+    )

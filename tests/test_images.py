@@ -1636,3 +1636,38 @@ def test_caption_simhash_neardup_empty(ray_session, tmp_path):
     names = (res.schema.names if isinstance(res, pa.Table)
              else res.schema().names)
     assert names == ["sig_a", "sig_b"]
+
+
+# --- image-axis ranked similarity search (Hamming top-k) ---------------------
+
+def test_phash_knn_randomized_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import phash_knn, phash_knn_sql
+
+    rng = np.random.default_rng(3)
+    n = 120
+    phs = [int(x) for x in rng.integers(-2**62, 2**62, size=n)]
+    phs[5] = None  # unusable row must be neither query nor neighbor
+    # planted exact-dup pair: rank-1 neighbor at dist 0
+    phs[1] = phs[0]
+    rows = [(f"img_{i:03d}", b"x", "", p) for i, p in enumerate(phs)]
+    corpus = _fused_corpus(tmp_path, rows, name="knncorpus")
+    res = phash_knn(corpus)
+    mine = ((res.to_pandas() if hasattr(res, "to_pandas") else res)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    oracle = (duckdb.sql(phash_knn_sql(f"{corpus}/*.parquet")).df()
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    for c in ("query_id", "neighbor_id", "rank", "dist"):
+        assert mine[c].tolist() == oracle[c].tolist(), c
+    first = mine[mine.query_id == "img_000"].iloc[0]
+    assert first.neighbor_id == "img_001" and first.dist == 0
+
+
+def test_phash_knn_empty(ray_session, tmp_path):
+    from humid_ray.pipelines.images import phash_knn
+
+    corpus = _fused_corpus(tmp_path, [], name="knnecorpus")
+    res = phash_knn(corpus)
+    assert res.num_rows == 0
+    assert res.schema.names == ["query_id", "neighbor_id", "rank", "dist"]
