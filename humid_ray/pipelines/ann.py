@@ -124,9 +124,27 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
     (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
     Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    qt = (
-        ds.sort("vec_id").limit(n_queries).take_all()
-    )
+
+    # first-n_queries selection via the bottom-k semigroup: each batch
+    # keeps its n_queries smallest vec_ids, the driver merges — no
+    # corpus-wide sort shuffle just to pick the query rows
+    def head_partial(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return t
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(vid, kind="stable")[:n_queries]
+        return t.take(pa.array(keep))
+
+    qt = []
+    for b in ds.map_batches(head_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = b.column("embedding")
+        qt.extend({"vec_id": int(vid[i]),
+                   "embedding": emb[i].as_py()} for i in range(len(vid)))
+    qt.sort(key=lambda r: r["vec_id"])
+    qt = qt[:n_queries]
     if not qt:
         return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)

@@ -3402,12 +3402,33 @@ def phash_knn(corpus_dir: str, k: int = 5, n_queries: int = 8):
 
     ds = ds.map_batches(usable, batch_format="pyarrow",
                         zero_copy_batch=True)
-    head = ds.sort("image_id").limit(n_queries).take_all()
-    if not head:
+
+    # first-n_queries selection via the bottom-k semigroup: each batch
+    # keeps its n_queries smallest ids, the driver merges — no
+    # corpus-wide sort shuffle just to pick 8 query rows
+    def head_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "phash": pa.array([], type=pa.int64())})
+        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        keep = np.argsort(ids, kind="stable")[:n_queries]
+        return pa.table({
+            "image_id": pa.array(ids[keep].tolist(), type=pa.string()),
+            "phash": t.column("phash").take(pa.array(keep)),
+        })
+
+    hq, hp = [], []
+    for b in ds.map_batches(head_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        hq.extend(b.column("image_id").to_pylist())
+        hp.extend(b.column("phash").to_pylist())
+    if not hq:
         return _KNN_EMPTY
-    q_ids = np.asarray([r["image_id"] for r in head], dtype=object)
-    q_ph = np.asarray([r["phash"] for r in head],
-                      dtype=np.int64).view(UINT64)
+    horder = np.argsort(np.asarray(hq, dtype=object),
+                        kind="stable")[:n_queries]
+    q_ids = np.asarray(hq, dtype=object)[horder]
+    q_ph = np.asarray(hp, dtype=np.int64)[horder].view(UINT64)
     qref = ray.put((q_ids, q_ph))
 
     def partial(t: pa.Table) -> pa.Table:
