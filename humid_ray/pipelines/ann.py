@@ -119,32 +119,37 @@ def _merge_topk(partial_ds, q_ids: np.ndarray, k: int) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
-    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
-    (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
-    Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
-    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+def _first_rows_by_id(ds, n: int) -> list[dict]:
+    """First ``n`` rows by ascending vec_id WITHOUT a corpus-wide sort:
+    each batch keeps its ``n`` smallest ids (bottom-k semigroup) and the
+    driver merges the <= n-per-block partials. The query-row selector
+    shared by every ANN variant."""
 
-    # first-n_queries selection via the bottom-k semigroup: each batch
-    # keeps its n_queries smallest vec_ids, the driver merges — no
-    # corpus-wide sort shuffle just to pick the query rows
-    def head_partial(t: "pa.Table") -> "pa.Table":
+    def head_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
         vid = t.column("vec_id").to_numpy(zero_copy_only=False)
-        keep = np.argsort(vid, kind="stable")[:n_queries]
+        keep = np.argsort(vid, kind="stable")[:n]
         return t.take(pa.array(keep))
 
-    qt = []
+    rows: list[dict] = []
     for b in ds.map_batches(head_partial, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         vid = b.column("vec_id").to_numpy(zero_copy_only=False)
         emb = b.column("embedding")
-        qt.extend({"vec_id": int(vid[i]),
-                   "embedding": emb[i].as_py()} for i in range(len(vid)))
-    qt.sort(key=lambda r: r["vec_id"])
-    qt = qt[:n_queries]
+        rows.extend({"vec_id": int(vid[i]),
+                     "embedding": emb[i].as_py()} for i in range(len(vid)))
+    rows.sort(key=lambda r: r["vec_id"])
+    return rows[:n]
+
+
+def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
+    (by vec_id). Deterministic tie-break: (cosine desc, vec_id asc).
+    Returns (query_id, neighbor_id, rank, cosine rounded to 6)."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qt = _first_rows_by_id(ds, n_queries)
     if not qt:
         return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in qt], dtype=np.int64)
@@ -203,7 +208,7 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8):
     (+ all 1-bit-flip buckets). Returns the same schema as
     knn_bruteforce; recall is approximate by design."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(n_queries).take_all()
+    first = _first_rows_by_id(ds, n_queries)
     if not first:
         return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
@@ -315,7 +320,7 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 8, n_centroids: int = 64,
     1/(n_centroids/nprobe) scan fraction — the scale path."""
     if ds is None:
         ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(max(n_queries, 1)).take_all()
+    first = _first_rows_by_id(ds, max(n_queries, 1))
     if not first:
         # empty embeddings table: np.stack on an empty list raises
         return _empty_topk()
@@ -728,7 +733,7 @@ def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
 
     if ds is None:
         ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(max(n_queries, 1)).take_all()
+    first = _first_rows_by_id(ds, max(n_queries, 1))
     if not first:
         return _empty_topk()
     q_ids = np.array([r["vec_id"] for r in first], dtype=np.int64)
