@@ -202,9 +202,12 @@ class HumidPipeline:
                 import numpy as np
 
                 n = t.column("n").to_numpy(zero_copy_only=False)
+                # halve before multiplying: n*(n-1) wraps int64 at
+                # n~3.04e9 while C(n,2) itself is still representable
+                cand = (n // 2) * (n - 1) + (n % 2) * (n // 2)
                 return pa.table(
                     {
-                        "cand": pa.array([int((n * (n - 1) // 2).sum())], type=pa.int64()),
+                        "cand": pa.array([int(cand.sum())], type=pa.int64()),
                         "hot": pa.array([int((n > cfg.hot_band_threshold).sum())], type=pa.int64()),
                     }
                 )

@@ -34,6 +34,7 @@ from ray.data.aggregate import Count
 from humid_ray.config import HumidConfig
 from humid_ray.pipelines.multimodal import read_corpus
 from humid_ray.stages.components import connected_components
+from humid_ray.stages.joins import apply_sorted_labels, sorted_member
 from humid_ray.stages.lsh import band_bucket_counts, find_edges
 from humid_ray.util import UINT64, u64col
 
@@ -304,12 +305,8 @@ def curate_images(corpus_dir: str, broadcast_max_labels: int = 1_000_000,
                 return pa.table(cols)
             keys, labs = ray.get(ref)
             ph = t.column("phash").to_numpy(zero_copy_only=False)
-            lab = ph.astype(np.int64).copy()
-            if len(keys):
-                pos = np.searchsorted(keys, lab)
-                pos[pos == len(keys)] = 0
-                hit = keys[pos] == lab
-                lab[hit] = labs[pos[hit]]
+            lab = apply_sorted_labels(keys, labs,
+                                      ph.astype(np.int64, copy=False))
             cols = {"image_id": t.column("image_id"),
                     "canonical_id": t.column("canonical_id"),
                     "label": pa.array(lab)}
@@ -961,12 +958,7 @@ def top_dup_clusters(corpus_dir: str, k: int = 10, max_distance: int = 1):
                              "flip": pa.array([], type=pa.int64())})
         ks, ls = ray.get(ref)
         sig = t.column("sig").to_numpy(zero_copy_only=False)
-        lab = sig.copy()
-        if len(ks):
-            pos = np.searchsorted(ks, sig)
-            pos[pos == len(ks)] = 0
-            hit = ks[pos] == sig
-            lab[hit] = ls[pos[hit]]
+        lab = apply_sorted_labels(ks, ls, sig)
         # flip the sign bit so signed Min == unsigned min of the sig
         return pa.table({"label": pa.array(lab),
                          "count": t.column("count"),
@@ -1711,12 +1703,9 @@ class _ContamProbe:
         return member
 
     def near_member(self, phash: np.ndarray) -> np.ndarray:
-        if not len(self.probes) or not len(phash):
-            return np.zeros(len(phash), dtype=bool)
-        ph = phash.view(UINT64)
-        pos = np.searchsorted(self.probes, ph)
-        pos[pos == len(self.probes)] = 0
-        return self.probes[pos] == ph
+        if not len(phash):
+            return np.zeros(0, dtype=bool)
+        return sorted_member(self.probes, phash.view(UINT64))
 
 
 _DECONTAM_EMPTY = pa.table({
@@ -1916,6 +1905,30 @@ def phash_bit_stats_sql(corpus_glob: str) -> str:
 
 # --- label-noise audit: caption consistency per near-dup cluster -------------
 
+def _phash_uniq_ds(corpus_dir: str):
+    """Materialized ``(sig, count)`` dataset of DISTINCT non-null
+    phashes — the uniq input every phash-cluster audit builds its
+    flagship banding run from. One pruned column scan + one groupby;
+    moves one row per distinct signature."""
+    ph = read_corpus(corpus_dir, columns=["phash"])
+
+    def usable_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    return (
+        ph.map_batches(usable_only, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("phash").aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+
 def _phash_label_arrays(uniq_ds, cfg: HumidConfig):
     """DISTINCT-phash uniq (sig, count) Dataset -> (sig_arr, lab_arr):
     sorted-by-sig numpy int64 arrays mapping each EDGE-TOUCHED sig to
@@ -1935,6 +1948,31 @@ def _phash_label_arrays(uniq_ds, cfg: HumidConfig):
         order = np.argsort(sig_arr, kind="stable")
         return sig_arr[order], lab_arr[order]
     return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+
+def _phash_label_kernel(ref, carry: dict[str, "pa.DataType"]):
+    """Batch-kernel factory: map the ``phash`` column through the
+    broadcast ``(sig, label)`` arrays from ``_phash_label_arrays``
+    (fallback: own phash = singleton cluster), carrying the ``carry``
+    columns (name -> Arrow type for the typed empty) alongside."""
+    from humid_ray.stages.joins import apply_sorted_labels
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {"label": pa.array([], type=pa.int64())}
+            cols.update({c: pa.array([], type=ty)
+                         for c, ty in carry.items()})
+            return pa.table(cols)
+        keys, labs = ray.get(ref)
+        lab = apply_sorted_labels(
+            keys, labs,
+            t.column("phash").to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False))
+        cols = {"label": pa.array(lab)}
+        cols.update({c: t.column(c) for c in carry})
+        return pa.table(cols)
+
+    return kernel
 
 
 def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
@@ -1999,21 +2037,7 @@ def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
         batch_format="pyarrow",
     ).materialize()
     ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
-
-    def label_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"label": pa.array([], type=pa.int64()),
-                             "caphash": pa.array([], type=pa.int64())})
-        keys, labs = ray.get(ref)
-        lab = t.column("phash").to_numpy(zero_copy_only=False).astype(
-            np.int64).copy()
-        if len(keys):
-            pos = np.searchsorted(keys, lab)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == lab
-            lab[hit] = labs[pos[hit]]
-        return pa.table({"label": pa.array(lab),
-                         "caphash": t.column("caphash")})
+    label_kernel = _phash_label_kernel(ref, {"caphash": pa.int64()})
 
     # distinct (label, caption) per cluster -> captions per cluster ->
     # histogram; every exchange is two int64 columns, edge-bounded
@@ -2205,23 +2229,7 @@ def cluster_diameter_hist(corpus_dir: str, max_distance: int = 1):
     cfg = HumidConfig(sources=("phash",), clustering="maximum",
                       max_distance=max_distance)
 
-    ph = read_corpus(corpus_dir, columns=["phash"])
-
-    def usable_only(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        return t.filter(pc.is_valid(t.column("phash")))
-
-    uniq_ds = (
-        ph.map_batches(usable_only, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("phash").aggregate(_Count(alias_name="count"))
-        .map_batches(
-            lambda t: pa.table({"sig": t.column("phash"),
-                                "count": t.column("count")}),
-            batch_format="pyarrow",
-        )
-    ).materialize()
+    uniq_ds = _phash_uniq_ds(corpus_dir)
     n_uniq = uniq_ds.count()
     empty = pa.table({"diameter": pa.array([], type=pa.int64()),
                       "n_clusters": pa.array([], type=pa.int64())})
@@ -2357,23 +2365,8 @@ def caption_cluster_agreement(corpus_dir: str, max_distance: int = 1):
         batch_format="pyarrow",
     ).materialize()
     ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
-
-    def label_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"label": pa.array([], type=pa.int64()),
-                             "caphash": pa.array([], type=pa.int64()),
-                             "n": pa.array([], type=pa.int64())})
-        keys, labs = ray.get(ref)
-        lab = t.column("phash").to_numpy(zero_copy_only=False).astype(
-            np.int64).copy()
-        if len(keys):
-            pos = np.searchsorted(keys, lab)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == lab
-            lab[hit] = labs[pos[hit]]
-        return pa.table({"label": pa.array(lab),
-                         "caphash": t.column("caphash"),
-                         "n": t.column("n")})
+    label_kernel = _phash_label_kernel(
+        ref, {"caphash": pa.int64(), "n": pa.int64()})
 
     # (label, caphash, n) cells: collapse possible multi-phash cells
     # of one (label, caption) pair before any C(n,2)
@@ -2391,8 +2384,12 @@ def caption_cluster_agreement(corpus_dir: str, max_distance: int = 1):
             if t.num_rows == 0:
                 return pa.table({"s": pa.array([], type=pa.int64())})
             n = t.column("n").to_numpy(zero_copy_only=False)
+            # C(n,2) with the halving applied BEFORE the product so the
+            # int64 intermediate holds up to the same ~4.3e9-row groups
+            # as the final value (n*(n-1) alone wraps at n~3.04e9)
+            pairs = (n // 2) * (n - 1) + (n % 2) * (n // 2)
             return pa.table({"s": pa.array(
-                [int((n * (n - 1) // 2).sum())], type=pa.int64())})
+                [int(pairs.sum())], type=pa.int64())})
 
         total = 0
         for b in ds.map_batches(
@@ -2850,7 +2847,9 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
                 return pa.table({"sig": pa.array([], type=pa.int64()),
                                  "node": pa.array([], type=pa.int64())})
             sig = t.column("sig").to_numpy(zero_copy_only=False)
-            keep = np.isin(sig, ray.get(tref))
+            # `touched` is already sorted (np.unique) — probe it with
+            # searchsorted rather than np.isin, which re-sorts per batch
+            keep = sorted_member(ray.get(tref), sig)
             return pa.table({"sig": pa.array(sig[keep]),
                              "node": pc.array_filter(
                                  t.column("node"), pa.array(keep))})
@@ -2914,13 +2913,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
             clab = np.empty(0, dtype=np.int64)
 
         def lab_of(nodes: np.ndarray) -> np.ndarray:
-            lab = nodes.copy()
-            if len(csig) and len(nodes):
-                pos = np.searchsorted(csig, nodes)
-                pos[pos == len(csig)] = 0
-                hit = csig[pos] == nodes
-                lab[hit] = clab[pos[hit]]
-            return lab
+            return apply_sorted_labels(csig, clab, nodes)
 
         ev_sets = [np.unique(lab_of(c)) for c in centers_by_tier]
         mref = ray.put((csig, clab))
@@ -2933,12 +2926,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
                      "bucket": pa.array([], type=pa.int64())})
             ks, kl = ray.get(mref)
             node = t.column("node").to_numpy(zero_copy_only=False)
-            lab = node.copy()
-            if len(ks):
-                pos = np.searchsorted(ks, node)
-                pos[pos == len(ks)] = 0
-                hit = ks[pos] == node
-                lab[hit] = kl[pos[hit]]
+            lab = apply_sorted_labels(ks, kl, node)
             return pa.table({"image_id": t.column("image_id"),
                              "label": pa.array(lab),
                              "bucket": pa.array(key_buckets(lab, nbk))})
@@ -3001,11 +2989,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
         rep = rep_sorted[inv]
 
         def member(s: np.ndarray) -> np.ndarray:
-            if not len(s):
-                return np.zeros(len(lab), dtype=bool)
-            pos = np.searchsorted(s, lab)
-            pos[pos == len(s)] = 0
-            return s[pos] == lab
+            return sorted_member(s, lab)
 
         return pa.table({
             "image_id": g.column("image_id"),
@@ -3099,8 +3083,6 @@ def cluster_merge_profile(corpus_dir: str, m1: int = 1, m2: int = 2):
     radius costs no second shuffle. Both component maps are
     edge-bounded driver pulls (the flagship CC pattern); the pair
     fold is one lexsort over touched sigs."""
-    from ray.data.aggregate import Count as _Count
-
     from humid_ray.util import hamming64
 
     if not (0 <= m1 < m2):
@@ -3108,23 +3090,7 @@ def cluster_merge_profile(corpus_dir: str, m1: int = 1, m2: int = 2):
     cfg2 = HumidConfig(sources=("phash",), clustering="maximum",
                        max_distance=m2)
 
-    ph = read_corpus(corpus_dir, columns=["phash"])
-
-    def usable_only(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        return t.filter(pc.is_valid(t.column("phash")))
-
-    uniq_ds = (
-        ph.map_batches(usable_only, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("phash").aggregate(_Count(alias_name="count"))
-        .map_batches(
-            lambda t: pa.table({"sig": t.column("phash"),
-                                "count": t.column("count")}),
-            batch_format="pyarrow",
-        )
-    ).materialize()
+    uniq_ds = _phash_uniq_ds(corpus_dir)
     n_uniq = uniq_ds.count()
     empty = pa.table({"n_subclusters": pa.array([], type=pa.int64()),
                       "n_clusters": pa.array([], type=pa.int64())})
@@ -3174,12 +3140,7 @@ def cluster_merge_profile(corpus_dir: str, m1: int = 1, m2: int = 2):
     s2, c2 = _pull(comp2)
     s1, c1 = _pull(comp1)
     # m1 label of each m2-touched sig (fallback: singleton = own sig)
-    l1 = s2.copy()
-    if len(s1) and len(s2):
-        pos = np.searchsorted(s1, s2)
-        pos[pos == len(s1)] = 0
-        hit = s1[pos] == s2
-        l1[hit] = c1[pos[hit]]
+    l1 = apply_sorted_labels(s1, c1, s2)
     hist: dict[int, int] = {}
     if len(s2):
         order = np.lexsort((l1, c2))
@@ -3410,12 +3371,9 @@ def phash_knn(corpus_dir: str, k: int = 5, n_queries: int = 8):
         if t.num_rows == 0:
             return pa.table({"image_id": pa.array([], type=pa.string()),
                              "phash": pa.array([], type=pa.int64())})
-        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
-        keep = np.argsort(ids, kind="stable")[:n_queries]
-        return pa.table({
-            "image_id": pa.array(ids[keep].tolist(), type=pa.string()),
-            "phash": t.column("phash").take(pa.array(keep)),
-        })
+        # C-speed bottom-n_queries selection — no Python-object sort
+        keep = pc.sort_indices(t.column("image_id"))[:n_queries]
+        return t.select(["image_id", "phash"]).take(keep)
 
     hq, hp = [], []
     for b in ds.map_batches(head_partial, batch_format="pyarrow",

@@ -155,6 +155,31 @@ def probe_sorted_side(key: np.ndarray, side_idx: np.ndarray,
     return m, ssort[pos[m]]
 
 
+def sorted_member(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Membership mask of ``probe`` in a PRE-SORTED key array — the
+    broadcast-side probe used all over the image operators (keys are
+    sorted once at build time; np.isin would re-sort them per batch)."""
+    if not len(sorted_keys) or not len(probe):
+        return np.zeros(len(probe), dtype=bool)
+    pos = np.searchsorted(sorted_keys, probe)
+    pos[pos == len(sorted_keys)] = 0
+    return sorted_keys[pos] == probe
+
+
+def apply_sorted_labels(sorted_keys: np.ndarray, labels: np.ndarray,
+                        probe: np.ndarray) -> np.ndarray:
+    """Map ``probe`` through a PRE-SORTED ``(sorted_keys -> labels)``
+    table; keys not present keep their own value (the singleton-cluster
+    fallback every label kernel uses). Returns a fresh array."""
+    out = probe.copy()
+    if len(sorted_keys) and len(probe):
+        pos = np.searchsorted(sorted_keys, probe)
+        pos[pos == len(sorted_keys)] = 0
+        hit = sorted_keys[pos] == probe
+        out[hit] = labels[pos[hit]]
+    return out
+
+
 def take_column(t: pa.Table, name: str, rows: np.ndarray) -> pa.Array:
     """Exact row gather of one column: combine chunks once, Arrow
     ``take`` — never converts the whole column through numpy first."""
