@@ -766,6 +766,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image-axis ranked similarity search: exact Hamming top-k
         "phash_knn":
             lambda sf: images.phash_knn(_corpus_for(sf)),
+        # leakage-free train/val/test: split key = near-dup cluster
+        "cluster_safe_split":
+            lambda sf: images.cluster_safe_split(_corpus_for(sf)),
+        # soft dedup: weight = 1/cluster row population per image
+        "dedup_sample_weights":
+            lambda sf: images.dedup_sample_weights(_corpus_for(sf)),
     }
 
 
@@ -1331,6 +1337,12 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "phash_knn": _images_mod.phash_knn_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "cluster_safe_split": _images_mod.cluster_safe_split_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "dedup_sample_weights": _images_mod.dedup_sample_weights_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

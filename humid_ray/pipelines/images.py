@@ -3461,3 +3461,292 @@ def phash_knn_sql(corpus_glob: str, k: int = 5, n_queries: int = 8) -> str:
         "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, dist "
         f"FROM r WHERE rk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe training splits + soft dedup weights
+# ---------------------------------------------------------------------------
+
+_SPLIT_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "split": pa.array([], type=pa.string()),
+})
+
+
+def cluster_safe_split(corpus_dir: str, val_pct: int = 10,
+                       test_pct: int = 10, max_distance: int = 1,
+                       n_buckets: int = 100):
+    """(image_id, split): leakage-free train/val/test assignment — the
+    split key is the pHash near-dup CLUSTER label, not the row, so two
+    images within Hamming <= ``max_distance`` can never straddle
+    splits (near-duplicate train/eval leakage is the classic
+    eval-inflation bug a row-hash split silently commits; HUMID's
+    cluster = one identity, src/humid.cc:167-193, so one identity gets
+    one split). bucket = splitmix64(cluster_label) % n_buckets:
+    < test_pct -> 'test', < test_pct + val_pct -> 'val', else 'train'.
+    Rows with a NULL phash carry no detectable pHash-tier near-dup
+    risk; they split by their own id digest (``hash_string_column``,
+    the incremental-dedup shard-split chain).
+
+    Scale shape: labels come from the flagship chain over DISTINCT
+    phashes (counting pre-pass -> salted banding -> capped verify ->
+    CC); the broadcast (sig -> label) map is EDGE-BOUNDED (untouched
+    singletons fall back to their own phash, which hashes to the same
+    bucket everywhere), so the only corpus-sized work is ONE pruned
+    (image_id, phash) scan through a shuffle-free kernel."""
+    from humid_ray.stages.joins import hash_string_column
+    from humid_ray.util import int64_to_uint64, splitmix64
+
+    if not (0 <= test_pct and 0 <= val_pct
+            and test_pct + val_pct <= n_buckets):
+        raise ValueError("need 0 <= test_pct + val_pct <= n_buckets")
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+    uniq_ds = _phash_uniq_ds(corpus_dir)
+    if uniq_ds.count() == 0:
+        ref = ray.put((np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int64)))
+    else:
+        ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
+
+    nb = np.uint64(n_buckets)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPLIT_EMPTY
+        keys, labs = ray.get(ref)
+        ph = t.column("phash")
+        valid = pc.is_valid(ph).to_numpy(zero_copy_only=False)
+        bucket = np.zeros(t.num_rows, dtype=np.uint64)
+        if valid.any():
+            phv = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False)
+            lab = apply_sorted_labels(keys, labs, phv[valid])
+            bucket[valid] = splitmix64(int64_to_uint64(lab))
+        if not valid.all():
+            idh = hash_string_column(t.column("image_id"))
+            bucket[~valid] = idh[~valid]
+        b = (bucket % nb).astype(np.int64)
+        split = np.where(
+            b < test_pct, "test",
+            np.where(b < test_pct + val_pct, "val", "train"))
+        return pa.table({"image_id": t.column("image_id"),
+                         "split": pa.array(split.tolist(),
+                                           type=pa.string())})
+
+    rows = read_corpus(corpus_dir, columns=["image_id", "phash"])
+    return rows.map_batches(kernel, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def cluster_safe_split_sql(corpus_glob: str, val_pct: int = 10,
+                           test_pct: int = 10, max_distance: int = 1,
+                           n_buckets: int = 100) -> str:
+    """DuckDB oracle for ``cluster_safe_split``: recursive Hamming
+    closure -> per-cluster splitmix64 bucket (HUGEINT chain, =
+    util.splitmix64); NULL-phash rows bucket by the id-digest chain
+    (polynomial byte fold + splitmix64, = joins.hash_string_column)."""
+    from humid_ray.oracles import TWO64, _horner_fold, _sm64_cols
+
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(tb) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(tb), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    lab_u = (f"CASE WHEN label < 0 THEN CAST(label AS HUGEINT) + {TWO64} "
+             "ELSE CAST(label AS HUGEINT) END")
+    return (
+        "WITH RECURSIVE c AS (SELECT image_id, phash "
+        f"FROM read_parquet('{corpus_glob}')), "
+        "u AS (SELECT image_id, phash FROM c WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        # CC labels are min-SIGNED members (components._UnionFind keeps
+        # the smaller int64 root), so min(dst), NOT the unsigned xor
+        # trick the seed-exposing flagship oracles use
+        "comp AS (SELECT src AS sig, "
+        "min(dst) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT u.image_id, m.label FROM u "
+        "JOIN comp m ON m.sig = u.phash), "
+        f"lz AS (SELECT image_id, {_sm64_cols(lab_u, 'z')} FROM lab), "
+        f"us AS (SELECT image_id, CAST(z % {n_buckets} AS BIGINT) "
+        "AS bucket FROM lz), "
+        "nn AS (SELECT image_id, encode(image_id) AS tb FROM c "
+        "WHERE phash IS NULL), "
+        f"braw AS (SELECT image_id, {_horner_fold(byte_list)} AS hraw "
+        "FROM nn), "
+        f"th AS (SELECT image_id, {_sm64_cols('hraw', 'ih')} FROM braw), "
+        f"un AS (SELECT image_id, CAST(ih % {n_buckets} AS BIGINT) "
+        "AS bucket FROM th), "
+        "allb AS (SELECT * FROM us UNION ALL SELECT * FROM un) "
+        f"SELECT image_id, CASE WHEN bucket < {test_pct} THEN 'test' "
+        f"WHEN bucket < {test_pct + val_pct} THEN 'val' "
+        "ELSE 'train' END AS split FROM allb"
+    )
+
+
+_WEIGHTS_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "cluster_size": pa.array([], type=pa.int64()),
+    "weight": pa.array([], type=pa.float64()),
+})
+
+
+def dedup_sample_weights(corpus_dir: str, max_distance: int = 1,
+                         broadcast_max_labels: int = 1_000_000):
+    """(image_id, cluster_size, weight): SOFT dedup — keep every row
+    and down-weight it by its pHash near-dup cluster's total ROW
+    population (exact copies included): weight =
+    round(1/cluster_size, 6). Training on weighted rows removes
+    duplication bias without the hard drop the keep-lists
+    (``curate_images``) commit to — the standard alternative when the
+    duplicated content is still wanted at reduced influence. Rows
+    with a NULL phash carry cluster_size 1 / weight 1.0.
+
+    Scale shape: one pruned (image_id, phash) scan labels rows through
+    the EDGE-BOUNDED broadcast map (fallback: own phash); cluster
+    sizes are a (label)-keyed row count — a label-bounded exchange.
+    The (label -> size) application broadcasts when the label count is
+    under ``broadcast_max_labels``, else falls back to one distributed
+    left-outer ``Dataset.join`` on the label (``curate_images``'
+    switch). Payload bytes are never read."""
+    from ray.data.aggregate import Count as _C
+
+    from humid_ray.stages.joins import join_kwargs
+    from humid_ray.util import round_half_away
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+    uniq_ds = _phash_uniq_ds(corpus_dir)
+    if uniq_ds.count() == 0:
+        ref = ray.put((np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int64)))
+    else:
+        ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
+
+    lab_empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "label": pa.array([], type=pa.int64()),
+    })
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lab_empty
+        keys, labs = ray.get(ref)
+        ph = t.column("phash")
+        valid = pc.is_valid(ph).to_numpy(zero_copy_only=False)
+        phv = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False)
+        lab = apply_sorted_labels(keys, labs, phv)
+        # NULL-phash rows stay unlabeled (null) -> cluster_size 1
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "label": pa.array(lab, type=pa.int64(), mask=~valid),
+        })
+
+    rows = read_corpus(corpus_dir, columns=["image_id", "phash"])
+    rows_lab = rows.map_batches(label_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    n_rows = rows_lab.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(_WEIGHTS_EMPTY)
+
+    def labeled_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.is_valid(t.column("label")))
+
+    sizes = (rows_lab.map_batches(labeled_only, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+             .groupby("label").aggregate(_C(alias_name="cluster_size"))
+             ).materialize()
+    n_labels = sizes.count()
+
+    def finish_bcast(sref):
+        def kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _WEIGHTS_EMPTY
+            ls, sz = ray.get(sref)
+            lab_col = t.column("label")
+            valid = pc.is_valid(lab_col).to_numpy(zero_copy_only=False)
+            lab = pc.fill_null(lab_col, 0).to_numpy(zero_copy_only=False)
+            size = np.ones(t.num_rows, dtype=np.int64)
+            if len(ls):
+                pos = np.searchsorted(ls, lab)
+                pos[pos == len(ls)] = 0
+                hit = (ls[pos] == lab) & valid
+                size[hit] = sz[pos[hit]]
+            w = round_half_away(1.0 / size)
+            return pa.table({"image_id": t.column("image_id"),
+                             "cluster_size": pa.array(size),
+                             "weight": pa.array(w)})
+        return kernel
+
+    if n_labels <= broadcast_max_labels:
+        parts = [
+            (b.column("label").to_numpy(zero_copy_only=False),
+             b.column("cluster_size").to_numpy(zero_copy_only=False))
+            for b in sizes.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")
+        ]
+        if parts:
+            ls = np.concatenate([p[0] for p in parts])
+            sz = np.concatenate([p[1] for p in parts])
+            order = np.argsort(ls, kind="stable")
+            ls, sz = ls[order], sz[order]
+        else:
+            ls = np.empty(0, dtype=np.int64)
+            sz = np.empty(0, dtype=np.int64)
+        sref = ray.put((ls, sz))
+        return rows_lab.map_batches(finish_bcast(sref),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    joined = rows_lab.join(
+        sizes, join_type="left_outer", on=("label",),
+        **join_kwargs(n_rows, n_labels),
+    )
+
+    def finish_join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _WEIGHTS_EMPTY
+        size = pc.fill_null(t.column("cluster_size"), 1).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        w = round_half_away(1.0 / size)
+        return pa.table({"image_id": t.column("image_id"),
+                         "cluster_size": pa.array(size),
+                         "weight": pa.array(w)})
+
+    return joined.map_batches(finish_join, batch_format="pyarrow")
+
+
+def dedup_sample_weights_sql(corpus_glob: str,
+                             max_distance: int = 1) -> str:
+    """DuckDB oracle for ``dedup_sample_weights``: recursive Hamming
+    closure -> rows per cluster label -> round(1/size, 6) (DuckDB
+    round = half away from zero, matched by util.round_half_away)."""
+    return (
+        "WITH RECURSIVE c AS (SELECT image_id, phash "
+        f"FROM read_parquet('{corpus_glob}')), "
+        "u AS (SELECT image_id, phash FROM c WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        f"ON a.sig != b.sig AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        # min-SIGNED label to match components._UnionFind (the value
+        # cancels out of this size-only query, but stay consistent)
+        "comp AS (SELECT src AS sig, "
+        "min(dst) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT u.image_id, m.label FROM u "
+        "JOIN comp m ON m.sig = u.phash), "
+        "sz AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size "
+        "FROM lab GROUP BY label), "
+        "allr AS (SELECT l.image_id, s.cluster_size "
+        "FROM lab l JOIN sz s USING (label) "
+        "UNION ALL SELECT image_id, CAST(1 AS BIGINT) "
+        "FROM c WHERE phash IS NULL) "
+        "SELECT image_id, cluster_size, "
+        "round(1.0 / cluster_size, 6) AS weight FROM allr"
+    )

@@ -1671,3 +1671,104 @@ def test_phash_knn_empty(ray_session, tmp_path):
     res = phash_knn(corpus)
     assert res.num_rows == 0
     assert res.schema.names == ["query_id", "neighbor_id", "rank", "dist"]
+
+
+# ---------------------------------------------------------------------------
+# cluster_safe_split / dedup_sample_weights
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_safe_split_leakage_free(ray_session, tmp_path):
+    """Near-dup cluster members never straddle splits; every row gets
+    exactly one split; the bucket chain matches util.splitmix64."""
+    from humid_ray.pipelines.images import cluster_safe_split
+    from humid_ray.util import int64_to_uint64, splitmix64
+
+    corpus = _corpus(tmp_path, ROWS)
+    out = (cluster_safe_split(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == [r[0] for r in ROWS]
+    assert set(out.split) <= {"train", "val", "test"}
+    by = dict(zip(out.image_id, out.split))
+    # {a, b} byte/phash-equal and c within Hamming 1 -> one cluster
+    assert by["img_a"] == by["img_b"] == by["img_c"]
+    # cluster label = min unsigned member sig = 0x10
+    lab = np.array([0x10], dtype=np.int64)
+    b = int(splitmix64(int64_to_uint64(lab))[0] % np.uint64(100))
+    want = "test" if b < 10 else ("val" if b < 20 else "train")
+    assert by["img_a"] == want
+
+
+def test_cluster_safe_split_pct_bounds(ray_session, tmp_path):
+    from humid_ray.pipelines.images import cluster_safe_split
+
+    corpus = _corpus(tmp_path, ROWS)
+    allt = cluster_safe_split(corpus, val_pct=0, test_pct=100).to_pandas()
+    assert set(allt.split) == {"test"}
+    trn = cluster_safe_split(corpus, val_pct=0, test_pct=0).to_pandas()
+    assert set(trn.split) == {"train"}
+    with pytest.raises(ValueError):
+        cluster_safe_split(corpus, val_pct=60, test_pct=60)
+
+
+def test_cluster_safe_split_matches_duckdb_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (cluster_safe_split,
+                                            cluster_safe_split_sql)
+
+    corpus = _corpus(tmp_path, ROWS)
+    mine = (cluster_safe_split(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(cluster_safe_split_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    assert mine.image_id.tolist() == oracle.image_id.tolist()
+    assert mine.split.tolist() == oracle.split.tolist()
+
+
+def test_dedup_sample_weights_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import dedup_sample_weights
+
+    corpus = _corpus(tmp_path, ROWS)
+    out = (dedup_sample_weights(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.image_id.tolist() == [r[0] for r in ROWS]
+    # {a, b, c} one cluster of 3 rows; d isolated; e unusable -> 1
+    assert out.cluster_size.tolist() == [3, 3, 3, 1, 1]
+    assert out.weight.tolist() == [0.333333, 0.333333, 0.333333, 1.0, 1.0]
+
+
+def test_dedup_sample_weights_join_branch_equal(ray_session, tmp_path):
+    from humid_ray.pipelines.images import dedup_sample_weights
+
+    corpus = _corpus(tmp_path, ROWS)
+    a = (dedup_sample_weights(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (dedup_sample_weights(corpus, broadcast_max_labels=0).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_dedup_sample_weights_matches_duckdb_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (dedup_sample_weights,
+                                            dedup_sample_weights_sql)
+
+    corpus = _corpus(tmp_path, ROWS)
+    mine = (dedup_sample_weights(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(dedup_sample_weights_sql(f"{corpus}/*.parquet"))
+              .df().sort_values("image_id").reset_index(drop=True))
+    assert mine.image_id.tolist() == oracle.image_id.tolist()
+    assert mine.cluster_size.tolist() == oracle.cluster_size.tolist()
+    assert mine.weight.tolist() == oracle.weight.tolist()
+
+
+def test_split_and_weights_empty_corpus(ray_session, tmp_path):
+    from humid_ray.pipelines.images import (cluster_safe_split,
+                                            dedup_sample_weights)
+
+    corpus = _corpus(tmp_path, [])
+    assert cluster_safe_split(corpus).count() == 0
+    assert dedup_sample_weights(corpus).count() == 0
