@@ -435,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components -> per-doc cluster assignment + keep list
         # (SQL-oracled: MinHash-in-SQL + recursive closure)
         "minhash_cluster_docs": dedup_text.minhash_clusters,
+        # B-axis leakage-free split / soft dedup weights (cluster-keyed)
+        "cluster_safe_split_docs": dedup_text.cluster_safe_split_docs,
+        "dedup_sample_weights_docs": dedup_text.dedup_sample_weights_docs,
         "minhash_keep_docs": dedup_text.minhash_dedup_keep,
         # quality-aware keep list: per cluster, the most-token-rich
         # member wins (tie -> min doc_id); one co-partitioned bucket
@@ -974,6 +977,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_docs": _orc.minhash_neardup_sql(),
         "ngram_jaccard_lsh": _orc.ngram_jaccard_lsh_sql(),
         "minhash_cluster_docs": _orc.minhash_cluster_sql(),
+        "cluster_safe_split_docs":
+            _dedup_mod.cluster_safe_split_docs_sql(),
+        "dedup_sample_weights_docs":
+            _dedup_mod.dedup_sample_weights_docs_sql(),
         "minhash_keep_docs": _orc.minhash_keep_sql(),
         "minhash_keep_best_docs": _orc.minhash_keep_best_sql(),
         "tiered_dedup_report_docs": _orc.tiered_dedup_report_sql(),

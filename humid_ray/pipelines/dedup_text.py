@@ -1673,3 +1673,99 @@ def dup_rate_by_source_sql(table: str = "documents") -> str:
         "CAST(SUM(CASE WHEN tc > 1 THEN c ELSE 0 END) AS BIGINT) "
         "AS n_dup_docs FROM t JOIN tot USING (text) GROUP BY source"
     )
+
+
+def cluster_safe_split_docs(sf_dir: str, val_pct: int = 10,
+                            test_pct: int = 10, threshold: float = 0.8,
+                            n_buckets: int = 100):
+    """(doc_id, split): leakage-free train/val/test over documents —
+    the split key is the MinHash near-dup CLUSTER id from
+    ``minhash_clusters`` (min doc_id of the component), so two
+    documents at estimated Jaccard >= threshold never straddle splits.
+    bucket = splitmix64(cluster_id) % n_buckets: < test_pct -> 'test',
+    < test_pct + val_pct -> 'val', else 'train'. The B-axis sibling of
+    ``images.cluster_safe_split``.
+
+    Scale shape: inherits minhash_clusters' — the component map is the
+    small (near-dup-bounded) side; the split kernel is a shuffle-free
+    per-batch projection."""
+    import pyarrow.compute as pc
+
+    from humid_ray.util import int64_to_uint64, splitmix64
+
+    if not (0 <= test_pct and 0 <= val_pct
+            and test_pct + val_pct <= n_buckets):
+        raise ValueError("need 0 <= test_pct + val_pct <= n_buckets")
+    assigned = minhash_clusters(sf_dir, threshold=threshold)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "split": pa.array([], type=pa.string())})
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        b = (splitmix64(int64_to_uint64(cid))
+             % np.uint64(n_buckets)).astype(np.int64)
+        split = np.where(
+            b < test_pct, "test",
+            np.where(b < test_pct + val_pct, "val", "train"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "split": pa.array(split.tolist(),
+                                           type=pa.string())})
+
+    return assigned.map_batches(kernel, batch_format="pyarrow")
+
+
+def cluster_safe_split_docs_sql(table: str = "documents",
+                                val_pct: int = 10, test_pct: int = 10,
+                                threshold: float = 0.8,
+                                n_buckets: int = 100) -> str:
+    """DuckDB oracle for ``cluster_safe_split_docs``: the minhash
+    cluster closure + the HUGEINT splitmix64 bucket chain."""
+    from humid_ray.oracles import (TWO64, _minhash_cluster_ctes,
+                                   _sm64_cols)
+
+    cid_u = ("CASE WHEN cluster_id < 0 THEN CAST(cluster_id AS HUGEINT) "
+             f"+ {TWO64} ELSE CAST(cluster_id AS HUGEINT) END")
+    return (
+        f"{_minhash_cluster_ctes(table, threshold)}, "
+        f"lz AS (SELECT doc_id, {_sm64_cols(cid_u, 'z')} FROM compsz) "
+        f"SELECT doc_id, CASE WHEN z % {n_buckets} < {test_pct} "
+        f"THEN 'test' WHEN z % {n_buckets} < {test_pct + val_pct} "
+        "THEN 'val' ELSE 'train' END AS split FROM lz"
+    )
+
+
+def dedup_sample_weights_docs(sf_dir: str, threshold: float = 0.8):
+    """(doc_id, cluster_size, weight): soft dedup over documents —
+    weight = round(1/cluster_size, 6) by the MinHash near-dup cluster's
+    row population (``minhash_clusters`` sizes). The B-axis sibling of
+    ``images.dedup_sample_weights``: keep every document, de-bias the
+    duplication instead of dropping it."""
+    from humid_ray.util import round_half_away
+
+    assigned = minhash_clusters(sf_dir, threshold=threshold)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cluster_size": pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.float64())})
+        size = t.column("cluster_size").to_numpy(zero_copy_only=False)
+        w = round_half_away(1.0 / size)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "cluster_size": t.column("cluster_size"),
+                         "weight": pa.array(w)})
+
+    return assigned.map_batches(kernel, batch_format="pyarrow")
+
+
+def dedup_sample_weights_docs_sql(table: str = "documents",
+                                  threshold: float = 0.8) -> str:
+    """DuckDB oracle for ``dedup_sample_weights_docs``."""
+    from humid_ray.oracles import _minhash_cluster_ctes
+
+    return (
+        f"{_minhash_cluster_ctes(table, threshold)} "
+        "SELECT doc_id, cluster_size, "
+        "round(1.0 / cluster_size, 6) AS weight FROM compsz"
+    )

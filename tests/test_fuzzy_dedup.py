@@ -348,3 +348,57 @@ def test_incremental_minhash_dedup_no_dups(ray_session, tmp_path):
     assert not out["is_dup"].any()
     assert out["base_rep"].isna().all()
     assert out["jaccard"].isna().all()
+
+
+def test_cluster_safe_split_docs_leakage_free(ray_session, clusters):
+    from humid_ray.pipelines import dedup_text
+    from humid_ray.util import int64_to_uint64, splitmix64
+
+    out = dedup_text.cluster_safe_split_docs(SF).to_pandas()
+    assert len(out) == len(clusters)
+    assert set(out.split) <= {"train", "val", "test"}
+    m = out.merge(clusters[["doc_id", "cluster_id"]], on="doc_id")
+    # one split per cluster — no near-dup straddles a boundary
+    assert (m.groupby("cluster_id")["split"].nunique() == 1).all()
+    # bucket chain parity with util.splitmix64
+    cid = m["cluster_id"].to_numpy()
+    b = (splitmix64(int64_to_uint64(cid)) % np.uint64(100)).astype(int)
+    want = np.where(b < 10, "test", np.where(b < 20, "val", "train"))
+    assert (m["split"].to_numpy() == want).all()
+
+
+def test_dedup_sample_weights_docs_parity(ray_session, clusters):
+    from humid_ray.pipelines import dedup_text
+    from humid_ray.util import round_half_away
+
+    out = dedup_text.dedup_sample_weights_docs(SF).to_pandas()
+    m = out.merge(clusters[["doc_id", "cluster_size"]], on="doc_id",
+                  suffixes=("", "_want"))
+    assert (m["cluster_size"] == m["cluster_size_want"]).all()
+    want_w = round_half_away(1.0 / m["cluster_size"].to_numpy())
+    assert (m["weight"].to_numpy() == want_w).all()
+
+
+def test_split_and_weights_docs_match_duckdb(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines import dedup_text
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    mine = (dedup_text.cluster_safe_split_docs(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orc = (con.execute(dedup_text.cluster_safe_split_docs_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert mine.doc_id.tolist() == orc.doc_id.tolist()
+    assert mine.split.tolist() == orc.split.tolist()
+
+    mine_w = (dedup_text.dedup_sample_weights_docs(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    orc_w = (con.execute(dedup_text.dedup_sample_weights_docs_sql()).df()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert mine_w.cluster_size.tolist() == orc_w.cluster_size.tolist()
+    assert mine_w.weight.tolist() == orc_w.weight.tolist()
