@@ -775,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # soft dedup: weight = 1/cluster row population per image
         "dedup_sample_weights":
             lambda sf: images.dedup_sample_weights(_corpus_for(sf)),
+        # byte-budgeted pre-shuffled shard layout (export step)
+        "pack_shards_images":
+            lambda sf: images.pack_shards_images(_corpus_for(sf)),
     }
 
 
@@ -1350,6 +1353,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "dedup_sample_weights": _images_mod.dedup_sample_weights_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
+        "pack_shards_images": _images_mod.pack_shards_images_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
         "token_count_docs": (

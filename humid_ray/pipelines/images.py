@@ -3750,3 +3750,107 @@ def dedup_sample_weights_sql(corpus_glob: str,
         "SELECT image_id, cluster_size, "
         "round(1.0 / cluster_size, 6) AS weight FROM allr"
     )
+
+
+_PACK_IMG_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "n_bytes": pa.array([], type=pa.int64()),
+    "shard_id": pa.array([], type=pa.int64()),
+})
+
+
+def pack_shards_images(corpus_dir: str, capacity_bytes: int = 1 << 22,
+                       n_buckets: int | None = None):
+    """(image_id, n_bytes, shard_id): pack the usable images into
+    training shards of ``capacity_bytes`` payload bytes, in ascending
+    id-DIGEST order — a deterministic seeded permutation, so shards
+    are pre-shuffled (the property a training run wants) yet the
+    layout is identical at any parallelism and resumable. An image
+    lands in the shard holding its first byte (shard_id = exclusive
+    prefix-sum of payload length // capacity; oversized payloads own
+    their span's start shard). The image-axis sibling of
+    ``shards.pack_shards``; compose with the ``image_drop_report``
+    keep column upstream to shard a curated corpus.
+
+    Scale shape: the two-phase distributed range scan of
+    ``shards._exclusive_scan`` — per-bucket int64 totals to the driver
+    (|buckets| rows, the only driver materialization), then per-bucket
+    local scans. Payload bytes are measured in-batch and never
+    shuffle; the exchange carries (digest, length, id) rows. Order
+    ties are digest collisions (~n^2/2^65, the fused-dedup node-id
+    bound) — the DuckDB oracle orders by the raw id there and would
+    surface one at test scale."""
+    from humid_ray.pipelines.shards import N_RANGE_BUCKETS, _exclusive_scan
+    from humid_ray.stages.joins import hash_string_column
+
+    if capacity_bytes <= 0:
+        raise ValueError("capacity_bytes must be positive")
+    nb = N_RANGE_BUCKETS if n_buckets is None else n_buckets
+
+    keyed_empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "h": pa.array([], type=pa.uint64()),
+        "ln": pa.array([], type=pa.int64()),
+    })
+
+    def key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return keyed_empty
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return keyed_empty
+        h = hash_string_column(batch.column("image_id"))
+        _, offs = _flat_binary(batch.column("bytes"))
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "doc_id": pa.array(h.view(np.int64)),
+            "h": pa.array(h, type=pa.uint64()),
+            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+        })
+
+    keyed = read_corpus(
+        corpus_dir, columns=["image_id", "bytes", "phash"]
+    ).map_batches(key, batch_format="pyarrow",
+                  zero_copy_batch=True).materialize()
+    if keyed.count() == 0:
+        return ray.data.from_arrow(_PACK_IMG_EMPTY)
+
+    def finalize(cols, excl):
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], type=pa.string()),
+            "n_bytes": pa.array(cols["ln"].astype(np.int64)),
+            "shard_id": pa.array(excl // capacity_bytes),
+        })
+
+    return _exclusive_scan(keyed, "h", "ln", nb, finalize,
+                           _PACK_IMG_EMPTY)
+
+
+def pack_shards_images_sql(corpus_glob: str,
+                           capacity_bytes: int = 1 << 22) -> str:
+    """DuckDB oracle for ``pack_shards_images``: the id-digest chain +
+    a running-sum window over (digest, image_id) order."""
+    from humid_ray.oracles import _horner_fold, _sm64_cols
+
+    byte_list = (
+        "list_transform(range(1, CAST(octet_length(tb) + 1 AS BIGINT)), "
+        "jj -> CAST(CAST('0x' || substr(hex(tb), "
+        "CAST(2*jj-1 AS INTEGER), 2) AS UBIGINT) AS HUGEINT))"
+    )
+    return (
+        "WITH c AS (SELECT image_id, "
+        "CAST(octet_length(bytes) AS BIGINT) AS ln, "
+        f"encode(image_id) AS tb FROM read_parquet('{corpus_glob}') "
+        "WHERE phash IS NOT NULL), "
+        f"braw AS (SELECT image_id, ln, {_horner_fold(byte_list)} "
+        "AS hraw FROM c), "
+        f"th AS (SELECT image_id, ln, {_sm64_cols('hraw', 'ih')} "
+        "FROM braw), "
+        "o AS (SELECT image_id, ln, "
+        "sum(ln) OVER (ORDER BY ih, image_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ln "
+        "AS excl FROM th) "
+        "SELECT image_id, ln AS n_bytes, "
+        f"CAST(excl // {capacity_bytes} AS BIGINT) AS shard_id FROM o"
+    )

@@ -21,7 +21,7 @@ CORPUS_QUERIES_PREFIXES = (
     "cluster_caption_consistency", "cluster_diameter_hist",
     "dedup_storage_savings", "aspect_ratio_stats",
     "fused_dedup_images", "cluster_merge_profile",
-    "cluster_safe_split", "dedup_sample_weights",
+    "cluster_safe_split", "dedup_sample_weights", "pack_shards_images",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on

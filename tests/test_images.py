@@ -1772,3 +1772,60 @@ def test_split_and_weights_empty_corpus(ray_session, tmp_path):
     corpus = _corpus(tmp_path, [])
     assert cluster_safe_split(corpus).count() == 0
     assert dedup_sample_weights(corpus).count() == 0
+
+
+def test_pack_shards_images_invariants(ray_session, tmp_path):
+    """Every usable image packed once; shard ids are a contiguous
+    prefix 0..max; per-shard byte totals respect the capacity rule
+    (each shard except possibly the last begins before the budget
+    line); order = ascending id digest."""
+    from humid_ray.pipelines.images import pack_shards_images
+    from humid_ray.stages.joins import hash_string_column
+
+    rows = [(f"img_{i:03d}", bytes([i % 251]) * (50 + 13 * (i % 7)),
+             0x100 + i) for i in range(40)]
+    rows.append(("img_bad", b"x", None))    # unusable: excluded
+    corpus = _corpus(tmp_path, rows)
+    cap = 400
+    out = (pack_shards_images(corpus, capacity_bytes=cap).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(out) == 40 and "img_bad" not in set(out.image_id)
+    assert (out.n_bytes == [50 + 13 * (i % 7) for i in range(40)]).all()
+    # recompute expected shard ids by brute force in digest order
+    ids = pa.array(out.image_id.tolist(), type=pa.string())
+    h = hash_string_column(ids)
+    order = np.argsort(h, kind="stable")
+    nb = out.n_bytes.to_numpy()[order]
+    excl = np.cumsum(nb) - nb
+    want = dict(zip(out.image_id.to_numpy()[order], excl // cap))
+    assert all(want[i] == s for i, s in zip(out.image_id, out.shard_id))
+    sids = np.sort(out.shard_id.unique())
+    assert sids[0] == 0 and (np.diff(sids) == 1).all()
+
+
+def test_pack_shards_images_matches_duckdb_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (pack_shards_images,
+                                            pack_shards_images_sql)
+
+    rows = [(f"img_{i:03d}", bytes([i % 251]) * (50 + 13 * (i % 7)),
+             0x100 + i) for i in range(40)]
+    corpus = _corpus(tmp_path, rows)
+    mine = (pack_shards_images(corpus, capacity_bytes=400).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    orc = (duckdb.sql(pack_shards_images_sql(f"{corpus}/*.parquet",
+                                             capacity_bytes=400))
+           .df().sort_values("image_id").reset_index(drop=True))
+    assert mine.image_id.tolist() == orc.image_id.tolist()
+    assert mine.n_bytes.tolist() == orc.n_bytes.tolist()
+    assert mine.shard_id.tolist() == orc.shard_id.tolist()
+
+
+def test_pack_shards_images_empty_and_validation(ray_session, tmp_path):
+    from humid_ray.pipelines.images import pack_shards_images
+
+    corpus = _corpus(tmp_path, [])
+    assert pack_shards_images(corpus).count() == 0
+    with pytest.raises(ValueError):
+        pack_shards_images(corpus, capacity_bytes=0)
