@@ -168,6 +168,10 @@ def run_bench() -> dict:
           lambda: textstats.corpus_checksum(SF_DIR), consume=None)
     timed("length_quantiles_docs", lambda: textstats.length_quantiles(SF_DIR))
     timed("minhash_cluster_docs", lambda: dedup_text.minhash_clusters(SF_DIR))
+    timed("cluster_safe_split_docs",
+          lambda: dedup_text.cluster_safe_split_docs(SF_DIR))
+    timed("dedup_sample_weights_docs",
+          lambda: dedup_text.dedup_sample_weights_docs(SF_DIR))
     timed("curate_docs", lambda: dedup_text.curate_docs(SF_DIR))
     timed("decontaminate_docs", lambda: dedup_text.decontaminate(SF_DIR))
     timed("repetition_stats_docs", lambda: textstats.repetition_stats(SF_DIR))
@@ -255,6 +259,10 @@ def run_bench() -> dict:
     timed("caption_simhash_neardup",
           lambda: images.caption_simhash_neardup(corpus))
     timed("phash_knn", lambda: images.phash_knn(corpus), consume=None)
+    timed("cluster_safe_split", lambda: images.cluster_safe_split(corpus))
+    timed("dedup_sample_weights",
+          lambda: images.dedup_sample_weights(corpus))
+    timed("pack_shards_images", lambda: images.pack_shards_images(corpus))
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))
