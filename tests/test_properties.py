@@ -98,3 +98,41 @@ def test_edit_distance_within_property(a, b, m):
         return dp[-1]
 
     assert edit_distance_within(a, b, m) == (lev(a, b) <= m)
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=40),
+       st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sorted_member_matches_isin(keys, probe):
+    from humid_ray.stages.joins import sorted_member
+
+    sk = np.unique(np.asarray(keys, dtype=np.int64))
+    p = np.asarray(probe, dtype=np.int64)
+    got = sorted_member(sk, p)
+    want = np.isin(p, sk)
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=-2**63, max_value=2**63 - 1),
+    st.integers(min_value=-2**63, max_value=2**63 - 1)), max_size=40),
+       st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_apply_sorted_labels_matches_dict(pairs, probe):
+    from humid_ray.stages.joins import apply_sorted_labels
+
+    # dedupe keys (keep first) then sort — the caller's contract
+    d = {}
+    for k, v in pairs:
+        d.setdefault(k, v)
+    ks = np.array(sorted(d), dtype=np.int64)
+    vs = np.array([d[k] for k in sorted(d)], dtype=np.int64)
+    p = np.asarray(probe, dtype=np.int64)
+    got = apply_sorted_labels(ks, vs, p)
+    want = np.array([d.get(x, x) for x in p.tolist()], dtype=np.int64)
+    assert np.array_equal(got, want)
+    # input must be untouched (the helper returns a fresh array)
+    assert np.array_equal(p, np.asarray(probe, dtype=np.int64))
