@@ -718,6 +718,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the caption column; per-batch count combiner)
         "caption_langid_hist":
             lambda sf: images.caption_langid_hist(_corpus_for(sf)),
+        # partition-scoped dedup: pHash Hamming clusters WITHIN
+        # caption-language partitions (one global banding pass, edges
+        # assigned to partitions by node-membership joins, per-language
+        # CC) — the shard-the-all-to-all-by-a-cheap-key production trick
+        "lang_partitioned_image_dedup":
+            lambda sf: images.lang_partitioned_image_dedup(_corpus_for(sf)),
         # eval-suite decontamination on the image axis: byte-identity
         # + exhaustive Hamming-probe membership against the broadcast
         # eval side (the image twin of decontaminate_docs)
@@ -1308,6 +1314,10 @@ def oracle_sql() -> dict[str, str]:
         "caption_langid_hist": _images_mod.caption_langid_hist_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
+        "lang_partitioned_image_dedup":
+            _images_mod.lang_partitioned_image_dedup_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
         "decontaminate_images": _images_mod.decontaminate_images_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),

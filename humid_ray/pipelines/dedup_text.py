@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from humid_ray.functions.minhash import minhash_band_keys, minhash_batch
 from humid_ray.functions.simhash import shingle_hashes, simhash_from_shingles
@@ -27,6 +27,24 @@ def read_documents(sf_dir: str, columns=None):
 
 # --- exact dedup (HUMID T1/A1 analog; SQL-expressible) --------------------
 
+def _partial_exact(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate texts BEFORE the shuffle
+    (same pattern as stages/exact.py:_partial_unique for sigs) — the
+    exchange then carries one row per distinct text per block, not one
+    per row, which is what keeps the raw-text shuffle affordable on a
+    duplicate-heavy corpus."""
+    g = batch.select(["text", "doc_id"]).group_by("text").aggregate(
+        [("doc_id", "count"), ("doc_id", "min")]
+    )
+    return pa.table(
+        {
+            "text": g.column("text"),
+            "cnt": g.column("doc_id_count"),
+            "rep_id": g.column("doc_id_min"),
+        }
+    )
+
+
 def exact_dedup(sf_dir: str):
     """One row per distinct text: (text, cnt, rep_id=min doc_id).
 
@@ -34,8 +52,11 @@ def exact_dedup(sf_dir: str):
             FROM documents GROUP BY text.
     """
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    return ds.groupby("text").aggregate(
-        Count(alias_name="cnt"), Min("doc_id", alias_name="rep_id")
+    partial = ds.map_batches(
+        _partial_exact, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.groupby("text").aggregate(
+        Sum("cnt", alias_name="cnt"), Min("rep_id", alias_name="rep_id")
     )
 
 

@@ -1642,6 +1642,286 @@ def caption_langid_hist_sql(corpus_glob: str) -> str:
     )
 
 
+# --- language-partitioned near-dup (partition-scoped dedup) ------------------
+
+def lang_partitioned_image_dedup(corpus_dir: str,
+                                 broadcast_max_labels: int = 1_000_000):
+    """(image_id, lang_pred, cluster_rep, keep): pHash Hamming<=1
+    near-dup clusters computed WITHIN caption-language partitions —
+    the production trick of sharding a global dedup all-to-all by a
+    cheap partition key (language / domain / crawl shard): edges never
+    cross partitions, so every partition clusters independently and
+    the widest per-partition exchange shrinks to the largest partition.
+
+    Semantics: usable rows (non-NULL stored phash, the flagship's
+    stored-mode gate); ``lang_pred`` = the shared deterministic bigram
+    scorer over the caption (same model as langid_docs /
+    caption_langid_hist); nodes = DISTINCT (lang, phash); edges =
+    same-language pairs within Hamming 1; ``cluster_rep`` = min
+    image_id per (lang, component), ``keep`` iff the row IS its rep.
+    The same phash under two languages is two independent nodes —
+    partitioned semantics, by design (the global variant is
+    ``curate_images``).
+
+    Scale shape: ONE narrow scan scores languages (materialized: the
+    global uniq, the node set, and the final labeling all consume it);
+    the Hamming edge graph is built ONCE over global distinct phashes
+    with the flagship's counting pre-pass + salted banded LSH, then
+    assigned to partitions by joining node membership onto BOTH
+    endpoints (edge-bounded joins — the corpus never re-shuffles);
+    per-language CC is a groupby(lang).map_groups union-find (each
+    partition's edge list fits a task — the same edges << corpus bound
+    as the flagship's local CC mode; stages/components.py's
+    distributed label-prop drops in per partition when it doesn't);
+    the (lang, phash)->label map is edge-bounded and broadcast once
+    via ``ray.put`` below ``broadcast_max_labels``, else applied with
+    a distributed two-key left-outer ``Dataset.join``."""
+    from humid_ray.pipelines.textstats import LangId
+    from humid_ray.stages.components import components_from_arrays
+    from humid_ray.stages.joins import copart_buckets, join_kwargs, key_buckets
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum")
+    scorer = LangId()  # ONE scorer; profiles built once per actor
+    lang_vocab = list(scorer.profiles) + ["und"]
+
+    _scored_empty = pa.table({"image_id": pa.array([], type=pa.string()),
+                              "lang": pa.array([], type=pa.string()),
+                              "phash": pa.array([], type=pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("phash")))
+        if batch.num_rows == 0:
+            return _scored_empty
+        scored = scorer(pa.table({
+            "doc_id": pa.array(np.arange(batch.num_rows)),
+            "text": batch.column("caption"),
+        }))
+        return pa.table({"image_id": batch.column("image_id"),
+                         "lang": scored.column("lang_pred"),
+                         "phash": batch.column("phash")})
+
+    scored = read_corpus(
+        corpus_dir, columns=["image_id", "caption", "phash"]
+    ).map_batches(score, batch_format="pyarrow",
+                  zero_copy_batch=True).materialize()
+
+    # global edge graph over DISTINCT phash values — Hamming edges do
+    # not depend on the partition, so ONE banding pass serves every
+    # language; membership filtering below yields the partitioned graph
+    uniq_ds = (
+        scored.groupby("phash").aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    edges = _edges_with_hot_salting(uniq_ds, cfg).materialize()
+    n_edges = edges.count()
+
+    # node set: one row per (lang, phash)
+    nodes = (
+        scored.groupby(["lang", "phash"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["lang", "phash"])
+    ).materialize()
+    n_nodes = nodes.count()
+
+    _comp_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                            "phash": pa.array([], type=pa.int64()),
+                            "label": pa.array([], type=pa.int64())})
+
+    def cc_lang(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _comp_empty
+        sa = g.column("sig_a").to_numpy(zero_copy_only=False)
+        sb = g.column("sig_b").to_numpy(zero_copy_only=False)
+        sigs, comps = components_from_arrays(sa, sb)
+        lang = g.column("lang")[0].as_py()
+        return pa.table({
+            "lang": pa.array(np.repeat(lang, len(sigs)), type=pa.string()),
+            "phash": u64col(sigs),
+            "label": u64col(comps),
+        })
+
+    if n_edges == 0:
+        comp = ray.data.from_arrow(_comp_empty)
+    else:
+        # assign each global edge to every language containing BOTH
+        # endpoints: two inner joins of the edge-bounded list against
+        # the node set (per-endpoint language fan-out <= |langs|)
+        n_a = nodes.rename_columns(["la", "sig_a"])
+        n_b = nodes.rename_columns(["lb", "sig_b"])
+        e1 = edges.join(n_a, join_type="inner", on=("sig_a",),
+                        **join_kwargs(n_edges, n_nodes))
+        e2 = e1.join(n_b, join_type="inner", on=("sig_b",),
+                     **join_kwargs(n_edges * len(lang_vocab), n_nodes))
+
+        def same_lang(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"lang": pa.array([], type=pa.string()),
+                                 "sig_a": pa.array([], type=pa.int64()),
+                                 "sig_b": pa.array([], type=pa.int64())})
+            t = t.filter(pc.equal(t.column("la"), t.column("lb")))
+            return pa.table({"lang": t.column("la"),
+                             "sig_a": t.column("sig_a"),
+                             "sig_b": t.column("sig_b")})
+
+        lang_edges = e2.map_batches(same_lang, batch_format="pyarrow")
+        comp = lang_edges.groupby("lang").map_groups(
+            cc_lang, batch_format="pyarrow"
+        ).materialize()
+
+    _labeled_empty = pa.table({"image_id": pa.array([], type=pa.string()),
+                               "lang": pa.array([], type=pa.string()),
+                               "label": pa.array([], type=pa.int64())})
+    n_labels = comp.count() if n_edges else 0
+    if n_labels <= broadcast_max_labels:
+        per_lang: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if n_labels:
+            acc: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for b in comp.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+                langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+                ph = b.column("phash").to_numpy(zero_copy_only=False)
+                lab = b.column("label").to_numpy(zero_copy_only=False)
+                for lg in np.unique(langs):
+                    m = langs == lg
+                    acc.setdefault(str(lg), []).append((ph[m], lab[m]))
+            for lg, parts in acc.items():
+                keys = np.concatenate([p[0] for p in parts])
+                labs = np.concatenate([p[1] for p in parts])
+                order = np.argsort(keys, kind="stable")
+                per_lang[lg] = (keys[order], labs[order])
+        ref = ray.put(per_lang)
+
+        def label_kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _labeled_empty
+            maps = ray.get(ref)
+            ph = t.column("phash").to_numpy(zero_copy_only=False)
+            lab = ph.copy()  # default: own phash (singleton / untouched)
+            langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+            for lg in np.unique(langs):
+                entry = maps.get(str(lg))
+                if entry is None:
+                    continue
+                m = langs == lg
+                lab[m] = apply_sorted_labels(entry[0], entry[1], ph[m])
+            return pa.table({"image_id": t.column("image_id"),
+                             "lang": t.column("lang"),
+                             "label": pa.array(lab)})
+
+        labeled = scored.map_batches(label_kernel, batch_format="pyarrow")
+    else:
+        comp2 = comp.rename_columns(["lang", "phash", "label"])
+        joined = scored.join(comp2, join_type="left_outer",
+                             on=("lang", "phash"),
+                             **join_kwargs(scored.count(), n_labels))
+
+        def fill(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _labeled_empty
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "lang": t.column("lang"),
+                "label": pc.coalesce(t.column("label"), t.column("phash")),
+            })
+
+        labeled = joined.map_batches(fill, batch_format="pyarrow")
+
+    # rep/keep per (lang, label): one co-partitioning exchange on the
+    # hashed composite key + a vectorized per-bucket segment kernel
+    # (labels may collide ACROSS languages — the kernel orders by the
+    # composite, and the bucket key mixes both)
+    nb = copart_buckets(scored.count())
+    vocab = pa.array(lang_vocab, type=pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], type=pa.int64()))
+        lidx = pc.fill_null(
+            pc.index_in(t.column("lang"), value_set=vocab), len(lang_vocab)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        # mix the small language index into the hashed key so equal
+        # labels in different languages spread across buckets
+        return t.append_column(
+            "bucket", pa.array(key_buckets(lab ^ (lidx + 1), nb))
+        )
+
+    _out_empty = pa.table({"image_id": pa.array([], type=pa.string()),
+                           "lang_pred": pa.array([], type=pa.string()),
+                           "cluster_rep": pa.array([], type=pa.string()),
+                           "keep": pa.array([], type=pa.bool_())})
+
+    def rep_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _out_empty
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        langs = np.asarray(g.column("lang").to_pylist(), dtype=object)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lab, langs))
+        labs_s, langs_s = lab[order], langs[order]
+        new = np.r_[True, (labs_s[1:] != labs_s[:-1])
+                    | (langs_s[1:] != langs_s[:-1])]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0)
+        )
+        ids_sorted = ids[order]
+        rep_sorted = ids_sorted[seg_start]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        rep = rep_sorted[inv]
+        return pa.table({
+            "image_id": g.column("image_id"),
+            "lang_pred": g.column("lang"),
+            "cluster_rep": pa.array(rep.tolist(), type=pa.string()),
+            "keep": pa.array(ids == rep),
+        })
+
+    return (
+        labeled.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rep_bucket, batch_format="pyarrow")
+    )
+
+
+def lang_partitioned_image_dedup_sql(corpus_glob: str) -> str:
+    """DuckDB oracle for ``lang_partitioned_image_dedup``: the SHARED
+    langid score/CASE builders over the caption column + a recursive
+    Hamming-1 closure over DISTINCT (lang, phash) nodes, edges
+    restricted to same-language pairs."""
+    from humid_ray.oracles import langid_pred_case_sql, langid_score_sql
+
+    return (
+        "WITH RECURSIVE raw AS (SELECT image_id, phash, "
+        "lower(coalesce(caption, '')) AS t "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        f"s AS (SELECT image_id, phash, {langid_score_sql('en')} AS s_en, "
+        f"{langid_score_sql('de')} AS s_de, "
+        f"{langid_score_sql('fr')} AS s_fr, "
+        f"{langid_score_sql('es')} AS s_es FROM raw), "
+        f"p AS (SELECT image_id, phash, {langid_pred_case_sql()} AS lang "
+        "FROM s), "
+        "nodes AS (SELECT DISTINCT lang, phash AS sig FROM p), "
+        "e AS (SELECT a.lang, a.sig AS sa, b.sig AS sb "
+        "FROM nodes a JOIN nodes b ON a.lang = b.lang AND a.sig != b.sig "
+        "AND bit_count(xor(a.sig, b.sig)) <= 1), "
+        "reach(lang, src, dst) AS (SELECT lang, sig, sig FROM nodes UNION "
+        "SELECT r.lang, r.src, e.sb FROM reach r "
+        "JOIN e ON e.lang = r.lang AND e.sa = r.dst), "
+        "comp AS (SELECT lang, src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label "
+        "FROM reach GROUP BY lang, src), "
+        "lab AS (SELECT p.image_id, p.lang, m.label FROM p "
+        "JOIN comp m ON m.lang = p.lang AND m.sig = p.phash) "
+        "SELECT image_id, lang AS lang_pred, "
+        "min(image_id) OVER (PARTITION BY lang, label) AS cluster_rep, "
+        "image_id = min(image_id) OVER (PARTITION BY lang, label) AS \"keep\" "
+        "FROM lab"
+    )
+
+
 # --- eval-set decontamination (image axis) -----------------------------------
 
 class _ContamProbe:

@@ -1829,3 +1829,89 @@ def test_pack_shards_images_empty_and_validation(ray_session, tmp_path):
     assert pack_shards_images(corpus).count() == 0
     with pytest.raises(ValueError):
         pack_shards_images(corpus, capacity_bytes=0)
+
+
+# --- lang_partitioned_image_dedup -------------------------------------------
+
+# captions chosen to hit distinct LangId profiles deterministically:
+# "the thing" -> en, "chchch" -> de, "lelele" -> fr (see textstats._PROFILES)
+LPART_ROWS = [
+    # (image_id, bytes, caption, phash)
+    ("img_a", b"\x01", "the thing", 0x10),   # en cluster seed
+    ("img_b", b"\x02", "the thing", 0x10),   # same phash, same lang -> same
+    ("img_c", b"\x03", "the things", 0x11),  # Hamming 1, en -> joins a/b
+    ("img_d", b"\x04", "chchch", 0x10),      # same phash, DE -> separate
+    ("img_e", b"\x05", "lelele", 0x11),      # Hamming-1 value, FR -> alone
+    ("img_f", b"\x06", "the thing", None),   # unusable: dropped
+    ("img_g", b"\x07", "", 0x400),           # und singleton
+]
+
+
+def test_lang_partitioned_image_dedup_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.images import lang_partitioned_image_dedup
+
+    corpus = _fused_corpus(tmp_path, LPART_ROWS, name="lpcorpus")
+    out = (lang_partitioned_image_dedup(corpus).to_pandas()
+           .set_index("image_id"))
+    assert len(out) == 6  # img_f dropped (NULL phash)
+    assert out.loc["img_a", "lang_pred"] == "en"
+    assert out.loc["img_d", "lang_pred"] == "de"
+    assert out.loc["img_e", "lang_pred"] == "fr"
+    assert out.loc["img_g", "lang_pred"] == "und"
+    # en partition: a, b, c one cluster (rep = min id)
+    assert out.loc["img_a", "cluster_rep"] == "img_a"
+    assert out.loc["img_b", "cluster_rep"] == "img_a"
+    assert out.loc["img_c", "cluster_rep"] == "img_a"
+    # SAME phash value under de is a separate, singleton cluster
+    assert out.loc["img_d", "cluster_rep"] == "img_d"
+    # Hamming-1 neighbor value under fr never links cross-language
+    assert out.loc["img_e", "cluster_rep"] == "img_e"
+    assert out.loc["img_g", "cluster_rep"] == "img_g"
+    assert out["keep"].tolist() == [
+        out.index[i] == out["cluster_rep"].iloc[i] for i in range(len(out))
+    ]
+
+
+def test_lang_partitioned_image_dedup_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        lang_partitioned_image_dedup, lang_partitioned_image_dedup_sql,
+    )
+
+    corpus = _fused_corpus(tmp_path, LPART_ROWS, name="lpcorpus2")
+    mine = (lang_partitioned_image_dedup(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        lang_partitioned_image_dedup_sql(f"{corpus}/*.parquet"))
+        .df().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "lang_pred", "cluster_rep", "keep"):
+        assert mine[col].tolist() == oracle[col].tolist(), col
+
+
+def test_lang_partitioned_image_dedup_randomized_vs_duckdb(
+        ray_session, tmp_path):
+    """Randomized corpus: dense phash collisions + Hamming-1 chains
+    across four languages — exercises multi-language buckets, label
+    collisions across partitions, and chains the planted case misses."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        lang_partitioned_image_dedup, lang_partitioned_image_dedup_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    caps = ["the thing", "chchch", "lelele", "de la los", ""]
+    rows = []
+    for i in range(150):
+        ph = None if rng.random() < 0.08 else int(rng.integers(0, 32))
+        rows.append((f"img_{i:03d}", bytes([i % 251]),
+                     caps[int(rng.integers(0, len(caps)))], ph))
+    corpus = _fused_corpus(tmp_path, rows, name="lprand")
+    mine = (lang_partitioned_image_dedup(corpus).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    oracle = (duckdb.sql(
+        lang_partitioned_image_dedup_sql(f"{corpus}/*.parquet"))
+        .df().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "lang_pred", "cluster_rep", "keep"):
+        assert mine[col].tolist() == oracle[col].tolist(), col
