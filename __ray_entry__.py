@@ -447,6 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup among exact survivors, survivors/removed per tier
         # (SQL-oracled: exact GROUP BY + closure CTEs over survivors)
         "tiered_dedup_report_docs": dedup_text.tiered_dedup_report,
+        # multi-evidence fused dedup (doc twin of fused_dedup_images):
+        # ONE CC over the exact-text / MinHash / SimHash edge union,
+        # per-cluster tier-provenance flags (SQL-oracled: all three
+        # tiers re-derived in DuckDB + recursive closure)
+        "fused_dedup_docs": dedup_text.fused_dedup_docs,
         # benchmark decontamination (distinct-shingle overlap vs the
         # deterministic doc_id % 20 == 0 "eval suite"; SQL-oracled)
         "decontaminate_docs": dedup_text.decontaminate,
@@ -993,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_keep_docs": _orc.minhash_keep_sql(),
         "minhash_keep_best_docs": _orc.minhash_keep_best_sql(),
         "tiered_dedup_report_docs": _orc.tiered_dedup_report_sql(),
+        "fused_dedup_docs": _orc.fused_dedup_docs_sql(),
         "decontaminate_docs": _orc.decontaminate_sql(),
         "curate_docs": _orc.curate_docs_sql(),
         "repetition_stats_docs": _orc.repetition_stats_sql(),

@@ -234,6 +234,8 @@ def run_bench() -> dict:
           lambda: images.image_size_quantiles(corpus))
     timed("caption_langid_hist",
           lambda: images.caption_langid_hist(corpus))
+    timed("lang_partitioned_image_dedup",
+          lambda: images.lang_partitioned_image_dedup(corpus))
     timed("decontaminate_images",
           lambda: images.decontaminate_images(corpus))
     timed("phash_bit_stats",
@@ -272,6 +274,7 @@ def run_bench() -> dict:
     timed("gopher_rules_docs", lambda: textstats.gopher_rules(SF_DIR))
     timed("incremental_dedup_bloom",
           lambda: dedup_text.incremental_dedup_bloom(SF_DIR))
+    timed("fused_dedup_docs", lambda: dedup_text.fused_dedup_docs(SF_DIR))
     timed("incremental_minhash_dedup",
           lambda: dedup_text.incremental_minhash_dedup(SF_DIR))
     timed("ann_ivfpq", lambda: ann.ann_ivfpq(SF_DIR), consume=None)
@@ -319,7 +322,7 @@ def run_bench() -> dict:
 def run_scaling():
     """Same job, same input, fresh processes at N and 4N CPUs.
 
-    Two trials per level, best taken — single-node wall times vary
+    Three trials per level, best taken — single-node wall times vary
     ±20-30% with page-cache / disk-writeback state, and the minimum is
     the cleanest estimate of each level's capability.
     """
@@ -327,7 +330,7 @@ def run_scaling():
     results: dict[int, dict] = {}
     for ncpu in (lo, hi):
         best = None
-        for _ in range(2):
+        for _ in range(3):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_HEADLINE_ONLY="1")
             out = subprocess.run(

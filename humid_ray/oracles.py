@@ -503,6 +503,53 @@ def minhash_keep_best_sql(
     )
 
 
+def fused_dedup_docs_sql(table: str = "documents", threshold: float = 0.8,
+                         simhash_distance: int = 3, n_perms: int = 128,
+                         n_bands: int = 16) -> str:
+    """(doc_id, cluster_rep, keep, ev_exact, ev_minhash, ev_simhash) —
+    engine parity for pipelines.dedup_text.fused_dedup_docs: the three
+    evidence tiers re-derived independently (text equality with NULL ==
+    empty; the HUGEINT minhash pair chain; the simhash value chain +
+    bit_count), unioned, closed transitively over doc ids, with
+    per-cluster tier-provenance flags (tier fired iff some tier edge is
+    internal to the cluster)."""
+    return (
+        "WITH RECURSIVE "
+        f"d1 AS (SELECT doc_id, coalesce(text, '') AS text FROM {table}), "
+        "e_ex AS (SELECT a.doc_id AS sa, b.doc_id AS sb FROM d1 a "
+        "JOIN d1 b ON a.text = b.text AND a.doc_id < b.doc_id), "
+        f"shv AS (SELECT doc_id, simhash FROM ({simhash_docs_sql(table)})), "
+        "e_sh AS (SELECT a.doc_id AS sa, b.doc_id AS sb FROM shv a "
+        "JOIN shv b ON a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= {simhash_distance}), "
+        "e_mh AS (SELECT doc_a AS sa, doc_b AS sb FROM "
+        f"({minhash_neardup_sql(table, threshold, n_perms, n_bands)})), "
+        "eu AS (SELECT sa, sb FROM e_ex UNION SELECT sa, sb FROM e_sh "
+        "UNION SELECT sa, sb FROM e_mh), "
+        "esym AS (SELECT sa, sb FROM eu "
+        "UNION SELECT sb AS sa, sa AS sb FROM eu), "
+        f"nodes AS (SELECT doc_id AS sig FROM {table}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN esym e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, min(dst) AS label "
+        "FROM reach GROUP BY src), "
+        "lab AS (SELECT sig AS doc_id, label FROM comp), "
+        "evx AS (SELECT DISTINCT l.label FROM e_ex e "
+        "JOIN lab l ON l.doc_id = e.sa), "
+        "evm AS (SELECT DISTINCT l.label FROM e_mh e "
+        "JOIN lab l ON l.doc_id = e.sa), "
+        "evs AS (SELECT DISTINCT l.label FROM e_sh e "
+        "JOIN lab l ON l.doc_id = e.sa) "
+        "SELECT doc_id, "
+        "min(doc_id) OVER (PARTITION BY label) AS cluster_rep, "
+        "doc_id = min(doc_id) OVER (PARTITION BY label) AS \"keep\", "
+        "label IN (SELECT label FROM evx) AS ev_exact, "
+        "label IN (SELECT label FROM evm) AS ev_minhash, "
+        "label IN (SELECT label FROM evs) AS ev_simhash "
+        "FROM lab"
+    )
+
+
 def tiered_dedup_report_sql(
     table: str = "documents",
     threshold: float = 0.8,

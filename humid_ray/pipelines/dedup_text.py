@@ -1790,3 +1790,305 @@ def dedup_sample_weights_docs_sql(table: str = "documents",
         "SELECT doc_id, cluster_size, "
         "round(1.0 / cluster_size, 6) AS weight FROM compsz"
     )
+
+
+# --- multi-evidence fused dedup (document axis) ----------------------------
+
+def fused_dedup_docs(sf_dir: str, threshold: float = 0.8,
+                     simhash_distance: int = 3,
+                     broadcast_max_labels: int = 1_000_000):
+    """(doc_id, cluster_rep, keep, ev_exact, ev_minhash, ev_simhash):
+    multi-evidence fused dedup over documents — the document twin of
+    images.fused_dedup_images: docs are ONE identity when ANY evidence
+    tier links them (transitively):
+
+    * ``exact``   — identical text (NULL treated as empty string),
+    * ``minhash`` — >= 1 shared LSH band AND estimated MinHash Jaccard
+      >= ``threshold`` (the minhash_neardup_docs pair rule),
+    * ``simhash`` — SimHash within Hamming <= ``simhash_distance``,
+      equal values included.
+
+    ``cluster_rep`` = min doc_id of the fused cluster, ``keep`` one row
+    per cluster; ``ev_*`` are CLUSTER-level flags: tier t is true iff
+    some tier-t edge is internal to the cluster.
+
+    Scale shape: text never transits an exchange for the equality tier
+    (it hashes in-batch and clique-CONTRACTS to member->group-min star
+    edges — one bucket exchange of int64 columns); the simhash tier
+    runs the flagship counting-pre-pass + salted banded LSH over
+    DISTINCT simhash values and maps its edge list to per-value
+    representative docs through an edge-bounded pull, plus equal-value
+    star edges; the minhash tier is the verified LSH pair stage (pairs
+    are doc-level already). ONE connected-components pass over the
+    union (auto local/distributed); the doc->label map and the three
+    evidence label sets are edge-bounded and broadcast once via
+    ``ray.put`` below ``broadcast_max_labels``, else applied with the
+    distributed-join pattern of curate_images. Text-equality grouping
+    uses a 64-bit in-batch hash (collision ~n^2/2^65; the DuckDB
+    oracle groups by the raw text and would surface one at test
+    scale)."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from humid_ray.config import HumidConfig
+    from humid_ray.pipelines.images import (  # shared fused-dedup kernels
+        _distinct_i64, _edges_with_hot_salting, _flat_str, _star_edges,
+    )
+    from humid_ray.stages.components import connected_components
+    from humid_ray.stages.joins import (apply_sorted_labels, copart_buckets,
+                                        join_kwargs, key_buckets,
+                                        sorted_member)
+    from humid_ray.util import hash_bytes_segments, splitmix64
+
+    nb_eq = UINT64(256)
+    sim_kernel = SimHashDocs()
+
+    _narrow_empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text_h": pa.array([], type=pa.int64()),
+        "tb": pa.array([], type=pa.int64()),
+        "simhash": pa.array([], type=pa.int64()),
+        "shb": pa.array([], type=pa.int64()),
+    })
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _narrow_empty
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text"), "").combine_chunks()
+        tdata, toffs = _flat_str(text)
+        th = hash_bytes_segments(tdata, toffs)
+        sh = sim_kernel(batch).column("simhash") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_h": u64col(th),
+            "tb": pa.array((th % nb_eq).astype(np.int64)),
+            "simhash": pa.array(sh),
+            "shb": pa.array((splitmix64(sh.view(UINT64)) % nb_eq)
+                            .astype(np.int64)),
+        })
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    # one narrow projection, four consumers (two equality tiers, the
+    # simhash uniq collapse, the final labeling); the minhash tier
+    # re-reads the source text independently (streaming lineage)
+    rows = docs.map_batches(narrow, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(lambda t: t.rename_columns(
+            ["node", "text_h", "tb", "simhash", "shb"]),
+            batch_format="pyarrow").materialize()
+
+    stars_ex = _star_edges(
+        rows.select_columns(["node", "text_h", "tb"]),
+        ("text_h",), "tb").materialize()
+    stars_sh = _star_edges(
+        rows.select_columns(["node", "simhash", "shb"]),
+        ("simhash",), "shb").materialize()
+
+    # DISTINCT-simhash uniq collapse carrying a representative node
+    def sh_partial(t: pa.Table) -> pa.Table:
+        out = {"sig": pa.array([], type=pa.int64()),
+               "count": pa.array([], type=pa.int64()),
+               "node": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(out)
+        g = t.group_by("simhash").aggregate([("simhash", "count"),
+                                             ("node", "min")])
+        return pa.table({"sig": g.column("simhash"),
+                         "count": g.column("simhash_count"),
+                         "node": g.column("node_min")})
+
+    uniq_sh = (
+        rows.select_columns(["node", "simhash"])
+        .map_batches(sh_partial, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(_Sum("count", alias_name="count"),
+                   Min("node", alias_name="node"))
+    ).materialize()
+    sh_cfg = HumidConfig(word_bits=64, max_distance=simhash_distance)
+    sh_edges = _edges_with_hot_salting(
+        uniq_sh.select_columns(["sig", "count"]), sh_cfg)
+
+    # simhash VALUE edges -> representative-node space (edge-bounded)
+    ea_parts, eb_parts = [], []
+    for b in sh_edges.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        ea_parts.append(b.column("sig_a").to_numpy(zero_copy_only=False))
+        eb_parts.append(b.column("sig_b").to_numpy(zero_copy_only=False))
+    if ea_parts:
+        ea = np.concatenate(ea_parts)
+        eb = np.concatenate(eb_parts)
+    else:
+        ea = np.empty(0, dtype=np.int64)
+        eb = np.empty(0, dtype=np.int64)
+    if len(ea):
+        touched = np.unique(np.concatenate([ea, eb]))
+        tref = ray.put(touched)
+
+        def touched_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_rows == 0:
+                return pa.table({"sig": pa.array([], type=pa.int64()),
+                                 "node": pa.array([], type=pa.int64())})
+            sig = t.column("sig").to_numpy(zero_copy_only=False)
+            keep = sorted_member(ray.get(tref), sig)
+            return pa.table({"sig": pa.array(sig[keep]),
+                             "node": pc.array_filter(
+                                 t.column("node"), pa.array(keep))})
+
+        mparts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("node").to_numpy(zero_copy_only=False))
+            for b in uniq_sh.map_batches(touched_only,
+                                         batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        msig = np.concatenate([p[0] for p in mparts]) if mparts \
+            else np.empty(0, dtype=np.int64)
+        mnode = np.concatenate([p[1] for p in mparts]) if mparts \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(msig, kind="stable")
+        msig, mnode = msig[order], mnode[order]
+        na = mnode[np.searchsorted(msig, ea)]
+        nbv = mnode[np.searchsorted(msig, eb)]
+    else:
+        na = np.empty(0, dtype=np.int64)
+        nbv = np.empty(0, dtype=np.int64)
+    sh_node_edges = ray.data.from_arrow(pa.table(
+        {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
+
+    # minhash tier: verified doc-level pairs (the oracled pair rule)
+    mh_pairs = minhash_neardup_pairs(sf_dir, threshold=threshold) \
+        .materialize()
+
+    def _mh_edge_cols(t: pa.Table) -> pa.Table:
+        # an empty Ray Data aggregate drops its schema — emit the typed
+        # empty instead of projecting columns that aren't there
+        if t.num_rows == 0:
+            return pa.table({"sig_a": pa.array([], type=pa.int64()),
+                             "sig_b": pa.array([], type=pa.int64())})
+        return pa.table({"sig_a": t.column("doc_a"),
+                         "sig_b": t.column("doc_b")})
+
+    mh_edges = mh_pairs.map_batches(
+        _mh_edge_cols, batch_format="pyarrow").materialize()
+
+    all_edges = stars_ex.union(stars_sh, sh_node_edges, mh_edges)
+    comp = connected_components(all_edges, HumidConfig()).materialize()
+    n_labels = comp.count()
+
+    centers_by_tier = (
+        _distinct_i64(stars_ex, "sig_b"),
+        np.unique(np.concatenate([
+            _distinct_i64(mh_edges, "sig_a"),
+            _distinct_i64(mh_edges, "sig_b")])),
+        np.unique(np.concatenate([
+            _distinct_i64(stars_sh, "sig_b"), na, nbv])),
+    )
+
+    nbk = copart_buckets(rows.count())
+    narrow_ids = rows.select_columns(["node"])
+
+    _labeled_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                               "label": pa.array([], type=pa.int64()),
+                               "bucket": pa.array([], type=pa.int64())})
+
+    if n_labels <= broadcast_max_labels:
+        cparts = [
+            (b.column("sig").to_numpy(zero_copy_only=False),
+             b.column("comp").to_numpy(zero_copy_only=False))
+            for b in comp.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        ]
+        if cparts:
+            csig = np.concatenate([p[0] for p in cparts])
+            clab = np.concatenate([p[1] for p in cparts])
+            order = np.argsort(csig, kind="stable")
+            csig, clab = csig[order], clab[order]
+        else:
+            csig = np.empty(0, dtype=np.int64)
+            clab = np.empty(0, dtype=np.int64)
+
+        ev_sets = [np.unique(apply_sorted_labels(csig, clab, c))
+                   for c in centers_by_tier]
+        mref = ray.put((csig, clab))
+
+        def label_kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _labeled_empty
+            ks, kl = ray.get(mref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            lab = apply_sorted_labels(ks, kl, node)
+            return pa.table({"doc_id": t.column("node"),
+                             "label": pa.array(lab),
+                             "bucket": pa.array(key_buckets(lab, nbk))})
+
+        labeled = narrow_ids.map_batches(label_kernel,
+                                         batch_format="pyarrow")
+    else:
+        joined = narrow_ids.join(
+            comp, join_type="left_outer", on=("node",),
+            right_on=("sig",), **join_kwargs(n_labels))
+
+        def fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_rows == 0:
+                return _labeled_empty
+            lab = pc.coalesce(t.column("comp"), t.column("node")) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": t.column("node"),
+                             "label": pa.array(lab),
+                             "bucket": pa.array(key_buckets(lab, nbk))})
+
+        labeled = joined.map_batches(fill, batch_format="pyarrow")
+        ev_sets = []
+        for c in centers_by_tier:
+            if not len(c):
+                ev_sets.append(np.empty(0, dtype=np.int64))
+                continue
+            cds = ray.data.from_arrow(pa.table({"sig": pa.array(c)}))
+            j = cds.join(comp, join_type="inner", on=("sig",),
+                         **join_kwargs(len(c), n_labels))
+            ev_sets.append(_distinct_i64(j, "comp"))
+    ref = ray.put((ev_sets[0], ev_sets[1], ev_sets[2]))
+
+    _out_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                           "cluster_rep": pa.array([], type=pa.int64()),
+                           "keep": pa.array([], type=pa.bool_()),
+                           "ev_exact": pa.array([], type=pa.bool_()),
+                           "ev_minhash": pa.array([], type=pa.bool_()),
+                           "ev_simhash": pa.array([], type=pa.bool_())})
+
+    def rep_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _out_empty
+        evx, evm, evs = ray.get(ref)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lab))
+        labs = lab[order]
+        new = np.r_[True, labs[1:] != labs[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(new)), 0))
+        ids_sorted = ids[order]
+        rep_sorted = ids_sorted[seg_start]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        rep = rep_sorted[inv]
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "cluster_rep": pa.array(rep),
+            "keep": pa.array(ids == rep),
+            "ev_exact": pa.array(sorted_member(evx, lab)),
+            "ev_minhash": pa.array(sorted_member(evm, lab)),
+            "ev_simhash": pa.array(sorted_member(evs, lab)),
+        })
+
+    return (
+        labeled.groupby("bucket")
+        .map_groups(rep_bucket, batch_format="pyarrow")
+    )

@@ -402,3 +402,109 @@ def test_split_and_weights_docs_match_duckdb(ray_session):
              .sort_values("doc_id").reset_index(drop=True))
     assert mine_w.cluster_size.tolist() == orc_w.cluster_size.tolist()
     assert mine_w.weight.tolist() == orc_w.weight.tolist()
+
+
+# --- fused_dedup_docs (multi-evidence) --------------------------------------
+
+def _docs_table(tmp_path, texts, name="fdocs"):
+    d = tmp_path / name
+    d.mkdir()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+    })
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+FUSED_DOC_TEXTS = [
+    "the cat sat on the mat and looked at the dog",       # 0 exact pair
+    "the cat sat on the mat and looked at the dog",       # 1 with 0
+    "the cat sat on the mat and gazed at the dog",        # 2 near of 0/1
+    "completely different content about quantum physics", # 3 isolated
+    "",                                                   # 4 empty pair
+    None,                                                 # 5 NULL == empty
+    "unique singleton document body here",                # 6 isolated
+]
+
+
+def test_fused_dedup_docs_planted(ray_session, tmp_path):
+    from humid_ray.pipelines.dedup_text import fused_dedup_docs
+
+    d = _docs_table(tmp_path, FUSED_DOC_TEXTS)
+    out = (fused_dedup_docs(d).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert len(out) == 7
+    # exact pair 0-1 fuses; empty/null pair 4-5 fuses via exact tier
+    assert out.loc[1, "cluster_rep"] == 0
+    assert out.loc[0, "ev_exact"] and out.loc[1, "ev_exact"]
+    assert out.loc[5, "cluster_rep"] == 4
+    assert out.loc[4, "ev_exact"]
+    # isolated docs are their own singleton reps with no evidence
+    assert out.loc[3, "cluster_rep"] == 3
+    assert not out.loc[3, ["ev_exact", "ev_minhash", "ev_simhash"]].any()
+    assert out.loc[6, "keep"]
+    # exactly one keep per cluster_rep value
+    assert out.groupby("cluster_rep")["keep"].sum().eq(1).all()
+
+
+def test_fused_dedup_docs_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from humid_ray.oracles import fused_dedup_docs_sql
+    from humid_ray.pipelines.dedup_text import fused_dedup_docs
+
+    d = _docs_table(tmp_path, FUSED_DOC_TEXTS, name="fdocs2")
+    mine = (fused_dedup_docs(d).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    orc = (con.execute(fused_dedup_docs_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for col in ("doc_id", "cluster_rep", "keep",
+                "ev_exact", "ev_minhash", "ev_simhash"):
+        assert mine[col].tolist() == orc[col].tolist(), col
+
+
+def test_fused_dedup_docs_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized corpus built from a small phrase pool so every tier
+    fires: exact repeats, one-word edits (minhash/simhash near-dups),
+    and cross-tier chains the planted case can't reach."""
+    import duckdb
+
+    from humid_ray.oracles import fused_dedup_docs_sql
+    from humid_ray.pipelines.dedup_text import fused_dedup_docs
+
+    rng = np.random.default_rng(29)
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    words = ["red", "blue", "green"]
+    texts = []
+    for _ in range(60):
+        r = rng.random()
+        b = base[int(rng.integers(0, len(base)))]
+        if r < 0.4:
+            texts.append(b)                      # exact repeat
+        elif r < 0.8:
+            toks = b.split()
+            toks[int(rng.integers(0, len(toks)))] = \
+                words[int(rng.integers(0, len(words)))]
+            texts.append(" ".join(toks))         # one-word edit
+        else:
+            texts.append(f"unique {rng.integers(0, 1 << 30)} filler")
+    d = _docs_table(tmp_path, texts, name="fdocsr")
+    mine = (fused_dedup_docs(d).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    orc = (con.execute(fused_dedup_docs_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for col in ("doc_id", "cluster_rep", "keep",
+                "ev_exact", "ev_minhash", "ev_simhash"):
+        assert mine[col].tolist() == orc[col].tolist(), col
