@@ -1828,23 +1828,23 @@ def fused_dedup_docs(sf_dir: str, threshold: float = 0.8,
     oracle groups by the raw text and would surface one at test
     scale)."""
     import ray
-    from ray.data.aggregate import Sum as _Sum
 
     from humid_ray.config import HumidConfig
     from humid_ray.pipelines.images import (  # shared fused-dedup kernels
-        _distinct_i64, _edges_with_hot_salting, _flat_str, _star_edges,
+        _distinct_i64, _edges_to_node_space, _edges_with_hot_salting,
+        _star_edges, _uniq_with_min_node,
     )
     from humid_ray.stages.components import connected_components
     from humid_ray.stages.joins import (apply_sorted_labels, copart_buckets,
-                                        join_kwargs, key_buckets,
-                                        sorted_member)
-    from humid_ray.util import hash_bytes_segments, splitmix64
+                                        hash_string_column, join_kwargs,
+                                        key_buckets, sorted_member)
+    from humid_ray.util import splitmix64
 
     nb_eq = UINT64(256)
     sim_kernel = SimHashDocs()
 
     _narrow_empty = pa.table({
-        "doc_id": pa.array([], type=pa.int64()),
+        "node": pa.array([], type=pa.int64()),
         "text_h": pa.array([], type=pa.int64()),
         "tb": pa.array([], type=pa.int64()),
         "simhash": pa.array([], type=pa.int64()),
@@ -1856,13 +1856,11 @@ def fused_dedup_docs(sf_dir: str, threshold: float = 0.8,
             return _narrow_empty
         import pyarrow.compute as pc
 
-        text = pc.fill_null(batch.column("text"), "").combine_chunks()
-        tdata, toffs = _flat_str(text)
-        th = hash_bytes_segments(tdata, toffs)
+        th = hash_string_column(pc.fill_null(batch.column("text"), ""))
         sh = sim_kernel(batch).column("simhash") \
             .to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": batch.column("doc_id"),
+            "node": batch.column("doc_id"),
             "text_h": u64col(th),
             "tb": pa.array((th % nb_eq).astype(np.int64)),
             "simhash": pa.array(sh),
@@ -1875,10 +1873,7 @@ def fused_dedup_docs(sf_dir: str, threshold: float = 0.8,
     # simhash uniq collapse, the final labeling); the minhash tier
     # re-reads the source text independently (streaming lineage)
     rows = docs.map_batches(narrow, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .map_batches(lambda t: t.rename_columns(
-            ["node", "text_h", "tb", "simhash", "shb"]),
-            batch_format="pyarrow").materialize()
+                            zero_copy_batch=True).materialize()
 
     stars_ex = _star_edges(
         rows.select_columns(["node", "text_h", "tb"]),
@@ -1887,82 +1882,20 @@ def fused_dedup_docs(sf_dir: str, threshold: float = 0.8,
         rows.select_columns(["node", "simhash", "shb"]),
         ("simhash",), "shb").materialize()
 
-    # DISTINCT-simhash uniq collapse carrying a representative node
-    def sh_partial(t: pa.Table) -> pa.Table:
-        out = {"sig": pa.array([], type=pa.int64()),
-               "count": pa.array([], type=pa.int64()),
-               "node": pa.array([], type=pa.int64())}
-        if t.num_rows == 0:
-            return pa.table(out)
-        g = t.group_by("simhash").aggregate([("simhash", "count"),
-                                             ("node", "min")])
-        return pa.table({"sig": g.column("simhash"),
-                         "count": g.column("simhash_count"),
-                         "node": g.column("node_min")})
-
-    uniq_sh = (
-        rows.select_columns(["node", "simhash"])
-        .map_batches(sh_partial, batch_format="pyarrow")
-        .groupby("sig")
-        .aggregate(_Sum("count", alias_name="count"),
-                   Min("node", alias_name="node"))
-    ).materialize()
+    # DISTINCT-simhash uniq collapse carrying a representative node,
+    # then simhash VALUE edges -> representative-node space (both
+    # shared fused-dedup helpers; everything edge-bounded)
+    uniq_sh = _uniq_with_min_node(
+        rows.select_columns(["node", "simhash"]), "simhash")
     sh_cfg = HumidConfig(word_bits=64, max_distance=simhash_distance)
     sh_edges = _edges_with_hot_salting(
         uniq_sh.select_columns(["sig", "count"]), sh_cfg)
-
-    # simhash VALUE edges -> representative-node space (edge-bounded)
-    ea_parts, eb_parts = [], []
-    for b in sh_edges.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        ea_parts.append(b.column("sig_a").to_numpy(zero_copy_only=False))
-        eb_parts.append(b.column("sig_b").to_numpy(zero_copy_only=False))
-    if ea_parts:
-        ea = np.concatenate(ea_parts)
-        eb = np.concatenate(eb_parts)
-    else:
-        ea = np.empty(0, dtype=np.int64)
-        eb = np.empty(0, dtype=np.int64)
-    if len(ea):
-        touched = np.unique(np.concatenate([ea, eb]))
-        tref = ray.put(touched)
-
-        def touched_only(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            if t.num_rows == 0:
-                return pa.table({"sig": pa.array([], type=pa.int64()),
-                                 "node": pa.array([], type=pa.int64())})
-            sig = t.column("sig").to_numpy(zero_copy_only=False)
-            keep = sorted_member(ray.get(tref), sig)
-            return pa.table({"sig": pa.array(sig[keep]),
-                             "node": pc.array_filter(
-                                 t.column("node"), pa.array(keep))})
-
-        mparts = [
-            (b.column("sig").to_numpy(zero_copy_only=False),
-             b.column("node").to_numpy(zero_copy_only=False))
-            for b in uniq_sh.map_batches(touched_only,
-                                         batch_format="pyarrow")
-            .iter_batches(batch_size=65536, batch_format="pyarrow")
-        ]
-        msig = np.concatenate([p[0] for p in mparts]) if mparts \
-            else np.empty(0, dtype=np.int64)
-        mnode = np.concatenate([p[1] for p in mparts]) if mparts \
-            else np.empty(0, dtype=np.int64)
-        order = np.argsort(msig, kind="stable")
-        msig, mnode = msig[order], mnode[order]
-        na = mnode[np.searchsorted(msig, ea)]
-        nbv = mnode[np.searchsorted(msig, eb)]
-    else:
-        na = np.empty(0, dtype=np.int64)
-        nbv = np.empty(0, dtype=np.int64)
+    na, nbv = _edges_to_node_space(sh_edges, uniq_sh)
     sh_node_edges = ray.data.from_arrow(pa.table(
         {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
 
     # minhash tier: verified doc-level pairs (the oracled pair rule)
-    mh_pairs = minhash_neardup_pairs(sf_dir, threshold=threshold) \
-        .materialize()
+    mh_pairs = minhash_neardup_pairs(sf_dir, threshold=threshold)
 
     def _mh_edge_cols(t: pa.Table) -> pa.Table:
         # an empty Ray Data aggregate drops its schema — emit the typed

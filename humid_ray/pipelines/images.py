@@ -163,6 +163,81 @@ def _canonical_bucket(extra_cols: tuple[str, ...] = ()):
     return kernel
 
 
+def _uniq_with_min_node(ds, value_col: str):
+    """(node, <value_col>) Dataset -> (sig, count, node = min node) per
+    DISTINCT value: the uniq collapse carrying a representative node,
+    with a per-batch combiner before the groupby (materialized — every
+    caller consumes it at least twice). Shared by the fused-dedup
+    pipelines (image + document axes)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"sig": pa.array([], type=pa.int64()),
+               "count": pa.array([], type=pa.int64()),
+               "node": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(out)
+        g = t.group_by(value_col).aggregate([(value_col, "count"),
+                                             ("node", "min")])
+        return pa.table({"sig": g.column(value_col),
+                         "count": g.column(f"{value_col}_count"),
+                         "node": g.column("node_min")})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(Sum("count", alias_name="count"),
+                   Min("node", alias_name="node"))
+    ).materialize()
+
+
+def _edges_to_node_space(value_edges, uniq_ds):
+    """VALUE-level edge Dataset (sig_a, sig_b) -> representative-node
+    endpoint arrays (na, nb). Pulls ONLY the edge-touched (sig, node)
+    rows of ``uniq_ds`` (edge-bounded — the flagship's own CC pull),
+    then maps both endpoints by sorted lookup. Shared by the
+    fused-dedup pipelines (image + document axes)."""
+    ea_parts, eb_parts = [], []
+    for b in value_edges.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        ea_parts.append(b.column("sig_a").to_numpy(zero_copy_only=False))
+        eb_parts.append(b.column("sig_b").to_numpy(zero_copy_only=False))
+    if not ea_parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    ea = np.concatenate(ea_parts)
+    eb = np.concatenate(eb_parts)
+    if not len(ea):
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    touched = np.unique(np.concatenate([ea, eb]))
+    tref = ray.put(touched)
+
+    def touched_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"sig": pa.array([], type=pa.int64()),
+                             "node": pa.array([], type=pa.int64())})
+        sig = t.column("sig").to_numpy(zero_copy_only=False)
+        # `touched` is already sorted (np.unique) — probe it with
+        # searchsorted rather than np.isin, which re-sorts per batch
+        keep = sorted_member(ray.get(tref), sig)
+        return pa.table({"sig": pa.array(sig[keep]),
+                         "node": pc.array_filter(
+                             t.column("node"), pa.array(keep))})
+
+    mparts = [
+        (b.column("sig").to_numpy(zero_copy_only=False),
+         b.column("node").to_numpy(zero_copy_only=False))
+        for b in uniq_ds.map_batches(touched_only, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    msig = np.concatenate([p[0] for p in mparts]) if mparts \
+        else np.empty(0, dtype=np.int64)
+    mnode = np.concatenate([p[1] for p in mparts]) if mparts \
+        else np.empty(0, dtype=np.int64)
+    order = np.argsort(msig, kind="stable")
+    msig, mnode = msig[order], mnode[order]
+    return mnode[np.searchsorted(msig, ea)], mnode[np.searchsorted(msig, eb)]
+
+
 def _edges_with_hot_salting(uniq_ds, cfg: HumidConfig):
     """uniq (sig, count) Dataset -> verified edge Dataset via the
     flagship chain: counting pre-pass -> hot (band, key) set ->
@@ -3081,77 +3156,13 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
         ph_valid, batch_format="pyarrow")
     stars_p = _star_edges(ph_rows, ("phash",), "pb").materialize()
 
-    # DISTINCT-phash uniq collapse carrying a representative node
-    def ph_partial(t: pa.Table) -> pa.Table:
-        out = {"sig": pa.array([], type=pa.int64()),
-               "count": pa.array([], type=pa.int64()),
-               "node": pa.array([], type=pa.int64())}
-        if t.num_rows == 0:
-            return pa.table(out)
-        g = t.group_by("phash").aggregate([("phash", "count"),
-                                           ("node", "min")])
-        return pa.table({"sig": g.column("phash"),
-                         "count": g.column("phash_count"),
-                         "node": g.column("node_min")})
-
-    from ray.data.aggregate import Min, Sum
-
-    uniq_ph = (
-        ph_rows.map_batches(ph_partial, batch_format="pyarrow")
-        .groupby("sig")
-        .aggregate(Sum("count", alias_name="count"),
-                   Min("node", alias_name="node"))
-    ).materialize()
+    # DISTINCT-phash uniq collapse carrying a representative node,
+    # then Hamming edges over phash VALUES -> representative-node
+    # space; everything edge-bounded (the flagship's own CC pull)
+    uniq_ph = _uniq_with_min_node(ph_rows, "phash")
     ph_edges = _edges_with_hot_salting(
         uniq_ph.select_columns(["sig", "count"]), cfg)
-
-    # Hamming edges over phash VALUES -> representative-node space.
-    # Everything here is edge-bounded (the flagship's own CC pull).
-    ea_parts, eb_parts = [], []
-    for b in ph_edges.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        ea_parts.append(b.column("sig_a").to_numpy(zero_copy_only=False))
-        eb_parts.append(b.column("sig_b").to_numpy(zero_copy_only=False))
-    if ea_parts:
-        ea = np.concatenate(ea_parts)
-        eb = np.concatenate(eb_parts)
-    else:
-        ea = np.empty(0, dtype=np.int64)
-        eb = np.empty(0, dtype=np.int64)
-    if len(ea):
-        touched = np.unique(np.concatenate([ea, eb]))
-        tref = ray.put(touched)
-
-        def touched_only(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"sig": pa.array([], type=pa.int64()),
-                                 "node": pa.array([], type=pa.int64())})
-            sig = t.column("sig").to_numpy(zero_copy_only=False)
-            # `touched` is already sorted (np.unique) — probe it with
-            # searchsorted rather than np.isin, which re-sorts per batch
-            keep = sorted_member(ray.get(tref), sig)
-            return pa.table({"sig": pa.array(sig[keep]),
-                             "node": pc.array_filter(
-                                 t.column("node"), pa.array(keep))})
-
-        mparts = [
-            (b.column("sig").to_numpy(zero_copy_only=False),
-             b.column("node").to_numpy(zero_copy_only=False))
-            for b in uniq_ph.map_batches(touched_only,
-                                         batch_format="pyarrow")
-            .iter_batches(batch_size=65536, batch_format="pyarrow")
-        ]
-        msig = np.concatenate([p[0] for p in mparts]) if mparts \
-            else np.empty(0, dtype=np.int64)
-        mnode = np.concatenate([p[1] for p in mparts]) if mparts \
-            else np.empty(0, dtype=np.int64)
-        order = np.argsort(msig, kind="stable")
-        msig, mnode = msig[order], mnode[order]
-        na = mnode[np.searchsorted(msig, ea)]
-        nbv = mnode[np.searchsorted(msig, eb)]
-    else:
-        na = np.empty(0, dtype=np.int64)
-        nbv = np.empty(0, dtype=np.int64)
+    na, nbv = _edges_to_node_space(ph_edges, uniq_ph)
     ph_node_edges = ray.data.from_arrow(pa.table(
         {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
 
