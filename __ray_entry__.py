@@ -651,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled (cosine cross join + recursive closure)
         "semantic_dedup": ann.semantic_dedup,
         "semantic_dedup_exact": ann.semantic_dedup_exact,
+        # embedding-space eval-suite decontamination: broadcast eval
+        # matrix, one streaming matmul kernel (SQL-oracled cross join)
+        "decontaminate_embeddings": ann.decontaminate_embeddings,
         # multimodal stages (corpus)
         "multimodal_decode_stats": corpus_decode_stats,
         "multimodal_decode_dims": corpus_decode_dims,
@@ -968,6 +971,7 @@ _KNN_ORACLE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from humid_ray import oracles as _orc
+    from humid_ray.pipelines import ann as _ann_mod
     from humid_ray.pipelines import dedup_text as _dedup_mod
     from humid_ray.pipelines import events as _events_mod
     from humid_ray.pipelines import images as _images_mod
@@ -1084,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(0 AS BIGINT) AS cluster, "
             "(vec_id = root) AS keep FROM comp"
         ),
+        "decontaminate_embeddings": _ann_mod.decontaminate_embeddings_sql(),
         "events_windowed": (
             "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, "
             "event_type, COUNT(*) AS n, round(SUM(value), 6) AS total "

@@ -268,6 +268,8 @@ def run_bench() -> dict:
     timed("tfidf_top_terms_docs", lambda: textstats.tfidf_top_terms(SF_DIR))
     timed("events_range_join", lambda: events.range_join(SF_DIR))
     timed("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR))
+    timed("decontaminate_embeddings",
+          lambda: ann.decontaminate_embeddings(SF_DIR))
     timed("top_bigrams_docs", lambda: textstats.top_bigrams(SF_DIR),
           consume=None)
     timed("normalize_text_docs", lambda: textstats.normalize_text(SF_DIR))

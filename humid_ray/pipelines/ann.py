@@ -877,3 +877,118 @@ def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
                          "rank": rank,
                          "cosine": round(float(s[oi]), 6)})
     return pa.Table.from_pylist(rows) if rows else _empty_topk()
+
+
+# --- embedding-space eval-suite decontamination ----------------------------
+
+def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
+                             eval_mod: int = 20):
+    """(vec_id, nearest_eval_id, max_cosine, contaminated): embedding-
+    space eval-suite decontamination — the embedding twin of
+    decontaminate_docs / decontaminate_images. For every TRAIN vector
+    (vec_id % eval_mod != 0) against the deterministic EVAL suite
+    (vec_id % eval_mod == 0): the max cosine over all eval vectors,
+    the eval id attaining it (tie -> min eval id), and a contaminated
+    flag (UNROUNDED max >= threshold; max_cosine rounded to 6 for
+    output only — the engine-wide filter-before-round convention).
+    Returns empty when the corpus has no eval rows (no suite, no
+    report).
+
+    Scale shape: the eval side is small BY DEFINITION (benchmark
+    suites are thousands of rows, not corpora) — pulled once, L2-
+    normalized, sorted by id, and broadcast via ``ray.put``; the train
+    side streams through ONE vectorized matmul kernel per batch.
+    No join, no train-side exchange, no top-k state: the reduction is
+    a per-row argmax against the broadcast matrix (np.argmax takes the
+    FIRST maximum, and the eval matrix is id-sorted, so float ties
+    break to the min eval id — the oracle's ORDER BY cos DESC,
+    eval_id)."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    _empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "nearest_eval_id": pa.array([], type=pa.int64()),
+        "max_cosine": pa.array([], type=pa.float64()),
+        "contaminated": pa.array([], type=pa.bool_()),
+    })
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(vid % eval_mod == 0)
+        return t.take(pa.array(keep, type=pa.int64()))
+
+    eids_parts, emat_parts = [], []
+    for b in ds.map_batches(eval_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        ids, m = _to_matrix(b)
+        eids_parts.append(ids.astype(np.int64))
+        emat_parts.append(m)
+    if not eids_parts:
+        return ray.data.from_arrow(_empty)
+    eids = np.concatenate(eids_parts)
+    emat = np.concatenate(emat_parts, axis=0)
+    order = np.argsort(eids, kind="stable")
+    eids, emat = eids[order], _normalize(emat[order])
+    eref = ray.put((eids, emat))
+
+    class _Contam:
+        def __init__(self, eval_ref, threshold: float, eval_mod: int):
+            self.eids, self.emat = ray.get(eval_ref)
+            self.threshold = threshold
+            self.eval_mod = eval_mod
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty
+            ids, m = _to_matrix(batch)
+            train = ids % self.eval_mod != 0
+            if not train.any():
+                return _empty
+            ids = ids[train].astype(np.int64)
+            sims = _normalize(m[train]) @ self.emat.T
+            arg = np.argmax(sims, axis=1)  # first max == min eval id
+            mx = sims[np.arange(len(ids)), arg]
+            from humid_ray.util import round_half_away
+
+            return pa.table({
+                "vec_id": pa.array(ids),
+                "nearest_eval_id": pa.array(self.eids[arg]),
+                "max_cosine": pa.array(round_half_away(mx, 6)),
+                "contaminated": pa.array(mx >= self.threshold),
+            })
+
+    return ds.map_batches(
+        _Contam,
+        fn_constructor_kwargs={"eval_ref": eref, "threshold": threshold,
+                               "eval_mod": eval_mod},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+
+def decontaminate_embeddings_sql(threshold: float = 0.95,
+                                 eval_mod: int = 20) -> str:
+    """DuckDB oracle for ``decontaminate_embeddings``: double-cast
+    cross join + first-row window, flag on the unrounded cosine."""
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        f"ev AS (SELECT vec_id, v FROM e WHERE vec_id % {eval_mod} = 0), "
+        f"tr AS (SELECT vec_id, v FROM e WHERE vec_id % {eval_mod} != 0), "
+        "s AS (SELECT t.vec_id, ev.vec_id AS eval_id, "
+        "list_inner_product(t.v, ev.v) / "
+        "(greatest(sqrt(list_inner_product(t.v, t.v)), 1e-12) * "
+        "greatest(sqrt(list_inner_product(ev.v, ev.v)), 1e-12)) AS cos "
+        "FROM tr t CROSS JOIN ev), "
+        "r AS (SELECT vec_id, eval_id, cos, "
+        "row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos DESC, eval_id) AS rn FROM s) "
+        "SELECT vec_id, eval_id AS nearest_eval_id, "
+        "round(cos, 6) AS max_cosine, "
+        f"cos >= {threshold} AS contaminated FROM r WHERE rn = 1"
+    )

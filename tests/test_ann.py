@@ -414,3 +414,75 @@ def test_ann_ivfpq_recall_on_testdata(ray_session):
     # exact re-rank: overlapping pairs carry identical scores
     m = bf.merge(got, on=["query_id", "neighbor_id"], suffixes=("_bf", "_pq"))
     assert (m["cosine_bf"] == m["cosine_pq"]).all()
+
+
+# --- decontaminate_embeddings ------------------------------------------------
+
+def test_decontaminate_embeddings_matches_duckdb(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines.ann import (
+        decontaminate_embeddings, decontaminate_embeddings_sql,
+    )
+
+    mine = (decontaminate_embeddings(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    orc = (con.execute(decontaminate_embeddings_sql()).df()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert mine["vec_id"].tolist() == orc["vec_id"].tolist()
+    assert mine["nearest_eval_id"].tolist() == orc["nearest_eval_id"].tolist()
+    assert mine["contaminated"].tolist() == orc["contaminated"].tolist()
+    # exact equality — the driver compare hashes float values bit-wise
+    assert mine["max_cosine"].tolist() == orc["max_cosine"].tolist()
+
+
+def test_decontaminate_embeddings_planted(ray_session, tmp_path):
+    """A train vector equal to an eval vector must flag contaminated
+    with that eval id; an orthogonal one must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.ann import decontaminate_embeddings
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    dim = 8
+    e0 = np.zeros(dim); e0[0] = 1.0          # eval (vec_id 0)
+    e20 = np.zeros(dim); e20[1] = 1.0        # eval (vec_id 20)
+    t1 = e0 * 3.0                            # train: same direction as 0
+    t2 = np.zeros(dim); t2[2] = 1.0          # train: orthogonal
+    tbl = pa.table({
+        "vec_id": pa.array([0, 20, 1, 2], type=pa.int64()),
+        "embedding": pa.array([e0.tolist(), e20.tolist(),
+                               t1.tolist(), t2.tolist()],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 0], type=pa.int32()),
+    })
+    pq_.write_table(tbl, d / "embeddings.parquet")
+    out = (decontaminate_embeddings(str(d)).to_pandas()
+           .sort_values("vec_id").set_index("vec_id"))
+    assert len(out) == 2  # eval rows never appear
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "nearest_eval_id"] == 0
+    assert out.loc[1, "max_cosine"] == 1.0
+    assert not bool(out.loc[2, "contaminated"])
+
+
+def test_decontaminate_embeddings_no_eval_rows(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.ann import decontaminate_embeddings
+
+    d = tmp_path / "emb2"
+    d.mkdir()
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], type=pa.int32()),
+    })
+    pq_.write_table(tbl, d / "embeddings.parquet")
+    assert decontaminate_embeddings(str(d)).count() == 0
