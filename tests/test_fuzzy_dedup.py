@@ -508,3 +508,19 @@ def test_fused_dedup_docs_randomized_vs_duckdb(ray_session, tmp_path):
     for col in ("doc_id", "cluster_rep", "keep",
                 "ev_exact", "ev_minhash", "ev_simhash"):
         assert mine[col].tolist() == orc[col].tolist(), col
+
+
+def test_fused_dedup_docs_join_branch_equal(ray_session, tmp_path):
+    """broadcast_max_labels=0 forces the distributed label-join path
+    (and the per-tier evidence semi-joins); output must equal the
+    broadcast path byte-for-byte."""
+    from humid_ray.pipelines.dedup_text import fused_dedup_docs
+
+    d = _docs_table(tmp_path, FUSED_DOC_TEXTS, name="fdocsj")
+    a = (fused_dedup_docs(d).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (fused_dedup_docs(d, broadcast_max_labels=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    for col in ("doc_id", "cluster_rep", "keep",
+                "ev_exact", "ev_minhash", "ev_simhash"):
+        assert a[col].tolist() == b[col].tolist(), col

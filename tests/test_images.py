@@ -1915,3 +1915,24 @@ def test_lang_partitioned_image_dedup_randomized_vs_duckdb(
         .df().sort_values("image_id").reset_index(drop=True))
     for col in ("image_id", "lang_pred", "cluster_rep", "keep"):
         assert mine[col].tolist() == oracle[col].tolist(), col
+
+
+def test_lang_partitioned_image_dedup_join_branch_equal(ray_session,
+                                                        tmp_path):
+    """broadcast_max_labels=0 forces the distributed two-key join path;
+    output must equal the broadcast path byte-for-byte."""
+    from humid_ray.pipelines.images import lang_partitioned_image_dedup
+
+    rng = np.random.default_rng(17)
+    caps = ["the thing", "chchch", "lelele", ""]
+    rows = [(f"img_{i:03d}", bytes([i % 251]),
+             caps[int(rng.integers(0, len(caps)))],
+             None if rng.random() < 0.1 else int(rng.integers(0, 24)))
+            for i in range(120)]
+    corpus = _fused_corpus(tmp_path, rows, name="lpjoin")
+    a = (lang_partitioned_image_dedup(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (lang_partitioned_image_dedup(corpus, broadcast_max_labels=0)
+         .to_pandas().sort_values("image_id").reset_index(drop=True))
+    for col in ("image_id", "lang_pred", "cluster_rep", "keep"):
+        assert a[col].tolist() == b[col].tolist(), col
