@@ -595,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spikes": events.window_spikes,
         # unbounded-preceding window function in int64 cents (SQL-oracled)
         "events_running_totals": events.running_totals,
+        # LAG window: per-user per-day cents + delta vs the previous
+        # ACTIVE day (per-batch user-day combiner, hashed user buckets)
+        "events_daily_deltas": events.daily_deltas,
         # CDC/upsert compaction: last-writer-wins per key (per-batch
         # arg-max combiner, ONE user-bucket exchange; SQL-oracled)
         "events_latest_per_user": events.latest_per_user,
@@ -1200,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
             "FROM events"
         ),
+        "events_daily_deltas": _events_mod.daily_deltas_sql(),
         "events_latest_per_user": _events_mod.latest_per_user_sql(),
         "corpus_checksum_docs": _orc.corpus_checksum_sql(),
         "lang_source_rollup_docs": _textstats_mod.lang_source_rollup_sql(),

@@ -285,6 +285,7 @@ def run_bench() -> dict:
     timed("cms_token_freq_docs",
           lambda: textstats.cms_token_freq(SF_DIR), consume=None)
     timed("events_spikes", lambda: events.window_spikes(SF_DIR))
+    timed("events_daily_deltas", lambda: events.daily_deltas(SF_DIR))
     timed("dup_by_source_docs", lambda: dedup_text.dup_rate_by_source(SF_DIR))
     timed("chunk_export_docs", lambda: segdedup.chunk_export(SF_DIR))
     timed("rank_by_length_docs", lambda: shards.rank_by_length(SF_DIR))

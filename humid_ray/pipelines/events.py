@@ -1340,3 +1340,107 @@ def latest_per_user_sql(table: str = "events") -> str:
         f"FROM {table} QUALIFY row_number() OVER "
         "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
     )
+
+
+# --- per-user daily deltas (the LAG window function) ------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def daily_deltas(sf_dir: str):
+    """(user_id, day, day_cents, delta_cents): per-user per-day spend
+    in exact int64 cents, with the LAG window — delta vs the user's
+    PREVIOUS ACTIVE day (NULL on a user's first day, SQL LAG
+    semantics). Value rounds to cents ONCE per event (half-away, the
+    engine-wide money rule), so partial sums are order-independent and
+    exact.
+
+    Scale shape: a per-batch (user, day) combiner collapses events
+    before the exchange (shuffle volume = distinct user-days per
+    block, not events); ONE exchange into hashed user buckets (the
+    sessionize routing rule — a user's whole history lands in one
+    kernel); each bucket kernel is one lexsort + segmented reduce +
+    a shifted segment diff. No sort of the full corpus anywhere."""
+    from humid_ray.util import round_half_away
+
+    _empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "day_us": pa.array([], type=pa.int64()),
+        "cents": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = (_ts_us(batch.column("ts")) // _DAY_US) * _DAY_US
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = round_half_away(val * 100.0, 0).astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day, cents = uid[order], day[order], cents[order]
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(cents, starts)
+        t = pa.table({
+            "user_id": pa.array(uid[starts]),
+            "day_us": pa.array(day[starts]),
+            "cents": pa.array(sums.astype(np.int64)),
+        })
+        return t.append_column(
+            "bucket", pa.array(_user_buckets(t), type=pa.int64()))
+
+    _out_empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "day": pa.array([], type=pa.timestamp("us")),
+        "day_cents": pa.array([], type=pa.int64()),
+        "delta_cents": pa.array([], type=pa.int64()),
+    })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _out_empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day_us").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day, cents = uid[order], day[order], cents[order]
+        # fold cross-block partials of the same (user, day)
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(new)
+        uid, day = uid[starts], day[starts]
+        cents = np.add.reduceat(cents, starts).astype(np.int64)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        prev = np.r_[0, cents[:-1]]
+        delta = cents - prev
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "day": pa.array(day.astype(np.int64)).cast(pa.timestamp("us")),
+            "day_cents": pa.array(cents),
+            "delta_cents": pa.array(delta, mask=first),
+        })
+
+    return (
+        read_events(sf_dir, columns=["ts", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["bucket"])
+                             if "bucket" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def daily_deltas_sql(table: str = "events") -> str:
+    """DuckDB oracle for ``daily_deltas``: round-per-event cents, one
+    GROUP BY, LAG over (user, day)."""
+    return (
+        "WITH d AS (SELECT user_id, "
+        "time_bucket(INTERVAL 1 day, ts) AS day, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+        f"FROM {table} GROUP BY user_id, time_bucket(INTERVAL 1 day, ts)) "
+        "SELECT user_id, day, cents AS day_cents, "
+        "cents - lag(cents) OVER (PARTITION BY user_id ORDER BY day) "
+        "AS delta_cents FROM d"
+    )

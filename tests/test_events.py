@@ -610,3 +610,62 @@ def test_latest_per_user_argmax_and_ties(ray_session, tmp_path):
     assert out.user_id.tolist() == [1, 2, 3]
     assert out.event_id.tolist() == [1, 4, 5]
     assert out.event_type.tolist() == ["b", "e", "f"]
+
+
+# --- daily_deltas (LAG window) -----------------------------------------------
+
+def test_daily_deltas_matches_duckdb(ray_session):
+    import duckdb
+
+    from humid_ray.pipelines.events import daily_deltas, daily_deltas_sql
+
+    sf = "/root/testdata/sf0.001"
+    mine = (daily_deltas(sf).to_pandas()
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    orc = (con.execute(daily_deltas_sql()).df()
+           .sort_values(["user_id", "day"]).reset_index(drop=True))
+    assert len(mine) == len(orc)
+    assert mine["user_id"].tolist() == orc["user_id"].tolist()
+    assert mine["day"].tolist() == orc["day"].tolist()
+    assert mine["day_cents"].tolist() == orc["day_cents"].astype("int64").tolist()
+    a = mine["delta_cents"].fillna(-10**15).tolist()
+    b = orc["delta_cents"].fillna(-10**15).tolist()
+    assert a == b
+
+
+def test_daily_deltas_planted(ray_session, tmp_path):
+    """Two users, three days; the delta must reference the previous
+    ACTIVE day (user 1 skips a day), first day NULL."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.events import daily_deltas
+
+    day = 86_400_000_000
+    rows = [
+        # user 1: day0 = 150c (two events), day2 = 300c (skips day1)
+        (1, 0, 1.0), (1, 1000, 0.5), (1, 2 * day, 3.0),
+        # user 2: day0 = 100c, day1 = 100c
+        (2, 500, 1.0), (2, day + 7, 1.0),
+    ]
+    t = pa_.table({
+        "event_id": pa_.array(range(len(rows)), type=pa_.int64()),
+        "ts": pa_.array([r[1] for r in rows], type=pa_.timestamp("us")),
+        "user_id": pa_.array([r[0] for r in rows], type=pa_.int64()),
+        "event_type": pa_.array(["x"] * len(rows), type=pa_.string()),
+        "value": pa_.array([r[2] for r in rows], type=pa_.float64()),
+        "props": pa_.array([""] * len(rows), type=pa_.string()),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq_.write_table(t, d / "events.parquet")
+    out = (daily_deltas(str(d)).to_pandas()
+           .sort_values(["user_id", "day"]).reset_index(drop=True))
+    assert out["day_cents"].tolist() == [150, 300, 100, 100]
+    assert pd.isna(out["delta_cents"].iloc[0])
+    assert out["delta_cents"].iloc[1] == 150   # vs previous ACTIVE day
+    assert pd.isna(out["delta_cents"].iloc[2])
+    assert out["delta_cents"].iloc[3] == 0
