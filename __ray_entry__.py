@@ -735,6 +735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CC) — the shard-the-all-to-all-by-a-cheap-key production trick
         "lang_partitioned_image_dedup":
             lambda sf: images.lang_partitioned_image_dedup(_corpus_for(sf)),
+        # the per-row dedup invariant (pixel equality / PSNR >= 40 dB
+        # for lossy) as a runtime audit over non-singleton clusters;
+        # decode is the sandbox codec -> pytest-pinned, no SQL oracle
+        "cluster_psnr_report":
+            lambda sf: images.cluster_psnr_report(_corpus_for(sf)),
         # eval-suite decontamination on the image axis: byte-identity
         # + exhaustive Hamming-probe membership against the broadcast
         # eval side (the image twin of decontaminate_docs)

@@ -236,6 +236,8 @@ def run_bench() -> dict:
           lambda: images.caption_langid_hist(corpus))
     timed("lang_partitioned_image_dedup",
           lambda: images.lang_partitioned_image_dedup(corpus))
+    timed("cluster_psnr_report",
+          lambda: images.cluster_psnr_report(corpus))
     timed("decontaminate_images",
           lambda: images.decontaminate_images(corpus))
     timed("phash_bit_stats",

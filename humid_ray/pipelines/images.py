@@ -4145,3 +4145,207 @@ def pack_shards_images_sql(corpus_glob: str,
         "SELECT image_id, ln AS n_bytes, "
         f"CAST(excl // {capacity_bytes} AS BIGINT) AS shard_id FROM o"
     )
+
+
+# --- per-row invariant audit: PSNR within near-dup clusters -----------------
+
+def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
+                        broadcast_max_members: int = 4_000_000):
+    """(image_id, cluster_rep, is_rep, decoded, dims_match, pixel_equal,
+    psnr): the per-row dedup invariant (decoded-pixel equality for
+    lossless formats, PSNR >= 40 dB for lossy re-encodes) surfaced as a
+    runtime audit over every NON-SINGLETON pHash Hamming<=max_distance
+    cluster — what a production dedup run ships alongside its keep list
+    to prove the clusters are perceptually sound. ``psnr`` is vs the
+    cluster representative (min image_id), rounded to 3; NULL when the
+    pair is pixel-identical (infinite), when dims differ, or when
+    either side fails to decode (each case distinguishable from the
+    flags). Pinned by planted pytest (lossy re-encode >= 40 dB,
+    cross-image pairs far below) — decode is the sandbox codec, so no
+    SQL oracle (the multimodal-family convention).
+
+    Scale shape: the member set is dup-bounded (phashes with count >= 2
+    plus edge-touched phashes — a small fraction of the corpus by the
+    nature of dedup); the (member phash -> label) map broadcasts once;
+    the corpus streams through a membership probe, and ONLY member
+    rows' payloads transit the single label-bucket exchange that
+    co-locates each cluster for decoding (a per-pair join would ship
+    the representative's payload once per member instead)."""
+    from humid_ray.png import decode_image, psnr as _psnr
+    from humid_ray.stages.components import components_from_arrays
+    from humid_ray.stages.joins import (apply_sorted_labels, copart_buckets,
+                                        key_buckets, sorted_member)
+    from humid_ray.util import round_half_away
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+
+    rows = read_corpus(corpus_dir, columns=["image_id", "bytes", "phash"])
+
+    def usable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.is_valid(batch.column("phash")))
+
+    rows = rows.map_batches(usable, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # value-level cluster graph (the curate_images chain, narrow scan)
+    uniq_ds = (
+        rows.select_columns(["phash"])
+        .groupby("phash").aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    edges = _edges_with_hot_salting(uniq_ds, cfg)
+    ea, eb = _pull_edge_cols(edges)  # ONE edge-bounded pull, three uses
+    sigs, comps = components_from_arrays(ea, eb)
+
+    # member phashes: any value with count >= 2 (image-level dups on
+    # one node) or any edge-touched value
+    multi_parts = [
+        b.column("sig").to_numpy(zero_copy_only=False)
+        for b in uniq_ds.map_batches(
+            lambda t: t.filter(pc.greater(t.column("count"), 1)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    multi = np.concatenate(multi_parts) if multi_parts \
+        else np.empty(0, dtype=np.int64)
+    member_ph = np.unique(np.concatenate([multi, ea, eb]))
+    if not len(member_ph):
+        return ray.data.from_arrow(_PSNR_EMPTY)
+    if len(member_ph) > broadcast_max_members:
+        raise NotImplementedError(
+            "member set above broadcast ceiling — switch to the "
+            "distributed label join (curate_images pattern)")
+    order = np.argsort(sigs, kind="stable")
+    mref = ray.put((member_ph, sigs[order], comps[order]))
+    nb = copart_buckets(int(len(member_ph)) * 4)
+
+    def tag_members(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "bytes": pa.array([], type=pa.large_binary()),
+                             "label": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        members, ks, kl = ray.get(mref)
+        ph = t.column("phash").to_numpy(zero_copy_only=False)
+        keep = sorted_member(members, ph)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "bytes": pa.array([], type=pa.large_binary()),
+                             "label": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        lab = apply_sorted_labels(ks, kl, ph[keep])
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "bytes": t.column("bytes").cast(pa.large_binary()),
+            "label": pa.array(lab),
+            "bucket": pa.array(key_buckets(lab, nb)),
+        })
+
+    members_ds = rows.map_batches(tag_members, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def audit_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PSNR_EMPTY
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        payload = g.column("bytes")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        order = np.lexsort((ids, lab))
+        out_id, out_rep, out_isrep = [], [], []
+        out_dec, out_dm, out_pe, out_ps = [], [], [], []
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            while j < n and lab[order[j]] == lab[order[i]]:
+                j += 1
+            seg = order[i:j]
+            i = j
+            if len(seg) < 2:  # cannot happen (a label is fully
+                continue      # co-located and has >= 2 members) — belt
+            rep_row = seg[0]  # ids ascend within the label segment
+            rep_id = ids[rep_row]
+            try:
+                rep_img = decode_image(payload[rep_row].as_py())
+            except Exception:
+                rep_img = None
+            for r in seg:
+                out_id.append(ids[r])
+                out_rep.append(rep_id)
+                is_rep = r == rep_row
+                out_isrep.append(bool(is_rep))
+                if is_rep:
+                    out_dec.append(rep_img is not None)
+                    out_dm.append(rep_img is not None)
+                    out_pe.append(rep_img is not None)
+                    out_ps.append(None)
+                    continue
+                try:
+                    img = decode_image(payload[r].as_py())
+                except Exception:
+                    img = None
+                if img is None or rep_img is None:
+                    out_dec.append(img is not None)
+                    out_dm.append(False)
+                    out_pe.append(False)
+                    out_ps.append(None)
+                    continue
+                out_dec.append(True)
+                if img.shape != rep_img.shape:
+                    out_dm.append(False)
+                    out_pe.append(False)
+                    out_ps.append(None)
+                    continue
+                out_dm.append(True)
+                if np.array_equal(img, rep_img):
+                    out_pe.append(True)
+                    out_ps.append(None)  # infinite
+                else:
+                    out_pe.append(False)
+                    out_ps.append(float(round_half_away(
+                        np.array([_psnr(rep_img, img)]), 3)[0]))
+        return pa.table({
+            "image_id": pa.array(out_id, type=pa.string()),
+            "cluster_rep": pa.array(out_rep, type=pa.string()),
+            "is_rep": pa.array(out_isrep, type=pa.bool_()),
+            "decoded": pa.array(out_dec, type=pa.bool_()),
+            "dims_match": pa.array(out_dm, type=pa.bool_()),
+            "pixel_equal": pa.array(out_pe, type=pa.bool_()),
+            "psnr": pa.array(out_ps, type=pa.float64()),
+        })
+
+    return members_ds.groupby("bucket").map_groups(
+        audit_bucket, batch_format="pyarrow")
+
+
+_PSNR_EMPTY = pa.table({
+    "image_id": pa.array([], type=pa.string()),
+    "cluster_rep": pa.array([], type=pa.string()),
+    "is_rep": pa.array([], type=pa.bool_()),
+    "decoded": pa.array([], type=pa.bool_()),
+    "dims_match": pa.array([], type=pa.bool_()),
+    "pixel_equal": pa.array([], type=pa.bool_()),
+    "psnr": pa.array([], type=pa.float64()),
+})
+
+
+def _pull_edge_cols(edges_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Edge Dataset -> (sig_a, sig_b) int64 arrays (edge-bounded pull)."""
+    ea, eb = [], []
+    for b in edges_ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        ea.append(b.column("sig_a").to_numpy(zero_copy_only=False))
+        eb.append(b.column("sig_b").to_numpy(zero_copy_only=False))
+    if not ea:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ea), np.concatenate(eb)

@@ -22,7 +22,7 @@ CORPUS_QUERIES_PREFIXES = (
     "dedup_storage_savings", "aspect_ratio_stats",
     "fused_dedup_images", "cluster_merge_profile",
     "cluster_safe_split", "dedup_sample_weights", "pack_shards_images",
-    "lang_partitioned_image_dedup",
+    "lang_partitioned_image_dedup", "cluster_psnr_report",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on

@@ -1936,3 +1936,57 @@ def test_lang_partitioned_image_dedup_join_branch_equal(ray_session,
          .to_pandas().sort_values("image_id").reset_index(drop=True))
     for col in ("image_id", "lang_pred", "cluster_rep", "keep"):
         assert a[col].tolist() == b[col].tolist(), col
+
+
+# --- cluster_psnr_report ------------------------------------------------------
+
+def test_cluster_psnr_report_planted(ray_session, tmp_path):
+    """The per-row dedup invariant as an audit: byte dup -> pixel_equal;
+    lossy re-encode of the same pixels -> PSNR >= 40 dB; a genuinely
+    different image in the cluster -> far below 40; dims mismatch and
+    undecodable payloads flagged; singletons excluded."""
+    from humid_ray.pipelines.images import cluster_psnr_report
+    from humid_ray.png import encode_fjpg, encode_png
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    small = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    rows = [
+        ("img_a1", encode_png(base), "", 0x10),    # rep
+        ("img_a2", encode_png(base), "", 0x10),    # byte dup
+        ("img_a3", encode_fjpg(base), "", 0x10),   # lossy re-encode
+        ("img_a4", encode_png(other), "", 0x11),   # different image, H1
+        ("img_a5", encode_png(small), "", 0x10),   # dims mismatch
+        ("img_b1", encode_png(other), "", 0x400),  # singleton: excluded
+        ("img_c1", b"JUNKJUNKJUNK", "", 0x800),    # undecodable rep
+        ("img_c2", encode_png(base), "", 0x800),
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="psnrcorpus")
+    out = (cluster_psnr_report(corpus).to_pandas()
+           .sort_values("image_id").set_index("image_id"))
+    assert "img_b1" not in out.index          # singleton excluded
+    assert len(out) == 7
+    assert bool(out.loc["img_a2", "pixel_equal"])
+    assert np.isnan(out.loc["img_a2", "psnr"])  # infinite -> NULL
+    assert out.loc["img_a3", "psnr"] >= 40.0    # lossy invariant holds
+    assert not out.loc["img_a3", "pixel_equal"]
+    assert out.loc["img_a4", "psnr"] < 20.0     # true near-dup it is not
+    assert not out.loc["img_a5", "dims_match"]
+    assert not out.loc["img_c1", "decoded"] and out.loc["img_c1", "is_rep"]
+    assert bool(out.loc["img_c2", "decoded"])
+    assert (out.loc[out["is_rep"], "cluster_rep"]
+            == out.loc[out["is_rep"]].index).all()
+
+
+def test_cluster_psnr_report_no_dups(ray_session, tmp_path):
+    from humid_ray.pipelines.images import cluster_psnr_report
+    from humid_ray.png import encode_png
+
+    rng = np.random.default_rng(6)
+    # pairwise Hamming distance 8 — no near-dup edges anywhere
+    rows = [(f"img_{i}", encode_png(
+        rng.integers(0, 256, size=(8, 8), dtype=np.uint8)), "",
+        0xFF << (8 * i)) for i in range(4)]
+    corpus = _fused_corpus(tmp_path, rows, name="psnrsingl")
+    assert cluster_psnr_report(corpus).count() == 0
