@@ -86,6 +86,11 @@ def run_bench() -> dict:
         "multimodal_decode_stats", "substring_dedup_docs",
         "audio_features", "ngram_jaccard_docs", "minhash_neardup_docs",
         "knn_bruteforce", "embedding_neardup",
+        # the payload-scan image family — the most expensive suite
+        # queries as of round 3 — gets trials too, so cross-round
+        # swings are attributable to noise vs regression
+        "incremental_image_dedup", "dedup_storage_savings",
+        "fused_dedup_images", "image_drop_report",
     }
 
     def timed(name, fn, consume="count"):
