@@ -394,7 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
-    return {
+    q = {
         # flagship near-dup pipeline (corpus; brute-force-oracle-tested in pytest)
         "humid_assign": _humid_assign,
         "humid_edges": _humid_edges,
@@ -801,6 +801,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards_images":
             lambda sf: images.pack_shards_images(_corpus_for(sf)),
     }
+    return _driver_window_order(q)
+
+
+# The correctness driver hash-checks exactly the FIRST 50 queries()
+# entries in insertion order. Rounds 1-3 spent that window on the
+# flagship + documents families (all green in CORRECTNESS_r01..r03);
+# round 4 rotates it onto the SQL-oracled queries the driver has never
+# hard-checked — the images / relational / sampling / shards families —
+# keeping four flagship rows for continuity and zero `no_oracle` rows.
+# Every name below has an oracle_sql() entry; the full registry is
+# unchanged (entries outside the window follow in their original
+# order and remain pytest-/sweep-covered).
+_DRIVER_WINDOW = [
+    # flagship continuity (full composite-word config, SQL-oracled)
+    "humid_uniq",
+    "humid_edges",
+    "humid_assign_full_sql",
+    "humid_stats_full_sql",
+    # newly SQL-oracled this round (was the one non-flagship no_oracle)
+    "substring_dedup_docs",
+    # images family (never driver-checked before round 4)
+    "image_exact_dedup",
+    "curate_images",
+    "curate_images_keep_best",
+    "top_dup_clusters",
+    "caption_payload_corr",
+    "image_format_stats",
+    "caption_collisions",
+    "caption_phash_neardup",
+    "tiered_dedup_report_images",
+    "incremental_image_dedup",
+    "phash_distance_histogram",
+    "dup_rate_by_format",
+    "image_size_quantiles",
+    "caption_langid_hist",
+    "lang_partitioned_image_dedup",
+    "decontaminate_images",
+    "phash_bit_stats",
+    "cluster_caption_consistency",
+    "dedup_storage_savings",
+    "cluster_diameter_hist",
+    "caption_cluster_agreement",
+    "phash_band_entropy",
+    "aspect_ratio_stats",
+    "fused_dedup_images",
+    "cluster_merge_profile",
+    "image_drop_report",
+    "caption_simhash_neardup",
+    "phash_knn",
+    "cluster_safe_split",
+    "dedup_sample_weights",
+    "pack_shards_images",
+    # relational family
+    "lineitem_pricing_summary",
+    "orders_by_nation",
+    "top_parts_by_revenue",
+    "priority_revenue",
+    "segment_revenue",
+    "customers_without_orders",
+    # sampling family
+    "hash_split_docs",
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    # shards family
+    "pack_shards_docs",
+    "shuffle_rank_docs",
+    "rank_by_length_docs",
+    # embeddings family
+    "semantic_dedup_exact",
+    "decontaminate_embeddings",
+]
+
+
+def _driver_window_order(q: dict) -> dict:
+    window = [k for k in _DRIVER_WINDOW if k in q]
+    rest = {k: v for k, v in q.items() if k not in set(window)}
+    return {**{k: q[k] for k in window}, **rest}
 
 
 def _langid_score_sql(lang: str) -> str:
@@ -987,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
     from humid_ray.pipelines import sampling as _sampling_mod
     from humid_ray.pipelines import segdedup as _segdedup
     from humid_ray.pipelines import shards as _shards_mod
+    from humid_ray.pipelines import substring as _substring_mod
     from humid_ray.pipelines import textstats as _textstats_mod
 
     return {
@@ -1260,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_hist_docs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "substring_dedup_docs": _substring_mod.substring_dedup_sql(),
         "line_dedup_docs": _segdedup.line_dedup_sql(),
         "chunk_dedup_docs": _segdedup.chunk_dedup_sql(),
         "redact_pii_docs": _textstats_mod.redact_pii_sql(),

@@ -4166,9 +4166,14 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
 
     Scale shape: the member set is dup-bounded (phashes with count >= 2
     plus edge-touched phashes — a small fraction of the corpus by the
-    nature of dedup); the (member phash -> label) map broadcasts once;
-    the corpus streams through a membership probe, and ONLY member
-    rows' payloads transit the single label-bucket exchange that
+    nature of dedup); below ``broadcast_max_members`` the (member phash
+    -> label) map broadcasts once and the corpus streams through a
+    membership probe; above it (the dup-heavy-100TB case) the labels
+    come from the distributed CC and are applied with one inner
+    ``Dataset.join`` instead (the curate_images pattern — no
+    driver-sized object; the switch decides from COUNTS, never
+    materializing the member set it guards against). Either way, ONLY
+    member rows' payloads transit the label-bucket exchange that
     co-locates each cluster for decoding (a per-pair join would ship
     the representative's payload once per member instead)."""
     from humid_ray.png import decode_image, psnr as _psnr
@@ -4200,57 +4205,113 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
             batch_format="pyarrow",
         )
     ).materialize()
-    edges = _edges_with_hot_salting(uniq_ds, cfg)
-    ea, eb = _pull_edge_cols(edges)  # ONE edge-bounded pull, three uses
-    sigs, comps = components_from_arrays(ea, eb)
-
-    # member phashes: any value with count >= 2 (image-level dups on
-    # one node) or any edge-touched value
-    multi_parts = [
-        b.column("sig").to_numpy(zero_copy_only=False)
-        for b in uniq_ds.map_batches(
-            lambda t: t.filter(pc.greater(t.column("count"), 1)),
-            batch_format="pyarrow",
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    multi = np.concatenate(multi_parts) if multi_parts \
-        else np.empty(0, dtype=np.int64)
-    member_ph = np.unique(np.concatenate([multi, ea, eb]))
-    if not len(member_ph):
+    edges = _edges_with_hot_salting(uniq_ds, cfg).materialize()
+    multi_ds = uniq_ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count"), 1))
+                   .select(["sig"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_multi, n_edges = multi_ds.count(), edges.count()
+    if n_multi == 0 and n_edges == 0:
         return ray.data.from_arrow(_PSNR_EMPTY)
-    if len(member_ph) > broadcast_max_members:
-        raise NotImplementedError(
-            "member set above broadcast ceiling — switch to the "
-            "distributed label join (curate_images pattern)")
-    order = np.argsort(sigs, kind="stable")
-    mref = ray.put((member_ph, sigs[order], comps[order]))
-    nb = copart_buckets(int(len(member_ph)) * 4)
+    # member upper bound WITHOUT a driver pull: every member phash is a
+    # multi-count value or an edge endpoint — the switch below must not
+    # itself materialize the set it is guarding against
+    member_bound = n_multi + 2 * n_edges
+    nb = copart_buckets(member_bound * 4)
 
-    def tag_members(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"image_id": pa.array([], type=pa.string()),
-                             "bytes": pa.array([], type=pa.large_binary()),
-                             "label": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.int64())})
-        members, ks, kl = ray.get(mref)
-        ph = t.column("phash").to_numpy(zero_copy_only=False)
-        keep = sorted_member(members, ph)
-        t = t.filter(pa.array(keep))
-        if t.num_rows == 0:
-            return pa.table({"image_id": pa.array([], type=pa.string()),
-                             "bytes": pa.array([], type=pa.large_binary()),
-                             "label": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.int64())})
-        lab = apply_sorted_labels(ks, kl, ph[keep])
-        return pa.table({
-            "image_id": t.column("image_id"),
-            "bytes": t.column("bytes").cast(pa.large_binary()),
-            "label": pa.array(lab),
-            "bucket": pa.array(key_buckets(lab, nb)),
-        })
+    _member_empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "bytes": pa.array([], type=pa.large_binary()),
+        "label": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int64()),
+    })
 
-    members_ds = rows.map_batches(tag_members, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+    if member_bound <= broadcast_max_members:
+        # broadcast path: edge-bounded pull, driver union-find, ONE
+        # sorted (member, label) table in the object store
+        ea, eb = _pull_edge_cols(edges)
+        sigs, comps = components_from_arrays(ea, eb)
+        multi_parts = [
+            b.column("sig").to_numpy(zero_copy_only=False)
+            for b in multi_ds.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow")
+        ]
+        multi = np.concatenate(multi_parts) if multi_parts \
+            else np.empty(0, dtype=np.int64)
+        member_ph = np.unique(np.concatenate([multi, ea, eb]))
+        if not len(member_ph):
+            return ray.data.from_arrow(_PSNR_EMPTY)
+        order = np.argsort(sigs, kind="stable")
+        mref = ray.put((member_ph, sigs[order], comps[order]))
+
+        def tag_members(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _member_empty
+            members, ks, kl = ray.get(mref)
+            ph = t.column("phash").to_numpy(zero_copy_only=False)
+            keep = sorted_member(members, ph)
+            t = t.filter(pa.array(keep))
+            if t.num_rows == 0:
+                return _member_empty
+            lab = apply_sorted_labels(ks, kl, ph[keep])
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "bytes": t.column("bytes").cast(pa.large_binary()),
+                "label": pa.array(lab),
+                "bucket": pa.array(key_buckets(lab, nb)),
+            })
+
+        members_ds = rows.map_batches(tag_members, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        # distributed path (member set above the broadcast ceiling —
+        # the dup-heavy-corpus case): distributed CC over the edge
+        # Dataset, member labels = CC label for edge-touched phashes /
+        # own value for multi-count-only phashes (the same fallback
+        # apply_sorted_labels encodes), applied to the corpus with ONE
+        # inner Dataset.join on phash — the curate_images label-map
+        # join pattern; labels differ in value but not in partition,
+        # and only the partition reaches the output (cluster_rep =
+        # min image_id per label segment).
+        from humid_ray.stages.components import connected_components
+        from humid_ray.stages.joins import join_kwargs
+
+        comp = connected_components(edges, cfg).materialize()
+        mem = multi_ds.union(
+            comp.map_batches(lambda t: t.select(["sig"]),
+                             batch_format="pyarrow")
+        ).groupby("sig").aggregate(Count(alias_name="_n")).map_batches(
+            lambda t: t.select(["sig"]), batch_format="pyarrow"
+        )
+        labels_ds = mem.join(
+            comp, join_type="left_outer", on=("sig",),
+            **join_kwargs(member_bound)
+        ).map_batches(
+            lambda t: pa.table({
+                "sig": t.column("sig"),
+                "label": pc.coalesce(t.column("comp"), t.column("sig")),
+            }),
+            batch_format="pyarrow",
+        )
+        joined = rows.join(
+            labels_ds, join_type="inner", on=("phash",),
+            right_on=("sig",),
+            **join_kwargs(member_bound, bytes_per_row=65536)
+        )
+
+        def tag_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _member_empty
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "bytes": t.column("bytes").cast(pa.large_binary()),
+                "label": t.column("label"),
+                "bucket": pa.array(key_buckets(lab, nb)),
+            })
+
+        members_ds = joined.map_batches(tag_joined, batch_format="pyarrow")
 
     def audit_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

@@ -291,6 +291,48 @@ _EMPTY_SPANS = {
 }
 
 
+def substring_dedup_sql(min_len: int = 32) -> str:
+    """DuckDB oracle for ``substring_dedup_pairs``: the true
+    longest-common-substring length per doc pair, restricted to pairs
+    whose LCS is >= min_len — computed without the winnowing machinery.
+
+    Method: explode every length-``min_len`` gram of every doc
+    (1-based start i), join grams across docs (doc_a < doc_b), and
+    observe that a maximal shared span of length L on byte diagonal
+    d = i_a - i_b is exactly a run of L - min_len + 1 consecutive
+    matching grams on that diagonal; gaps-and-islands (i_a minus its
+    rank within the diagonal) recovers each run, so
+    max_len = max over islands of (run_count + min_len - 1).
+
+    Positions are 1-based characters in SQL vs 0-based bytes in the
+    engine, but the corpus is pure ASCII (asserted in
+    tests/test_substring.py) and only lengths surface in the output,
+    so the two coordinate systems agree. Only sound when the engine's
+    per-bucket caps don't bite (they don't at driver scale — the
+    hot_fp_stats lineage report is the production guard)."""
+    m = int(min_len)
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents "
+        f"WHERE length(coalesce(text,'')) >= {m}), "
+        "g0 AS (SELECT doc_id, t, "
+        f"CAST(unnest(range(1, CAST(length(t) - {m} + 2 AS BIGINT))) AS BIGINT) "
+        "AS i FROM d), "
+        f"g AS (SELECT doc_id, i, substr(t, CAST(i AS INTEGER), {m}) AS gram "
+        "FROM g0), "
+        "mm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.i AS ia, a.i - b.i AS diag "
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id), "
+        "runs AS (SELECT doc_a, doc_b, diag, "
+        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) "
+        "AS island FROM mm), "
+        "spans AS (SELECT doc_a, doc_b, "
+        f"CAST(COUNT(*) + {m} - 1 AS BIGINT) AS span_len "
+        "FROM runs GROUP BY doc_a, doc_b, diag, island) "
+        "SELECT doc_a, doc_b, CAST(MAX(span_len) AS BIGINT) AS max_len "
+        "FROM spans GROUP BY doc_a, doc_b"
+    )
+
+
 def substring_dedup_pairs(sf_dir: str, min_len: int = 32, k: int = 8,
                           broadcast_max_ids: int | None = None):
     """(doc_a, doc_b, max_len): document pairs sharing a substring of

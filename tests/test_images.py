@@ -1979,6 +1979,35 @@ def test_cluster_psnr_report_planted(ray_session, tmp_path):
             == out.loc[out["is_rep"]].index).all()
 
 
+def test_cluster_psnr_report_join_branch_equals_broadcast(ray_session,
+                                                          tmp_path):
+    """broadcast_max_members=0 forces the distributed label-join path
+    (distributed CC + inner Dataset.join instead of the broadcast
+    member map); the audit output must be identical — labels may
+    differ in value between the paths, but only the member PARTITION
+    reaches the output."""
+    from humid_ray.pipelines.images import cluster_psnr_report
+    from humid_ray.png import encode_fjpg, encode_png
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        ("img_a1", encode_png(base), "", 0x10),
+        ("img_a2", encode_png(base), "", 0x10),    # byte dup
+        ("img_a3", encode_fjpg(base), "", 0x11),   # lossy + Hamming edge
+        ("img_b1", encode_png(other), "", 0x400),  # phash-equal pair
+        ("img_b2", encode_png(other), "", 0x400),
+        ("img_c1", encode_png(base), "", 0x4000),  # singleton: excluded
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="psnrjoin")
+    a = (cluster_psnr_report(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (cluster_psnr_report(corpus, broadcast_max_members=0).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert len(a) == 5 and a.equals(b)
+
+
 def test_cluster_psnr_report_no_dups(ray_session, tmp_path):
     from humid_ray.pipelines.images import cluster_psnr_report
     from humid_ray.png import encode_png
