@@ -119,6 +119,12 @@ class HumidConfig:
     sig_num_cpus: float = 1.0
     join_strategy: str = "auto"      # "auto" | "broadcast" | "hash"
     broadcast_max_rows: int = 5_000_000
+    # byte-sized twin of broadcast_max_rows: the auto join strategy
+    # broadcasts only when the phase checkpoint's UNCOMPRESSED size
+    # (manifest "bytes") also fits — a wide-id corpus can blow a
+    # row-count cap by 10x in bytes, and ray.put of a multi-GB lookup
+    # evicts everything else from the object store
+    broadcast_max_bytes: int = 256 * 1024 * 1024
     resume: bool = True              # skip phases whose checkpoints exist
     # wide binary payload rows get split into absurdly small blocks at
     # the default 128MiB target; raise it for image corpora
@@ -157,7 +163,8 @@ class HumidConfig:
         # group caps provably preserve the edge set; write_* only toggle
         # which output phases run)
         for k in ("sig_concurrency", "sig_batch_size", "sig_num_cpus",
-                  "join_strategy", "broadcast_max_rows", "resume", "workdir",
+                  "join_strategy", "broadcast_max_rows", "broadcast_max_bytes",
+                  "resume", "workdir",
                   "cc_strategy", "cc_local_max_edges", "hot_band_threshold",
                   "max_group_bruteforce", "write_filtered", "write_annotated",
                   "write_stats", "target_max_block_size"):

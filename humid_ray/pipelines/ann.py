@@ -882,7 +882,8 @@ def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
 # --- embedding-space eval-suite decontamination ----------------------------
 
 def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
-                             eval_mod: int = 20):
+                             eval_mod: int = 20,
+                             broadcast_max_eval: int = 1_000_000):
     """(vec_id, nearest_eval_id, max_cosine, contaminated): embedding-
     space eval-suite decontamination — the embedding twin of
     decontaminate_docs / decontaminate_images. For every TRAIN vector
@@ -902,7 +903,11 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
     a per-row argmax against the broadcast matrix (np.argmax takes the
     FIRST maximum, and the eval matrix is id-sorted, so float ties
     break to the min eval id — the oracle's ORDER BY cos DESC,
-    eval_id)."""
+    eval_id). Past ``broadcast_max_eval`` rows the matrix ships as
+    id-ordered bounded chunks and the kernel folds a running max
+    across them (identical output — pinned by the forced-chunk
+    equality test), so no single ray.put object grows with the
+    suite."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     _empty = pa.table({
@@ -934,11 +939,22 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
     emat = np.concatenate(emat_parts, axis=0)
     order = np.argsort(eids, kind="stable")
     eids, emat = eids[order], _normalize(emat[order])
-    eref = ray.put((eids, emat))
+    # broadcast ceiling (the broadcast_max_labels convention): past
+    # ``broadcast_max_eval`` rows the eval matrix ships as id-ordered
+    # CHUNKS — each bounded, read zero-copy from plasma per batch —
+    # and the kernel folds a running (max, argmin-id) across them.
+    # Strict ``>`` update over ascending-id chunks preserves the
+    # tie -> min-eval-id contract the single-matmul path gets from
+    # np.argmax-takes-first.
+    eval_refs = [
+        ray.put((eids[i:i + broadcast_max_eval],
+                 emat[i:i + broadcast_max_eval]))
+        for i in range(0, len(eids), broadcast_max_eval)
+    ]
 
     class _Contam:
-        def __init__(self, eval_ref, threshold: float, eval_mod: int):
-            self.eids, self.emat = ray.get(eval_ref)
+        def __init__(self, eval_refs, threshold: float, eval_mod: int):
+            self.eval_refs = eval_refs
             self.threshold = threshold
             self.eval_mod = eval_mod
 
@@ -950,21 +966,30 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
             if not train.any():
                 return _empty
             ids = ids[train].astype(np.int64)
-            sims = _normalize(m[train]) @ self.emat.T
-            arg = np.argmax(sims, axis=1)  # first max == min eval id
-            mx = sims[np.arange(len(ids)), arg]
+            tm = _normalize(m[train])
+            best = np.full(len(ids), -np.inf)
+            best_id = np.zeros(len(ids), dtype=np.int64)
+            for ref in self.eval_refs:
+                ceids, cemat = ray.get(ref)
+                sims = tm @ cemat.T
+                arg = np.argmax(sims, axis=1)  # first max == min eval id
+                mx = sims[np.arange(len(ids)), arg]
+                upd = mx > best
+                best[upd] = mx[upd]
+                best_id[upd] = ceids[arg[upd]]
             from humid_ray.util import round_half_away
 
             return pa.table({
                 "vec_id": pa.array(ids),
-                "nearest_eval_id": pa.array(self.eids[arg]),
-                "max_cosine": pa.array(round_half_away(mx, 6)),
-                "contaminated": pa.array(mx >= self.threshold),
+                "nearest_eval_id": pa.array(best_id),
+                "max_cosine": pa.array(round_half_away(best, 6)),
+                "contaminated": pa.array(best >= self.threshold),
             })
 
     return ds.map_batches(
         _Contam,
-        fn_constructor_kwargs={"eval_ref": eref, "threshold": threshold,
+        fn_constructor_kwargs={"eval_refs": eval_refs,
+                               "threshold": threshold,
                                "eval_mod": eval_mod},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )

@@ -282,8 +282,14 @@ class HumidPipeline:
         t0 = time.perf_counter()
         join_strategy = cfg.join_strategy
         if join_strategy == "auto":
+            # rows AND bytes must fit: the manifest records the phase's
+            # uncompressed size, so a wide-id corpus can't push a
+            # multi-GB lookup through ray.put under a row-only cap
             join_strategy = (
-                "broadcast" if assign_mf["rows"] <= cfg.broadcast_max_rows else "hash"
+                "broadcast"
+                if (assign_mf["rows"] <= cfg.broadcast_max_rows
+                    and assign_mf.get("bytes", 0) <= cfg.broadcast_max_bytes)
+                else "hash"
             )
         metrics["output_join_strategy"] = join_strategy
         dense_map = None
@@ -295,7 +301,9 @@ class HumidPipeline:
             dense_ref = ray.put(dense_map)
         assign_ref = assignment_lookup_ref(assign_ds) if join_strategy == "broadcast" else None
         sig_map_ref = None
-        if join_strategy == "broadcast" and total_rows <= cfg.broadcast_max_rows:
+        if (join_strategy == "broadcast"
+                and total_rows <= cfg.broadcast_max_rows
+                and sig_mf.get("bytes", 0) <= cfg.broadcast_max_bytes):
             # phase-1 checkpoint reuse as a sorted-array lookup keyed on
             # hashed image_id — fully vectorized build and probe (no
             # per-row dict loop). A 64-bit key collision (odds ~1e-6 at

@@ -72,13 +72,21 @@ def write_phase(
         files = _data_files(tmp)
     partitions = {}
     total = 0
+    total_bytes = 0
     for f in files:
-        n = pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
-        partitions[f] = n
-        total += n
+        md = pq.ParquetFile(os.path.join(tmp, f)).metadata
+        partitions[f] = md.num_rows
+        total += md.num_rows
+        # uncompressed table size — what a broadcast of this phase
+        # would put in the object store (row counts alone under-guard
+        # wide-id corpora; see HumidConfig.broadcast_max_bytes)
+        total_bytes += sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
     manifest = {
         "fingerprint": fingerprint,
         "rows": total,
+        "bytes": total_bytes,
         "partitions": partitions,
         "metrics": metrics or {},
     }

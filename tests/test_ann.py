@@ -435,8 +435,28 @@ def test_decontaminate_embeddings_matches_duckdb(ray_session):
     assert mine["vec_id"].tolist() == orc["vec_id"].tolist()
     assert mine["nearest_eval_id"].tolist() == orc["nearest_eval_id"].tolist()
     assert mine["contaminated"].tolist() == orc["contaminated"].tolist()
-    # exact equality — the driver compare hashes float values bit-wise
-    assert mine["max_cosine"].tolist() == orc["max_cosine"].tolist()
+    # both sides are rounded to 6 (the declared output contract), but a
+    # BLAS build with a different FMA/reduction order can flip a value
+    # sitting ON the rounding boundary by one quantum — tolerate that
+    # single quantum here (ids/flags above stay exact); the bit-wise
+    # driver compare remains the hard gate on THIS host's BLAS
+    a = mine["max_cosine"].to_numpy()
+    b = orc["max_cosine"].to_numpy()
+    assert np.allclose(a, b, rtol=0.0, atol=1.0000001e-06), \
+        np.abs(a - b).max()
+
+
+def test_decontaminate_embeddings_chunked_equals_single(ray_session):
+    """broadcast_max_eval=1 forces one ray.put chunk PER EVAL ROW (the
+    past-the-ceiling path); the running-max fold must reproduce the
+    single-matmul output bit-for-bit, ties included."""
+    from humid_ray.pipelines.ann import decontaminate_embeddings
+
+    a = (decontaminate_embeddings(SF).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (decontaminate_embeddings(SF, broadcast_max_eval=1).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
 
 
 def test_decontaminate_embeddings_planted(ray_session, tmp_path):
