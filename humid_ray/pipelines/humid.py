@@ -301,7 +301,15 @@ class HumidPipeline:
             dense_ref = ray.put(dense_map)
         assign_ref = assignment_lookup_ref(assign_ds) if join_strategy == "broadcast" else None
         sig_map_ref = None
-        if (join_strategy == "broadcast"
+        # the sig-map broadcast only feeds the payload-carrying output
+        # writers (FilteredWriter / AnnotatedWriter re-use phase-1
+        # signatures instead of re-decoding); manifest-only runs never
+        # consult it — skip the driver-side checkpoint pull entirely
+        need_sig_map = (
+            (cfg.write_filtered and cfg.filtered_output == "payload")
+            or cfg.write_annotated
+        )
+        if (join_strategy == "broadcast" and need_sig_map
                 and total_rows <= cfg.broadcast_max_rows
                 and sig_mf.get("bytes", 0) <= cfg.broadcast_max_bytes):
             # phase-1 checkpoint reuse as a sorted-array lookup keyed on

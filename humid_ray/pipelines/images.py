@@ -1252,8 +1252,111 @@ def _incr_img_finish(t: pa.Table) -> pa.Table:
     })
 
 
+def _incr_img_broadcast(new, base_ident, base):
+    """Broadcast fast path of ``incremental_image_dedup``: the two
+    collapsed base indexes (identity triple -> min id; distinct phash
+    -> min id) pull once as sorted arrays, ship via ONE ``ray.put``,
+    and the new side streams through a single vectorized probe kernel
+    — zero ``Dataset.join`` aggregator pools in the hot path. String
+    reps min-fold as RANKS into the sorted-unique rep array (same
+    lexicographic order as the Min aggregate on ASCII ids)."""
+    from ray.data.aggregate import Min
+
+    # exact index: sort by primary key h1; probe verifies h2/ln
+    ih1, ih2, iln, ireps = [], [], [], []
+    for b in base_ident.iter_batches(batch_size=262144,
+                                     batch_format="pyarrow"):
+        ih1.append(b.column("h1").to_numpy(zero_copy_only=False))
+        ih2.append(b.column("h2").to_numpy(zero_copy_only=False))
+        iln.append(b.column("ln").to_numpy(zero_copy_only=False))
+        ireps.append(np.asarray(b.column("exact_rep").to_pylist(),
+                                dtype=object))
+    h1s = np.concatenate(ih1)
+    h2s = np.concatenate(ih2)
+    lns = np.concatenate(iln)
+    ereps = np.concatenate(ireps)
+    order = np.argsort(h1s, kind="stable")
+    h1s, h2s, lns, ereps = h1s[order], h2s[order], lns[order], ereps[order]
+
+    # near index: distinct base phash -> min id, rep strings as ranks
+    base_ph = base.groupby("phash").aggregate(
+        Min("image_id", alias_name="ph_rep")
+    )
+    bps, brs = [], []
+    for b in base_ph.iter_batches(batch_size=262144,
+                                  batch_format="pyarrow"):
+        bps.append(b.column("phash").to_numpy(zero_copy_only=False))
+        brs.append(np.asarray(b.column("ph_rep").to_pylist(),
+                              dtype=object))
+    bph = np.concatenate(bps)
+    brep = np.concatenate(brs)
+    order = np.argsort(bph, kind="stable")
+    bph, brep = bph[order], brep[order]
+    uniq_reps, rep_rank = np.unique(brep, return_inverse=True)
+
+    ref = ray.put((h1s, h2s, lns, ereps, bph, rep_rank, uniq_reps))
+    _FLIPS = np.concatenate(
+        [np.zeros(1, dtype=UINT64),
+         (np.uint64(1) << np.arange(64, dtype=UINT64))]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _INCR_IMG_EMPTY
+        kh1, kh2, kln, kerep, kbph, krank, kuniq = ray.get(ref)
+        n = t.num_rows
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        ln = t.column("ln").to_numpy(zero_copy_only=False)
+        ph = t.column("phash").to_numpy(zero_copy_only=False)
+        # exact tier: h1 run + h2/ln verify (h1 runs are length 1 short
+        # of a 64-bit digest collision; longer runs scan in Python)
+        lo = np.searchsorted(kh1, h1, side="left")
+        hi = np.searchsorted(kh1, h1, side="right")
+        pos = np.minimum(lo, max(len(kh1) - 1, 0))
+        exact = np.full(n, -1, dtype=np.int64)
+        if len(kh1):
+            single = (hi - lo == 1)
+            m1 = single & (kh2[pos] == h2) & (kln[pos] == ln)
+            exact[m1] = pos[m1]
+            for i in np.flatnonzero(hi - lo > 1):
+                for j in range(lo[i], hi[i]):
+                    if kh2[j] == h2[i] and kln[j] == ln[i]:
+                        exact[i] = j
+                        break
+        # near tier: 65 exhaustive Hamming<=1 probes, min-rank fold
+        probes = (
+            ph.view(UINT64)[:, None] ^ _FLIPS[None, :]
+        ).view(np.int64).ravel()
+        big = np.int64(np.iinfo(np.int64).max)
+        ranks = np.full(n * 65, big, dtype=np.int64)
+        if len(kbph):
+            p = np.searchsorted(kbph, probes)
+            p_c = np.minimum(p, len(kbph) - 1)
+            hit = kbph[p_c] == probes
+            ranks[hit] = krank[p_c[hit]]
+        minrank = ranks.reshape(n, 65).min(axis=1)
+        near_hit = minrank < big
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "exact_dup": pa.array(exact >= 0),
+            "exact_rep": pa.array(
+                [kerep[j] if j >= 0 else None for j in exact],
+                type=pa.string()),
+            "near_dup": pa.array(near_hit),
+            "near_rep": pa.array(
+                [kuniq[r] if h else None
+                 for r, h in zip(minrank, near_hit)],
+                type=pa.string()),
+        })
+
+    return new.map_batches(probe, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def incremental_image_dedup(corpus_dir: str, new_pct: int = 20,
-                            n_buckets: int = 100):
+                            n_buckets: int = 100,
+                            broadcast_max_base: int = 4_000_000):
     """(image_id, exact_dup, exact_rep, near_dup, near_rep) per NEW
     usable row: the image-axis daily-crawl increment — a shard of new
     images is scored against the existing corpus on BOTH dedup tiers
@@ -1276,7 +1379,12 @@ def incremental_image_dedup(corpus_dir: str, new_pct: int = 20,
     exhaustive for Hamming <= 1 — no banding recall caveat),
     inner-joined against the base phash reps and min-folded per new
     phash; the 65x blowup rides the SMALL side only.
-    Candidate-bounded joins sized via ``join_kwargs``."""
+    Candidate-bounded joins sized via ``join_kwargs``. Below
+    ``broadcast_max_base`` distinct base rows, both collapsed indexes
+    ship as ONE sorted broadcast lookup and the new side streams
+    through a single probe kernel instead of the three joins — the
+    repo's broadcast/join auto-switch convention (forced-path
+    equality pinned in tests/test_images.py)."""
     from ray.data.aggregate import Min
 
     from humid_ray.stages.joins import join_kwargs
@@ -1299,6 +1407,8 @@ def incremental_image_dedup(corpus_dir: str, new_pct: int = 20,
     base_ident = base.groupby(["h1", "h2", "ln"]).aggregate(
         Min("image_id", alias_name="exact_rep")
     )
+    if n_base <= broadcast_max_base:
+        return _incr_img_broadcast(new, base_ident, base)
     new2 = new.join(
         base_ident, join_type="left_outer", on=("h1", "h2", "ln"),
         **join_kwargs(n_new, n_base),

@@ -47,7 +47,19 @@ class DecodeStats:
     pipeline — HUMID's filtered-record rule)."""
 
     def __init__(self):
+        from humid_ray.functions.payloads import PayloadMemo
+
         self.decode = decode_image  # decoder "loaded" once per actor
+        self.memo = PayloadMemo()   # byte-identical payloads decode once
+
+    def _one(self, seg) -> tuple:
+        try:
+            img = self.decode(bytes(seg))
+        except Exception:  # noqa: BLE001 - undecodable row -> ok=False
+            return (False, 0, 0, 0, 0.0)
+        hh, ww = img.shape[:2]
+        return (True, ww, hh, 1 if img.ndim == 2 else img.shape[2],
+                round(float(img.mean()), 4))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -56,15 +68,9 @@ class DecodeStats:
         h = np.zeros(n, dtype=np.int32)
         c = np.zeros(n, dtype=np.int32)
         luma = np.zeros(n, dtype=np.float64)
-        for i, v in enumerate(batch.column("bytes")):
-            try:
-                img = self.decode(v.as_py())
-            except Exception:
-                continue
-            ok[i] = True
-            h[i], w[i] = img.shape[:2]
-            c[i] = 1 if img.ndim == 2 else img.shape[2]
-            luma[i] = round(float(img.mean()), 4)
+        for i, hit in enumerate(self.memo.map(batch.column("bytes"),
+                                              self._one)):
+            ok[i], w[i], h[i], c[i], luma[i] = hit
         return pa.table(
             {
                 "image_id": batch.column("image_id"),
@@ -89,7 +95,10 @@ class Thumbnailer:
     resize -> re-encode. Small batch size: rows carry binary payloads."""
 
     def __init__(self, size: int = 8):
+        from humid_ray.functions.payloads import PayloadMemo
+
         self.size = size
+        self.memo = PayloadMemo()  # byte-identical payloads resize once
 
     def _pool(self, img: np.ndarray) -> np.ndarray:
         s = self.size
@@ -107,15 +116,21 @@ class Thumbnailer:
                 out[i, j] = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
+    def _one(self, seg) -> bytes | bool:
+        try:
+            img = decode_image(bytes(seg))
+        except Exception:  # noqa: BLE001 - undecodable row -> skipped
+            return False
+        return encode_png(self._pool(img))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, thumbs = [], []
-        for i, v in enumerate(batch.column("bytes")):
-            try:
-                img = decode_image(v.as_py())
-            except Exception:
+        for i, hit in enumerate(self.memo.map(batch.column("bytes"),
+                                              self._one)):
+            if hit is False:
                 continue
             ids.append(batch.column("image_id")[i].as_py())
-            thumbs.append(encode_png(self._pool(img)))
+            thumbs.append(hit)
         return pa.table(
             {
                 "image_id": pa.array(ids, type=pa.string()),

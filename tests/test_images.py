@@ -478,6 +478,22 @@ def test_incremental_image_dedup_oracle_and_bruteforce(ray_session, tmp_path):
         assert (r.near_rep if r.near_dup else None) == nr, r.image_id
 
 
+def test_incremental_image_dedup_join_branch_equals_broadcast(
+        ray_session, tmp_path):
+    """broadcast_max_base=0 forces the three-join scale path; the
+    default broadcast probe kernel must produce identical rows."""
+    from humid_ray.pipelines.images import incremental_image_dedup
+
+    rng = np.random.default_rng(11)
+    corpus = _corpus(tmp_path, _incr_rows(rng))
+    a = (incremental_image_dedup(corpus, new_pct=40, n_buckets=100)
+         .to_pandas().sort_values("image_id").reset_index(drop=True))
+    b = (incremental_image_dedup(corpus, new_pct=40, n_buckets=100,
+                                 broadcast_max_base=0)
+         .to_pandas().sort_values("image_id").reset_index(drop=True))
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_incremental_image_dedup_degenerate_splits(ray_session, tmp_path):
     """new_pct=0 -> no new rows -> empty; new_pct=n_buckets -> empty
     base -> every new row novel on both tiers."""
