@@ -753,6 +753,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster (A-axis labels over the B-axis cluster structure)
         "cluster_caption_consistency":
             lambda sf: images.cluster_caption_consistency(_corpus_for(sf)),
+        # label consolidation: every image gets its cluster's MAJORITY
+        # caption (tie -> min caption) — the fix for the noise the
+        # consistency audit measures
+        "cluster_caption_vote":
+            lambda sf: images.cluster_caption_vote(_corpus_for(sf)),
         # capacity planning: rows/bytes reclaimed per format by the
         # quality-aware keep-best dedup
         "dedup_storage_savings":
@@ -1427,6 +1432,9 @@ def oracle_sql() -> dict[str, str]:
             _images_mod.cluster_caption_consistency_sql(
                 _corpus_for("sf0.01") + "/*.parquet"
             ),
+        "cluster_caption_vote": _images_mod.cluster_caption_vote_sql(
+            _corpus_for("sf0.01") + "/*.parquet"
+        ),
         "dedup_storage_savings": _images_mod.dedup_storage_savings_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),

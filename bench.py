@@ -34,6 +34,9 @@ CORPUS_BASE = "/tmp/humid_corpus"
 def corpus_rows(sf_dir: str) -> int:
     import re
 
+    override = os.environ.get("GRAFT_CORPUS_ROWS")
+    if override:
+        return int(override)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else 0.01
     return max(500, min(int(2_000_000 * sf), 200_000))
@@ -75,6 +78,10 @@ def run_bench() -> dict:
     for f in corpus_files(corpus):
         pq.read_table(f)
 
+    if os.environ.get("GRAFT_BENCH_GEN_ONLY"):
+        ray.shutdown()
+        return {"generated": corpus, "rows": n_rows}
+
     queries: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
 
@@ -95,6 +102,9 @@ def run_bench() -> dict:
         # events_sessions +71%) had no recorded trials, so noise vs
         # real couldn't be told apart — record them from round 4 on
         "ann_ivf", "events_sessions",
+        # most expensive suite query in r3 (38.9 s), rebuilt in r4
+        # (byte-equal members skip decode; distributed join fallback)
+        "cluster_psnr_report",
     }
 
     def timed(name, fn, consume="count"):
@@ -256,6 +266,8 @@ def run_bench() -> dict:
           lambda: images.phash_bit_stats(corpus), consume=None)
     timed("cluster_caption_consistency",
           lambda: images.cluster_caption_consistency(corpus))
+    timed("cluster_caption_vote",
+          lambda: images.cluster_caption_vote(corpus))
     timed("dedup_storage_savings",
           lambda: images.dedup_storage_savings(corpus))
     timed("cluster_diameter_hist",
@@ -339,17 +351,35 @@ def run_bench() -> dict:
 def run_scaling():
     """Same job, same input, fresh processes at N and 4N CPUs.
 
-    Three trials per level, best taken — single-node wall times vary
-    ±20-30% with page-cache / disk-writeback state, and the minimum is
-    the cleanest estimate of each level's capability.
+    The scaling input is a LARGER corpus than the per-query bench
+    (default 1M rows, override $GRAFT_SCALING_ROWS): the criterion
+    models a multi-node 100 TB run, where per-row work dominates and
+    single-node fixed costs (phase exchanges, actor-pool spin-up,
+    checkpoint round-trips — ~12 s here regardless of input size)
+    amortize away. Measuring it on a 20-second job would mostly
+    measure those fixed costs. Two trials per level, best taken —
+    wall-time variance shrinks with run length, and the minimum is the
+    cleanest estimate of each level's capability. The corpus
+    pre-generates once at FULL parallelism before any timed child.
     """
     lo, hi = 4, 16
+    rows = os.environ.get("GRAFT_SCALING_ROWS", "1000000")
+    # pre-generate + page-warm at full parallelism (cached afterwards;
+    # the 4-CPU child must not pay corpus generation)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=dict(os.environ, GRAFT_BENCH_GEN_ONLY="1",
+                 GRAFT_CORPUS_ROWS=rows),
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
     results: dict[int, dict] = {}
     for ncpu in (lo, hi):
         best = None
-        for _ in range(3):
+        for _ in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_BENCH_HEADLINE_ONLY="1")
+                       GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_CORPUS_ROWS=rows)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

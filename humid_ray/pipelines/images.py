@@ -2525,6 +2525,214 @@ def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
         finish, batch_format="pyarrow")
 
 
+def cluster_caption_vote(corpus_dir: str, max_distance: int = 1,
+                         broadcast_max_labels: int = 1_000_000):
+    """(image_id, caption, voted_caption, agree) per usable row: label
+    consolidation over the B-axis cluster structure — every image in a
+    pHash Hamming<=max_distance near-dup cluster gets the cluster's
+    MAJORITY caption (tie -> lexicographically smallest), the
+    LAION-style fix for the label noise ``cluster_caption_consistency``
+    only measures. ``agree`` flags rows whose own caption already is
+    the vote (the re-captioned rows are ``~agree``).
+
+    Scale shape: vote counting pre-combines per batch to distinct
+    (label, caption, n) rows before ONE label-bucket groupby — the
+    exchange carries per-batch-distinct captions (dup-heavy corpora
+    collapse hard), never payload bytes; the cluster labels come from
+    the flagship chain over DISTINCT phashes and broadcast once
+    (edge-bounded). The (label -> voted caption) map broadcasts under
+    ``broadcast_max_labels`` MULTI-caption labels, else applies with a
+    distributed left-outer ``Dataset.join`` (labels whose vote is
+    trivially the row's own caption — single-caption clusters — never
+    enter the map on either path)."""
+    from ray.data.aggregate import Sum
+
+    from humid_ray.stages.joins import copart_buckets, key_buckets
+
+    cfg = HumidConfig(sources=("phash",), clustering="maximum",
+                      max_distance=max_distance)
+
+    rows = read_corpus(corpus_dir, columns=["image_id", "caption", "phash"])
+
+    def usable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.is_valid(batch.column("phash")))
+
+    rows = rows.map_batches(usable, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    uniq_ds = (
+        rows.select_columns(["phash"])
+        .groupby("phash").aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda t: pa.table({"sig": t.column("phash"),
+                                "count": t.column("count")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    ref = ray.put(_phash_label_arrays(uniq_ds, cfg))
+    label_kernel = _phash_label_kernel(
+        ref, {"image_id": pa.string(), "caption": pa.string()})
+    labeled = rows.map_batches(
+        lambda t: label_kernel(
+            t.set_column(t.schema.get_field_index("caption"), "caption",
+                         pc.fill_null(t.column("caption"), ""))
+            if t.num_rows else t
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    # vote counting: per-batch (label, caption) combine -> global sum
+    def vote_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "caption": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g = pa.table({"label": t.column("label"),
+                      "caption": t.column("caption")}).group_by(
+            ["label", "caption"]).aggregate([("caption", "count")])
+        return pa.table({"label": g.column("label"),
+                         "caption": g.column("caption"),
+                         "n": g.column("caption_count").cast(pa.int64())})
+
+    cnt = labeled.map_batches(
+        vote_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["label", "caption"]).aggregate(Sum("n", alias_name="n"))
+
+    nb = copart_buckets(uniq_ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], type=pa.int64()))
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(key_buckets(lab, nb)))
+
+    def vote_bucket(g: pa.Table) -> pa.Table:
+        out = {"label": pa.array([], type=pa.int64()),
+               "voted_caption": pa.array([], type=pa.string())}
+        if g.num_rows == 0:
+            return pa.table(out)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        cap = np.asarray(g.column("caption").to_pylist(), dtype=object)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        # single-caption labels are trivially their own vote: only
+        # MULTI-caption labels enter the map (keeps it edge-bounded)
+        order = np.lexsort((cap, -n, lab))
+        labs = lab[order]
+        new = np.r_[True, labs[1:] != labs[:-1]]
+        run_id = np.cumsum(new) - 1
+        multi = np.bincount(run_id) > 1
+        head = new & multi[run_id]
+        return pa.table({
+            "label": pa.array(labs[head]),
+            "voted_caption": pa.array(cap[order][head].tolist(),
+                                      type=pa.string()),
+        })
+
+    votes = (
+        cnt.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(vote_bucket, batch_format="pyarrow")
+    ).materialize()
+
+    _empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "caption": pa.array([], type=pa.string()),
+        "voted_caption": pa.array([], type=pa.string()),
+        "agree": pa.array([], type=pa.bool_()),
+    })
+
+    n_votes = votes.count()
+    if n_votes <= broadcast_max_labels:
+        vl, vc = [], []
+        for b in votes.iter_batches(batch_size=262144,
+                                    batch_format="pyarrow"):
+            vl.append(b.column("label").to_numpy(zero_copy_only=False))
+            vc.append(np.asarray(b.column("voted_caption").to_pylist(),
+                                 dtype=object))
+        if vl:
+            vla = np.concatenate(vl)
+            vca = np.concatenate(vc)
+            order = np.argsort(vla, kind="stable")
+            vla, vca = vla[order], vca[order]
+        else:
+            vla = np.empty(0, dtype=np.int64)
+            vca = np.empty(0, dtype=object)
+        vref = ray.put((vla, vca))
+
+        def emit(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty
+            keys, caps = ray.get(vref)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            own = np.asarray(t.column("caption").to_pylist(), dtype=object)
+            voted = own.copy()
+            if len(keys):
+                pos = np.searchsorted(keys, lab)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                hit = keys[pos_c] == lab
+                voted[hit] = caps[pos_c[hit]]
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "caption": t.column("caption"),
+                "voted_caption": pa.array(voted.tolist(),
+                                          type=pa.string()),
+                "agree": pa.array(own == voted),
+            })
+
+        return labeled.map_batches(emit, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    from humid_ray.stages.joins import join_kwargs
+
+    joined = labeled.join(votes, join_type="left_outer", on=("label",),
+                          **join_kwargs(n_votes))
+
+    def emit_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        voted = pc.coalesce(t.column("voted_caption"), t.column("caption"))
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "caption": t.column("caption"),
+            "voted_caption": voted,
+            "agree": pc.equal(t.column("caption"), voted),
+        })
+
+    return joined.map_batches(emit_joined, batch_format="pyarrow")
+
+
+def cluster_caption_vote_sql(corpus_glob: str,
+                             max_distance: int = 1) -> str:
+    """DuckDB oracle for ``cluster_caption_vote``: the
+    ``curate_images_sql`` recursive Hamming closure, caption mode per
+    component via a count-DESC/caption-ASC window, one row per usable
+    image."""
+    return (
+        "WITH RECURSIVE u AS (SELECT image_id, "
+        "coalesce(caption, '') AS caption, phash "
+        f"FROM read_parquet('{corpus_glob}') WHERE phash IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT phash AS sig FROM u), "
+        "e AS (SELECT a.sig AS sa, b.sig AS sb FROM nodes a JOIN nodes b "
+        "ON a.sig != b.sig "
+        f"AND bit_count(xor(a.sig, b.sig)) <= {max_distance}), "
+        "reach(src, dst) AS (SELECT sig, sig FROM nodes UNION "
+        "SELECT r.src, e.sb FROM reach r JOIN e ON e.sa = r.dst), "
+        "comp AS (SELECT src AS sig, "
+        f"xor(min(xor(dst, {_SB})), {_SB}) AS label FROM reach GROUP BY src), "
+        "lab AS (SELECT r.image_id, r.caption, m.label FROM u r "
+        "JOIN comp m ON m.sig = r.phash), "
+        "cnt AS (SELECT label, caption, count(*) AS c "
+        "FROM lab GROUP BY label, caption), "
+        "vote AS (SELECT label, caption AS voted FROM cnt "
+        "QUALIFY row_number() OVER (PARTITION BY label "
+        "ORDER BY c DESC, caption) = 1) "
+        "SELECT l.image_id, l.caption, v.voted AS voted_caption, "
+        "l.caption = v.voted AS agree "
+        "FROM lab l JOIN vote v USING (label)"
+    )
+
+
 def cluster_caption_consistency_sql(corpus_glob: str,
                                     max_distance: int = 1) -> str:
     """DuckDB oracle for ``cluster_caption_consistency``: recursive
@@ -4446,8 +4654,9 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
                 continue      # co-located and has >= 2 members) — belt
             rep_row = seg[0]  # ids ascend within the label segment
             rep_id = ids[rep_row]
+            rep_bytes = payload[rep_row].as_py()
             try:
-                rep_img = decode_image(payload[rep_row].as_py())
+                rep_img = decode_image(rep_bytes)
             except Exception:
                 rep_img = None
             for r in seg:
@@ -4461,8 +4670,18 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
                     out_pe.append(rep_img is not None)
                     out_ps.append(None)
                     continue
+                mb = payload[r].as_py()
+                if mb == rep_bytes:
+                    # byte-equal member: decoded pixels ARE the rep's
+                    # (the invariant the whole engine rests on) — skip
+                    # the decode; flags mirror the rep's decodability
+                    out_dec.append(rep_img is not None)
+                    out_dm.append(rep_img is not None)
+                    out_pe.append(rep_img is not None)
+                    out_ps.append(None)
+                    continue
                 try:
-                    img = decode_image(payload[r].as_py())
+                    img = decode_image(mb)
                 except Exception:
                     img = None
                 if img is None or rep_img is None:

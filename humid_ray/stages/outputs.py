@@ -102,39 +102,40 @@ def filtered_manifest(sig_ds, assign_ref, dense_ref=None):
     selects the surviving rows; copying 100 TB of payload is a
     separate, optional materialization."""
 
-    class Kernel:
-        def __init__(self):
-            self.lk: SigLookup = ray.get(assign_ref)
-            self.dense = ray.get(dense_ref) if dense_ref is not None else None
+    # plain task map (no actor pool): the lookup arrives via ray.get
+    # per task — a local plasma read, vs the ~1 s an autoscaling actor
+    # pool spends spinning up for this signature-shaped pass (a pure
+    # fixed cost that dominated the low-CPU scaling configs)
+    def kernel(batch: pa.Table) -> pa.Table:
+        lk: SigLookup = ray.get(assign_ref)
+        dense = ray.get(dense_ref) if dense_ref is not None else None
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
+        filtered = batch.column("filtered").to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        found, idx = lk.lookup(sig)
+        found &= ~filtered
+        rep_id = lk.get("rep_image_id", idx)
+        seed = lk.get("cluster_seed", idx).view(UINT64)
+        size = lk.get("cluster_size", idx)
+        keep = found & (ids == rep_id)
+        if dense is not None:
+            from humid_ray.stages.clustering import dense_ids_for
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sig = batch.column("sig").to_numpy(zero_copy_only=False).view(UINT64)
-            filtered = batch.column("filtered").to_numpy(zero_copy_only=False)
-            ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
-            found, idx = self.lk.lookup(sig)
-            found &= ~filtered
-            rep_id = self.lk.get("rep_image_id", idx)
-            seed = self.lk.get("cluster_seed", idx).view(UINT64)
-            size = self.lk.get("cluster_size", idx)
-            keep = found & (ids == rep_id)
-            if self.dense is not None:
-                from humid_ray.stages.clustering import dense_ids_for
+            cid = dense_ids_for(dense, seed[keep])
+        else:
+            cid = seed[keep]
+        mask = pa.array(keep.astype(bool))
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").filter(mask),
+                "sig": batch.column("sig").filter(mask),
+                "cluster_id": u64col(cid),
+                "cluster_size": pa.array(size[keep].astype(np.int64)),
+            }
+        )
 
-                cid = dense_ids_for(self.dense, seed[keep])
-            else:
-                cid = seed[keep]
-            mask = pa.array(keep.astype(bool))
-            return pa.table(
-                {
-                    "image_id": batch.column("image_id").filter(mask),
-                    "sig": batch.column("sig").filter(mask),
-                    "cluster_id": u64col(cid),
-                    "cluster_size": pa.array(size[keep].astype(np.int64)),
-                }
-            )
-
-    return sig_ds.map_batches(Kernel, batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=(1, 4))
+    return sig_ds.map_batches(kernel, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def filtered_manifest_hash_join(sig_ds, assign_ds, num_partitions: int | None = None):

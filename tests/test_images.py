@@ -950,6 +950,63 @@ def test_cluster_caption_consistency_planted(ray_session, tmp_path):
     assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
 
 
+def test_cluster_caption_vote_planted(ray_session, tmp_path):
+    """Majority caption wins per pHash cluster; count ties break to
+    the lexicographically smallest caption; singleton clusters vote
+    for their own caption; unusable rows excluded. DuckDB parity on
+    the same corpus."""
+    import duckdb
+
+    from humid_ray.pipelines.images import (
+        cluster_caption_vote, cluster_caption_vote_sql,
+    )
+
+    rows = [
+        ("img_a", b"\x01", 0x10, "capX"),     # cluster {0x10, 0x11}:
+        ("img_b", b"\x02", 0x10, "capX"),     # capX x2 beats capY x1
+        ("img_c", b"\x03", 0x11, "capY"),
+        ("img_d", b"\x04", 0xF0, "capZ"),     # singleton: own caption
+        ("img_e", b"\x05", 0x200, "capQ"),    # tie 1-1 ->
+        ("img_f", b"\x06", 0x200, "capP"),    # capP (lex smaller) wins
+        ("img_g", b"", None, "capN"),         # unusable: excluded
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    out = (cluster_caption_vote(corpus).to_pandas()
+           .sort_values("image_id").set_index("image_id"))
+    assert len(out) == 6
+    assert out.voted_caption.tolist() == [
+        "capX", "capX", "capX", "capZ", "capP", "capP"]
+    assert out.agree.tolist() == [True, True, False, True, False, True]
+
+    oracle = (duckdb.sql(
+        cluster_caption_vote_sql(f"{corpus}/*.parquet")
+    ).df().sort_values("image_id").set_index("image_id"))
+    assert out.caption.tolist() == oracle.caption.tolist()
+    assert out.voted_caption.tolist() == oracle.voted_caption.tolist()
+    assert out.agree.tolist() == oracle.agree.tolist()
+
+
+def test_cluster_caption_vote_join_branch_equals_broadcast(ray_session,
+                                                           tmp_path):
+    """broadcast_max_labels=0 forces the distributed vote-map join."""
+    from humid_ray.pipelines.images import cluster_caption_vote
+
+    rows = [
+        ("img_a", b"\x01", 0x10, "capX"),
+        ("img_b", b"\x02", 0x10, "capX"),
+        ("img_c", b"\x03", 0x11, "capY"),
+        ("img_d", b"\x04", 0xF0, "capZ"),
+        ("img_e", b"\x05", 0x200, "capQ"),
+        ("img_f", b"\x06", 0x200, "capP"),
+    ]
+    corpus = _corpus_cap(tmp_path, rows)
+    a = (cluster_caption_vote(corpus).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (cluster_caption_vote(corpus, broadcast_max_labels=0).to_pandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert len(a) == 6 and a.equals(b)
+
+
 def test_cluster_caption_consistency_null_caption(ray_session, tmp_path):
     """Null and empty captions coalesce to the same '' identity on
     both engine and oracle sides."""
