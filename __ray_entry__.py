@@ -679,6 +679,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-dedup -> pHash-cluster keep list (both SQL-oracled
         # against raw-bytes windows + a recursive Hamming closure)
         "image_exact_dedup": lambda sf: images.image_exact_dedup(_corpus_for(sf)),
+        # exact-PIXEL dedup: the tier between byte identity (misses
+        # re-encodes of the same pixels) and pHash near-dup (admits
+        # different pixels) — decode-valued, so pytest-pinned (planted
+        # re-encode corpus), no SQL oracle
+        "pixel_exact_dedup":
+            lambda sf: images.pixel_exact_dedup(_corpus_for(sf)),
         "curate_images": lambda sf: images.curate_images(_corpus_for(sf)),
         # quality-aware variant: keep the largest-payload member per
         # pHash cluster (tie min id) — the image-axis analog of

@@ -240,6 +240,7 @@ def run_bench() -> dict:
     for f in corpus_files(corpus):
         pq.read_table(f)
     timed("image_exact_dedup", lambda: images.image_exact_dedup(corpus))
+    timed("pixel_exact_dedup", lambda: images.pixel_exact_dedup(corpus))
     timed("curate_images", lambda: images.curate_images(corpus))
     timed("image_format_stats", lambda: images.image_format_stats(corpus))
     timed("caption_collisions", lambda: images.caption_collisions(corpus))

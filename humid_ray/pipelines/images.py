@@ -32,7 +32,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from humid_ray.config import HumidConfig
-from humid_ray.pipelines.multimodal import read_corpus
+from humid_ray.pipelines.multimodal import decode_pool, read_corpus
 from humid_ray.stages.components import connected_components
 from humid_ray.stages.joins import apply_sorted_labels, sorted_member
 from humid_ray.stages.lsh import band_bucket_counts, find_edges
@@ -2523,6 +2523,106 @@ def cluster_caption_consistency(corpus_dir: str, max_distance: int = 1):
 
     return percl.groupby("n_captions").aggregate(Count()).map_batches(
         finish, batch_format="pyarrow")
+
+
+def pixel_exact_dedup(corpus_dir: str):
+    """(image_id, pixel_rep, keep) per DECODABLE usable row: exact-
+    PIXEL dedup — the tier between byte identity and pHash near-dup.
+    Byte identity misses re-encodes of the very same pixels (a
+    different zlib level, PNG filter choice, or container produces
+    different bytes); pHash admits genuinely different pixels. Here
+    two rows are duplicates iff their decoded arrays are equal:
+    identity = BLAKE2b-128 over (dims, channels, raw pixel buffer).
+    ``pixel_rep`` = min image_id of the pixel-identity group; one
+    ``keep`` per group. Undecodable rows are excluded (they have no
+    pixels to compare — the byte tier handles them).
+
+    Scale shape: decode runs once per DISTINCT payload (PayloadMemo,
+    per-actor); only the 16-byte pixel digest ever shuffles — pixels
+    and payloads stay inside the decode task. The canonicalization is
+    the ``image_exact_dedup`` bucket-groupby over (h1, h2, ln) with
+    ln = the pixel-buffer length, reusing ``_canonical_bucket``.
+    Decode-valued, so no SQL oracle (the multimodal-family
+    convention); pinned by planted re-encode tests."""
+    from humid_ray.functions.payloads import PayloadMemo
+    from humid_ray.png import decode_image
+
+    class PixelIdentity:
+        def __init__(self):
+            self.memo = PayloadMemo()
+
+        @staticmethod
+        def _one(seg) -> tuple:
+            import hashlib as _hl
+
+            try:
+                img = decode_image(bytes(seg))
+            except Exception:  # noqa: BLE001 - undecodable -> excluded
+                return (0, 0, -1)
+            arr = np.ascontiguousarray(img)
+            d = _hl.blake2b(
+                repr((arr.shape, arr.dtype.str)).encode() + arr.tobytes(),
+                digest_size=16,
+            ).digest()
+            return (int.from_bytes(d[:8], "little"),
+                    int.from_bytes(d[8:], "little"), int(arr.nbytes))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"image_id": pa.array([], type=pa.string()),
+                   "h1": pa.array([], type=pa.int64()),
+                   "h2": pa.array([], type=pa.int64()),
+                   "ln": pa.array([], type=pa.int64()),
+                   "bucket": pa.array([], type=pa.int64())}
+            if batch.num_rows == 0:
+                return pa.table(out)
+            batch = batch.filter(pc.is_valid(batch.column("phash")))
+            if batch.num_rows == 0:
+                return pa.table(out)
+            hits = self.memo.map(batch.column("bytes"), self._one)
+            h1 = np.fromiter((h[0] for h in hits), dtype=UINT64,
+                             count=len(hits))
+            h2 = np.fromiter((h[1] for h in hits), dtype=UINT64,
+                             count=len(hits))
+            ln = np.fromiter((h[2] for h in hits), dtype=np.int64,
+                             count=len(hits))
+            ok = ln >= 0
+            t = batch.filter(pa.array(ok))
+            if t.num_rows == 0:
+                return pa.table(out)
+            h1, h2, ln = h1[ok], h2[ok], ln[ok]
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "h1": u64col(h1),
+                "h2": u64col(h2),
+                "ln": pa.array(ln),
+                "bucket": pa.array((h1 % UINT64(_CANON_BUCKETS))
+                                   .astype(np.int64)),
+            })
+
+    hashed = read_corpus(
+        corpus_dir, columns=["image_id", "bytes", "phash"]
+    ).map_batches(PixelIdentity, batch_format="pyarrow",
+                  zero_copy_batch=True, batch_size=1024,
+                  concurrency=decode_pool())
+    canon = hashed.groupby("bucket").map_groups(
+        _canonical_bucket(), batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "image_id": pa.array([], type=pa.string()),
+                "pixel_rep": pa.array([], type=pa.string()),
+                "keep": pa.array([], type=pa.bool_()),
+            })
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "pixel_rep": t.column("canonical_id"),
+            "keep": pc.equal(t.column("image_id"),
+                             t.column("canonical_id")),
+        })
+
+    return canon.map_batches(finish, batch_format="pyarrow")
 
 
 def cluster_caption_vote(corpus_dir: str, max_distance: int = 1,

@@ -950,6 +950,70 @@ def test_cluster_caption_consistency_planted(ray_session, tmp_path):
     assert out.n_clusters.tolist() == oracle.n_clusters.tolist()
 
 
+def _reencode_png(data: bytes, level: int) -> bytes:
+    """Same pixels, different bytes: re-deflate a (filter-0) PNG's raw
+    scanlines at another zlib level — the cross-encoder case byte
+    identity misses and pixel identity must catch."""
+    import struct
+    import zlib
+
+    from humid_ray.png import PNG_SIG, _chunk
+
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+    raw = zlib.decompress(b"".join(idat))
+    out = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw, level))
+           + _chunk(b"IEND", b""))
+    assert out != data  # the point: different bytes
+    return out
+
+
+def test_pixel_exact_dedup_planted(ray_session, tmp_path):
+    """Byte dups AND cross-encoding re-compressions land in one
+    pixel-identity group; a lossy re-encode of the same pixels does
+    NOT (its decoded pixels differ); undecodable rows are excluded."""
+    from humid_ray.pipelines.images import pixel_exact_dedup
+    from humid_ray.png import decode_image, encode_fjpg, encode_png
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    p6 = encode_png(base)
+    p1 = _reencode_png(p6, 1)          # same pixels, different bytes
+    fj = encode_fjpg(base)             # lossy: different pixels
+    assert not np.array_equal(decode_image(fj), base)
+    rows = [
+        ("img_a", p6, "", 0x10),
+        ("img_b", p6, "", 0x10),       # byte dup of a
+        ("img_c", p1, "", 0x10),       # pixel dup of a, byte-distinct
+        ("img_d", fj, "", 0x11),       # lossy re-encode: own group
+        ("img_e", encode_png(other), "", 0x400),  # different image
+        ("img_f", b"JUNKJUNKJUNK", "", 0x800),    # undecodable
+        ("img_g", p6, "", None),       # unusable (null phash)
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="pixcorpus")
+    out = (pixel_exact_dedup(corpus).to_pandas()
+           .sort_values("image_id").set_index("image_id"))
+    assert "img_f" not in out.index and "img_g" not in out.index
+    assert len(out) == 5
+    assert out.loc[["img_a", "img_b", "img_c"], "pixel_rep"].tolist() == \
+        ["img_a", "img_a", "img_a"]
+    assert out.loc["img_d", "pixel_rep"] == "img_d"
+    assert out.loc["img_e", "pixel_rep"] == "img_e"
+    assert out.keep.tolist() == [True, False, False, True, True]
+
+
 def test_cluster_caption_vote_planted(ray_session, tmp_path):
     """Majority caption wins per pHash cluster; count ties break to
     the lexicographically smallest caption; singleton clusters vote
