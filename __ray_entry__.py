@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange, orders collapsed to batch-distinct keys, no
         # broadcast key set (SQL-oracled)
         "customers_without_orders": relational.customers_without_orders,
+        # TPC-H Q3 shape: segment semi-join -> date-filtered bucket
+        # join -> per-order revenue -> distributed top-k (SQL-oracled)
+        "shipping_priority": relational.shipping_priority,
         # embeddings: similarity search + near-dup
         "embedding_norms": _embedding_norms,
         "knn_bruteforce": ann.knn_bruteforce,
@@ -799,6 +802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A-axis NEAR-dup: caption SimHash Hamming<=3 pairs
         "caption_simhash_neardup":
             lambda sf: images.caption_simhash_neardup(_corpus_for(sf)),
+        # A-axis threshold calibration: SimHash distance mass at a
+        # wider radius (the caption twin of phash_distance_histogram)
+        "caption_simhash_distance_hist":
+            lambda sf: images.caption_simhash_distance_hist(_corpus_for(sf)),
         # image-axis ranked similarity search: exact Hamming top-k
         "phash_knn":
             lambda sf: images.phash_knn(_corpus_for(sf)),
@@ -1358,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": _relational_mod.segment_revenue_sql(),
         "customers_without_orders":
             _relational_mod.customers_without_orders_sql(),
+        "shipping_priority": _relational_mod.shipping_priority_sql(),
         "stratified_sample_docs": _orc.stratified_sample_sql(),
         "weighted_sample_docs": _sampling_mod.weighted_sample_sql(),
         "events_funnel": _events_mod.funnel_counts_sql(),
@@ -1469,6 +1477,10 @@ def oracle_sql() -> dict[str, str]:
         "caption_simhash_neardup": _images_mod.caption_simhash_neardup_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),
+        "caption_simhash_distance_hist":
+            _images_mod.caption_simhash_distance_hist_sql(
+                _corpus_for("sf0.01") + "/*.parquet"
+            ),
         "phash_knn": _images_mod.phash_knn_sql(
             _corpus_for("sf0.01") + "/*.parquet"
         ),

@@ -227,6 +227,8 @@ def run_bench() -> dict:
     timed("segment_revenue", lambda: relational.segment_revenue(SF_DIR))
     timed("customers_without_orders",
           lambda: relational.customers_without_orders(SF_DIR))
+    timed("shipping_priority",
+          lambda: relational.shipping_priority(SF_DIR), consume=None)
     timed("line_dedup_docs", lambda: segdedup.line_dedup(SF_DIR))
     timed("incremental_dedup_docs",
           lambda: dedup_text.incremental_exact_dedup(SF_DIR))
@@ -287,6 +289,8 @@ def run_bench() -> dict:
           lambda: images.image_drop_report(corpus))
     timed("caption_simhash_neardup",
           lambda: images.caption_simhash_neardup(corpus))
+    timed("caption_simhash_distance_hist",
+          lambda: images.caption_simhash_distance_hist(corpus))
     timed("phash_knn", lambda: images.phash_knn(corpus), consume=None)
     timed("cluster_safe_split", lambda: images.cluster_safe_split(corpus))
     timed("dedup_sample_weights",

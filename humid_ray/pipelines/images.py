@@ -4037,6 +4037,75 @@ def caption_simhash_neardup_sql(corpus_glob: str,
     return simhash_neardup_sql(table=src, max_distance=max_distance)
 
 
+def caption_simhash_distance_hist(corpus_dir: str, max_distance: int = 6):
+    """(dist, n_pairs): Hamming-distance mass over distinct unordered
+    caption-SimHash pairs at distance 1..max_distance — the A-axis
+    twin of ``phash_distance_histogram`` (threshold calibration for
+    ``caption_simhash_neardup``: run once at a wider radius before
+    committing the production distance).
+
+    Scale shape: rows collapse to DISTINCT SimHash values first (the
+    flagship uniq combiner), pairs come from the pigeonhole banding
+    (exhaustive at this radius — no quadratic scan), and the histogram
+    is per-batch bincount partials folded driver-side."""
+    from humid_ray.functions.simhash import (
+        shingle_hashes, simhash_from_shingles,
+    )
+    from humid_ray.functions.text import tokenize_batch
+    from humid_ray.stages.exact import unique_signatures
+    from humid_ray.stages.lsh import find_edges
+    from humid_ray.util import hamming64
+
+    def sim_kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "sig": pa.array([], type=pa.int64())})
+        th, offs = tokenize_batch(batch.column("caption"))
+        sh, sh_offs = shingle_hashes(th, offs, 2)
+        sim = simhash_from_shingles(sh, sh_offs)
+        return pa.table({"image_id": batch.column("image_id"),
+                         "sig": u64col(sim)})
+
+    sigs = read_corpus(
+        corpus_dir, columns=["image_id", "caption"]
+    ).map_batches(sim_kernel, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = unique_signatures(sigs)
+    cfg = HumidConfig(word_bits=64, max_distance=max_distance)
+    edges = find_edges(uniq, cfg, None)
+
+    acc = np.zeros(max_distance + 1, dtype=np.int64)
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = hamming64(
+            b.column("sig_a").to_numpy(zero_copy_only=False),
+            b.column("sig_b").to_numpy(zero_copy_only=False),
+        ).astype(np.int64)
+        np.add.at(acc, np.minimum(d, max_distance), np.ones_like(d))
+    nz = np.flatnonzero(acc)
+    # typed Arrow table, not a Dataset: a zero-row Dataset loses its
+    # schema through to_pandas (no pairs at this radius is a real
+    # outcome on a clean corpus)
+    return pa.table({
+        "dist": pa.array(nz.astype(np.int64)),
+        "n_pairs": pa.array(acc[nz]),
+    })
+
+
+def caption_simhash_distance_hist_sql(corpus_glob: str,
+                                      max_distance: int = 6) -> str:
+    """DuckDB oracle: the HUGEINT SimHash chain's pair query at the
+    wider radius, aggregated to a distance histogram."""
+    from humid_ray.oracles import simhash_neardup_sql
+
+    src = (f"(SELECT image_id AS doc_id, caption AS text "
+           f"FROM read_parquet('{corpus_glob}'))")
+    inner = simhash_neardup_sql(table=src, max_distance=max_distance)
+    return (
+        f"WITH pairs AS ({inner}) "
+        "SELECT CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS dist, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY dist"
+    )
+
+
 # --- Hamming-space k-NN over pHash (image-axis similarity search) ------------
 
 _KNN_EMPTY = pa.table({
@@ -4567,6 +4636,8 @@ def pack_shards_images_sql(corpus_glob: str,
 
 # --- per-row invariant audit: PSNR within near-dup clusters -----------------
 
+_MISS = object()  # decode-memo miss sentinel (None = undecodable)
+
 def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
                         broadcast_max_members: int = 4_000_000):
     """(image_id, cluster_rep, is_rep, decoded, dims_match, pixel_equal,
@@ -4739,6 +4810,24 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
         payload = g.column("bytes")
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
+
+        # per-bucket decode memo: clusters are byte-dup-heavy by
+        # construction, and members byte-equal to EACH OTHER (not just
+        # to the rep) must not decode repeatedly
+        decoded: dict[bytes, object] = {}
+
+        def dec(b):
+            img = decoded.get(b, _MISS)
+            if img is _MISS:
+                try:
+                    img = decode_image(b)
+                except Exception:  # noqa: BLE001 - undecodable -> None
+                    img = None
+                if len(decoded) > 65536:
+                    decoded.clear()
+                decoded[b] = img
+            return img
+
         order = np.lexsort((ids, lab))
         out_id, out_rep, out_isrep = [], [], []
         out_dec, out_dm, out_pe, out_ps = [], [], [], []
@@ -4755,10 +4844,7 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
             rep_row = seg[0]  # ids ascend within the label segment
             rep_id = ids[rep_row]
             rep_bytes = payload[rep_row].as_py()
-            try:
-                rep_img = decode_image(rep_bytes)
-            except Exception:
-                rep_img = None
+            rep_img = dec(rep_bytes)
             for r in seg:
                 out_id.append(ids[r])
                 out_rep.append(rep_id)
@@ -4780,10 +4866,7 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
                     out_pe.append(rep_img is not None)
                     out_ps.append(None)
                     continue
-                try:
-                    img = decode_image(mb)
-                except Exception:
-                    img = None
+                img = dec(mb)
                 if img is None or rep_img is None:
                     out_dec.append(img is not None)
                     out_dm.append(False)

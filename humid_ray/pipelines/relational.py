@@ -620,6 +620,220 @@ def segment_revenue(sf_dir: str):
     )
 
 
+_SHIPPING_EMPTY = {
+    "l_orderkey": pa.array([], type=pa.int64()),
+    "o_orderdate": pa.array([], type=pa.timestamp("us")),
+    "revenue_cents": pa.array([], type=pa.int64()),
+    "rank": pa.array([], type=pa.int64()),
+}
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-07-01", k: int = 10):
+    """(l_orderkey, o_orderdate, revenue_cents, rank): the TPC-H Q3
+    shape — the k unshipped-revenue-heaviest orders of one customer
+    segment: customers in ``segment``, orders placed BEFORE ``cutoff``,
+    lineitems shipped AFTER it, revenue per order, top k by revenue
+    DESC (ties: o_orderdate then l_orderkey ascending).
+
+    Scale shape: the ``segment_revenue`` two-exchange bucket-join
+    chain with the filters pushed to the scans. Exchange #1 buckets
+    date-filtered orders and segment-filtered customers by hashed
+    CUSTOMER key; its kernel is a semi-join emitting surviving orders
+    already tagged with the hashed-ORDER bucket for exchange #2, whose
+    kernel collapses shipdate-filtered lineitem partials per order and
+    probes the surviving orders — ONE result row per qualifying order,
+    no further groupby (an order's partials all land in its one
+    bucket). Top-k is per-block partial top-k then one tiny driver
+    fold (never a global sort). Revenue is int64 cents throughout."""
+    cut = np.datetime64(cutoff, "us")
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"])
+    n_li, n_ord, n_cust = (lineitem.count(), orders.count(),
+                           customer.count())
+    if n_li == 0 or n_ord == 0 or n_cust == 0:
+        return pa.table(_SHIPPING_EMPTY)
+    nb1 = _copart_buckets(n_ord, n_cust)
+    nb2 = _copart_buckets(n_li, n_ord)
+
+    _SURV_EMPTY = {
+        "bucket": pa.array([], type=pa.int64()),
+        "key": pa.array([], type=pa.int64()),
+        "odate_us": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+        "side": pa.array([], type=pa.int8()),
+    }
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "odate_us": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+            })
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(od < cut))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        od_us = t.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "bucket": pa.array(_key_buckets(ck, nb1)),
+            "key": pa.array(ck),
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "odate_us": pa.array(od_us),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), segment))
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        z = np.zeros(len(ck), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(_key_buckets(ck, nb1)),
+            "key": pa.array(ck),
+            "o_orderkey": pa.array(z),
+            "odate_us": pa.array(z),
+            "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+        })
+
+    def cust_semi_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        orow = side == 0
+        if not orow.any() or orow.all():
+            return pa.table(_SURV_EMPTY)
+        ckeys = np.unique(key[~orow])
+        pos = np.searchsorted(ckeys, key)
+        pos[pos == len(ckeys)] = 0
+        hit = orow & (ckeys[pos] == key)
+        if not hit.any():
+            return pa.table(_SURV_EMPTY)
+        rows = np.flatnonzero(hit)
+        ok = _take_column(g, "o_orderkey", rows).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        od = _take_column(g, "odate_us", rows).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_key_buckets(ok, nb2)),
+            "key": pa.array(ok),
+            "odate_us": pa.array(od),
+            "revenue_cents": pa.array(np.zeros(len(ok), dtype=np.int64)),
+            "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_SURV_EMPTY)
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sd > cut))
+        p = _order_revenue_partial(t)
+        kk = p.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_key_buckets(kk, nb2)),
+            "key": p.column("l_orderkey"),
+            "odate_us": pa.array(np.zeros(len(kk), dtype=np.int64)),
+            "revenue_cents": p.column("revenue_cents"),
+            "side": pa.array(np.zeros(len(kk), dtype=np.int8)),
+        })
+
+    _ORDER_OUT_EMPTY = {
+        "l_orderkey": pa.array([], type=pa.int64()),
+        "odate_us": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+    }
+
+    def order_bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        rc = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        li = side == 0
+        if not li.any() or li.all():
+            return pa.table(_ORDER_OUT_EMPTY)
+        uok, inv = np.unique(key[li], return_inverse=True)
+        orev = _bincount_i64(inv, rc[li], len(uok))
+        m, rows = _probe_sorted_side(key, np.flatnonzero(~li), uok)
+        if not m.any():
+            return pa.table(_ORDER_OUT_EMPTY)
+        od = _take_column(g, "odate_us", rows).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(uok[m].astype(np.int64)),
+            "odate_us": pa.array(od),
+            "revenue_cents": pa.array(orev[m]),
+        })
+
+    per_order = (
+        orders.map_batches(ord_side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .union(customer.map_batches(cust_side, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(cust_semi_join, batch_format="pyarrow")
+        .union(lineitem.map_batches(li_side, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(order_bucket_join, batch_format="pyarrow")
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        okk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        od = t.column("odate_us").to_numpy(zero_copy_only=False)
+        rc = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((okk, od, -rc))[:k]
+        return t.take(pa.array(np.sort(sel)))
+
+    chunks = list(
+        per_order.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    if not chunks or (cands := pa.concat_tables(chunks)).num_rows == 0:
+        return pa.table(_SHIPPING_EMPTY)
+    okk = cands.column("l_orderkey").to_numpy(zero_copy_only=False)
+    od = cands.column("odate_us").to_numpy(zero_copy_only=False)
+    rc = cands.column("revenue_cents").to_numpy(zero_copy_only=False)
+    win = np.lexsort((okk, od, -rc))[:k]
+    return pa.table({
+        "l_orderkey": pa.array(okk[win].astype(np.int64)),
+        "o_orderdate": pa.array(od[win].astype("datetime64[us]")),
+        "revenue_cents": pa.array(rc[win].astype(np.int64)),
+        "rank": pa.array(np.arange(1, len(win) + 1, dtype=np.int64)),
+    })
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-07-01", k: int = 10) -> str:
+    """DuckDB oracle for ``shipping_priority`` (TPC-H Q3 shape)."""
+    return (
+        "WITH c AS (SELECT c_custkey FROM customer "
+        f"WHERE c_mktsegment = '{segment}'), "
+        "o AS (SELECT o_orderkey, o_orderdate, o_custkey FROM orders "
+        f"WHERE o_orderdate < TIMESTAMP '{cutoff}'), "
+        "l AS (SELECT l_orderkey, "
+        "CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT) "
+        f"AS cents FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'), "
+        "r AS (SELECT l.l_orderkey, o.o_orderdate, "
+        "CAST(SUM(l.cents) AS BIGINT) AS revenue_cents "
+        "FROM l JOIN o ON o.o_orderkey = l.l_orderkey "
+        "JOIN c ON c.c_custkey = o.o_custkey "
+        "GROUP BY l.l_orderkey, o.o_orderdate) "
+        "SELECT l_orderkey, o_orderdate, revenue_cents, "
+        "CAST(row_number() OVER (ORDER BY revenue_cents DESC, "
+        "o_orderdate, l_orderkey) AS BIGINT) AS \"rank\" "
+        f"FROM r QUALIFY \"rank\" <= {k}"
+    )
+
+
 def segment_revenue_sql() -> str:
     """DuckDB oracle for ``segment_revenue``."""
     return (

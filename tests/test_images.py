@@ -2156,3 +2156,52 @@ def test_cluster_psnr_report_no_dups(ray_session, tmp_path):
         0xFF << (8 * i)) for i in range(4)]
     corpus = _fused_corpus(tmp_path, rows, name="psnrsingl")
     assert cluster_psnr_report(corpus).count() == 0
+
+
+def test_caption_simhash_distance_hist_bruteforce(ray_session, tmp_path):
+    """Engine histogram == brute-force O(n^2) Hamming histogram over
+    the distinct caption SimHash values, on a corpus with planted
+    near-identical captions (nonempty at the test radius); DuckDB
+    parity on the same corpus."""
+    import duckdb
+
+    from humid_ray.functions.simhash import (
+        shingle_hashes, simhash_from_shingles,
+    )
+    from humid_ray.functions.text import tokenize_batch
+    from humid_ray.pipelines.images import (
+        caption_simhash_distance_hist, caption_simhash_distance_hist_sql,
+    )
+    from humid_ray.util import hamming64
+
+    caps = (["the quick brown fox jumps over the lazy dog"] * 2
+            + ["the quick brown fox jumps over the lazy cat",
+               "the quick brown fox leaps over the lazy dog",
+               "a completely different caption about mountains",
+               "a completely different caption about oceans",
+               "short one", "short two", ""])
+    rows = [(f"img_{i:02d}", bytes([i]), 0x10 + i, c)
+            for i, c in enumerate(caps)]
+    corpus = _corpus_cap(tmp_path, rows)
+
+    out = (caption_simhash_distance_hist(corpus, max_distance=32)
+           .to_pandas().sort_values("dist").reset_index(drop=True))
+
+    import pyarrow as _pa
+
+    th, offs = tokenize_batch(_pa.chunked_array([_pa.array(caps)]))
+    sh, sh_offs = shingle_hashes(th, offs, 2)
+    sims = np.unique(simhash_from_shingles(sh, sh_offs))
+    a, b = np.triu_indices(len(sims), k=1)
+    d = hamming64(sims[a].view(np.int64), sims[b].view(np.int64))
+    d = d[d <= 32]
+    vals, cnts = np.unique(d, return_counts=True)
+    assert out.dist.tolist() == vals.astype(int).tolist()
+    assert out.n_pairs.tolist() == cnts.astype(int).tolist()
+    assert len(out) > 0  # the planted corpus must exercise the radius
+
+    orc = (duckdb.sql(caption_simhash_distance_hist_sql(
+        f"{corpus}/*.parquet", max_distance=32))
+        .df().sort_values("dist").reset_index(drop=True))
+    assert out.dist.tolist() == orc.dist.tolist()
+    assert out.n_pairs.tolist() == orc.n_pairs.tolist()

@@ -234,3 +234,60 @@ def test_customers_without_orders_anti_join(ray_session, tmp_path):
     }))
     out2 = customers_without_orders(str(tmp_path), status=None).to_pandas()
     assert sorted(out2.c_custkey.tolist()) == [1, 2, 3, 4]
+
+
+def test_shipping_priority_q3_shape(ray_session, tmp_path):
+    """TPC-H Q3 semantics on a planted corpus: segment filter, order
+    date < cutoff, shipdate > cutoff, per-order revenue, top-k ordered
+    by revenue DESC then o_orderdate then l_orderkey; DuckDB parity."""
+    import duckdb
+    import numpy as np
+
+    from humid_ray.pipelines.relational import (
+        shipping_priority, shipping_priority_sql,
+    )
+
+    ts = lambda s: np.datetime64(s, "us")
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([100, 200, 300], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTO", "BUILDING"],
+                                 type=pa.string()),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        # order 1: qualifies; order 2: wrong segment; order 3: placed
+        # after cutoff; order 4: qualifies (same revenue as 1 -> date
+        # tie-break); order 5: customer missing
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "o_custkey": pa.array([100, 200, 100, 300, 999], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1998-01-02"), ts("1998-01-01"), ts("1998-08-01"),
+             ts("1998-01-01"), ts("1998-01-01")],
+            type=pa.timestamp("us")),
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        # order 1: two shipped-late items (5.00 + 5.00); one shipped
+        # early (excluded). order 4: one 10.00 item. orders 2/3/5: 1.00
+        "l_orderkey": pa.array([1, 1, 1, 4, 2, 3, 5], type=pa.int64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 99.0, 10.0, 1.0, 1.0, 1.0],
+                                    type=pa.float64()),
+        "l_discount": pa.array([0.0] * 7, type=pa.float64()),
+        "l_shipdate": pa.array(
+            [ts("1998-08-01"), ts("1998-09-01"), ts("1998-01-01"),
+             ts("1998-08-01"), ts("1998-08-01"), ts("1998-09-01"),
+             ts("1998-08-01")],
+            type=pa.timestamp("us")),
+    }))
+    out = shipping_priority(str(tmp_path)).to_pandas()
+    # orders 1 and 4 tie at 1000 cents; order 4's earlier date wins
+    assert out.l_orderkey.tolist() == [4, 1]
+    assert out.revenue_cents.tolist() == [1000, 1000]
+    assert out["rank"].tolist() == [1, 2]
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    orc = con.execute(shipping_priority_sql()).df()
+    assert out.l_orderkey.tolist() == orc.l_orderkey.tolist()
+    assert out.revenue_cents.tolist() == orc.revenue_cents.tolist()
+    assert out.o_orderdate.tolist() == orc.o_orderdate.tolist()
