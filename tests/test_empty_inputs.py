@@ -23,6 +23,7 @@ CORPUS_QUERIES_PREFIXES = (
     "fused_dedup_images", "cluster_merge_profile",
     "cluster_safe_split", "dedup_sample_weights", "pack_shards_images",
     "lang_partitioned_image_dedup", "cluster_psnr_report",
+    "pixel_exact_dedup", "cluster_caption_vote",
 )
 
 # scalar-summary queries legitimately emit ONE row of zero counts on
