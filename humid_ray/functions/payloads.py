@@ -23,9 +23,13 @@ import numpy as np
 import pyarrow as pa
 
 
-def flat_binary_view(col) -> tuple[memoryview, np.ndarray, int]:
-    """Binary column -> (zero-copy memoryview, absolute int64 offsets,
-    base offset). Segment i is ``mv[offs[i]-base : offs[i+1]-base]``."""
+def flat_binary_view(col) -> tuple[memoryview, np.ndarray]:
+    """Binary column -> (zero-copy memoryview of the FULL values
+    buffer, absolute int64 offsets). Segment i is
+    ``mv[offs[i] : offs[i+1]]`` — the offsets are absolute positions
+    into the (possibly shared, possibly sliced-into) parent buffer, so
+    they index ``mv`` directly; subtracting ``offs[0]`` would read the
+    wrong bytes for any non-zero-offset (sliced) array."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
@@ -34,7 +38,7 @@ def flat_binary_view(col) -> tuple[memoryview, np.ndarray, int]:
     ].astype(np.int64)
     buf = col.buffers()[2]
     mv = memoryview(buf) if buf is not None else memoryview(b"")
-    return mv, offs, int(offs[0])
+    return mv, offs
 
 
 class PayloadMemo:
@@ -50,11 +54,11 @@ class PayloadMemo:
         decode failures into a sentinel value inside ``fn`` (the
         sentinel memoizes too: a corrupt payload fails once) — and
         must not return None (None is the cache-miss marker)."""
-        mv, offs, base = flat_binary_view(col)
+        mv, offs = flat_binary_view(col)
         cache = self.cache
         out = []
         for i in range(len(offs) - 1):
-            seg = mv[offs[i] - base : offs[i + 1] - base]
+            seg = mv[offs[i] : offs[i + 1]]
             key = hashlib.blake2b(seg, digest_size=16).digest()
             hit = cache.get(key)
             if hit is None:

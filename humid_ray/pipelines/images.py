@@ -74,10 +74,12 @@ def _payload_digests(data: np.ndarray, offs: np.ndarray,
     h1 = np.empty(n, dtype=UINT64)
     h2 = np.empty(n, dtype=UINT64)
     mv = memoryview(data)
-    base = int(offs[0])
+    # offsets are ABSOLUTE positions into the full values buffer —
+    # subtracting offs[0] would read the wrong segments for any
+    # sliced (non-zero-offset) array sharing a parent buffer
     for i in range(n):
         d = hashlib.blake2b(
-            mv[offs[i] - base:offs[i + 1] - base], digest_size=16
+            mv[offs[i]:offs[i + 1]], digest_size=16
         ).digest()
         h1[i] = int.from_bytes(d[:8], "little")
         h2[i] = int.from_bytes(d[8:], "little")

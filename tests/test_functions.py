@@ -270,3 +270,52 @@ def test_pairwise_intersect_sizes_vs_sets():
     mask = ii != jj
     assert (got[mask] == np.array(exp, dtype=np.int64)[mask]).all()
     assert pairwise_intersect_sizes(vals, offs[:-1], offs[1:], [], []).size == 0
+
+
+def test_payload_memo_computes_each_distinct_payload_once():
+    import pyarrow as pa
+
+    from humid_ray.functions.payloads import PayloadMemo
+
+    calls = []
+
+    def fn(seg):
+        b = bytes(seg)
+        calls.append(b)
+        return (len(b), b[:1])
+
+    col = pa.array([b"aaa", b"bb", b"aaa", b"", b"bb", b"aaa"],
+                   type=pa.binary())
+    memo = PayloadMemo()
+    out = memo.map(col, fn)
+    assert out == [(3, b"a"), (2, b"b"), (3, b"a"), (0, b""),
+                   (2, b"b"), (3, b"a")]
+    assert sorted(calls) == [b"", b"aaa", b"bb"]  # one call per distinct
+    # second batch: cache persists across map() calls (the actor shape)
+    memo.map(pa.array([b"bb", b"aaa"], type=pa.binary()), fn)
+    assert sorted(calls) == [b"", b"aaa", b"bb"]
+
+
+def test_payload_memo_sliced_column_offsets():
+    """A sliced (non-zero offset) Arrow array must hash the RIGHT
+    segments — the flat-buffer view is shared with the parent."""
+    import pyarrow as pa
+
+    from humid_ray.functions.payloads import PayloadMemo
+
+    parent = pa.array([b"xx", b"yyy", b"z", b"wwww"], type=pa.binary())
+    sliced = parent.slice(1, 2)  # [b"yyy", b"z"]
+    out = PayloadMemo().map(sliced, lambda seg: bytes(seg))
+    assert out == [b"yyy", b"z"]
+
+
+def test_payload_memo_large_binary_and_cap():
+    import pyarrow as pa
+
+    from humid_ray.functions.payloads import PayloadMemo
+
+    col = pa.array([b"a", b"b", b"c", b"a"], type=pa.large_binary())
+    memo = PayloadMemo(cap=2)
+    out = memo.map(col, lambda seg: bytes(seg))
+    assert out == [b"a", b"b", b"c", b"a"]
+    assert len(memo.cache) <= 2  # the cap cleared mid-stream

@@ -2205,3 +2205,20 @@ def test_caption_simhash_distance_hist_bruteforce(ray_session, tmp_path):
         .df().sort_values("dist").reset_index(drop=True))
     assert out.dist.tolist() == orc.dist.tolist()
     assert out.n_pairs.tolist() == orc.n_pairs.tolist()
+
+
+def test_payload_digests_sliced_column():
+    """Byte-identity digests of a SLICED (non-zero-offset) column must
+    hash the right segments — absolute offsets index the shared parent
+    buffer directly (a base-subtraction regression read the wrong
+    bytes for sliced arrays)."""
+    from humid_ray.pipelines.images import _flat_binary, _payload_digests
+
+    parent = pa.array([b"xx", b"yyy", b"z", b"wwww"], type=pa.binary())
+    sliced = parent.slice(1, 2)  # [b"yyy", b"z"]
+    data, offs = _flat_binary(sliced)
+    h1s, h2s = _payload_digests(data, offs, 2)
+    fresh = pa.array([b"yyy", b"z"], type=pa.binary())
+    data2, offs2 = _flat_binary(fresh)
+    h1f, h2f = _payload_digests(data2, offs2, 2)
+    assert (h1s == h1f).all() and (h2s == h2f).all()
