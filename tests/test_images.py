@@ -2222,3 +2222,56 @@ def test_payload_digests_sliced_column():
     data2, offs2 = _flat_binary(fresh)
     h1f, h2f = _payload_digests(data2, offs2, 2)
     assert (h1s == h1f).all() and (h2s == h2f).all()
+
+
+def test_pixel_tier_contains_byte_tier(ray_session, tmp_path):
+    """Tier containment on a mixed corpus: rows byte-identical to each
+    other are necessarily pixel-identical, so every byte-identity
+    group must sit INSIDE one pixel-identity group (the tier-funnel
+    invariant: unique_pixel_groups <= unique_byte_groups never holds
+    the other way)."""
+    from humid_ray.pipelines.images import (
+        image_exact_dedup, pixel_exact_dedup,
+    )
+    from humid_ray.png import encode_png
+
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+            for _ in range(3)]
+    p = [encode_png(im) for im in imgs]
+    rows = [
+        ("img_a", p[0], "", 0x10), ("img_b", p[0], "", 0x10),  # byte dup
+        ("img_c", _reencode_png(p[0], 1), "", 0x10),  # pixel-only dup
+        ("img_d", p[1], "", 0x20), ("img_e", p[1], "", 0x20),  # byte dup
+        ("img_f", p[2], "", 0x40),
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="tiercorpus")
+    byte_rep = (image_exact_dedup(corpus).to_pandas()
+                .set_index("image_id").canonical_id)
+    pix_rep = (pixel_exact_dedup(corpus).to_pandas()
+               .set_index("image_id").pixel_rep)
+    # byte-equal pair => pixel-rep-equal
+    for a, b in [("img_a", "img_b"), ("img_d", "img_e")]:
+        assert byte_rep[a] == byte_rep[b]
+        assert pix_rep[a] == pix_rep[b]
+    # the pixel tier merges the re-encoded copy the byte tier cannot
+    assert byte_rep["img_c"] != byte_rep["img_a"]
+    assert pix_rep["img_c"] == pix_rep["img_a"]
+    # containment: byte groups never split across pixel groups
+    import collections
+    by_byte = collections.defaultdict(set)
+    for img, rep in byte_rep.items():
+        by_byte[rep].add(pix_rep[img])
+    assert all(len(v) == 1 for v in by_byte.values())
+
+
+def test_new_ops_all_unusable_corpus(ray_session, tmp_path):
+    """Null-phash-only corpora produce clean empty outputs."""
+    from humid_ray.pipelines.images import (
+        cluster_caption_vote, pixel_exact_dedup,
+    )
+
+    rows = [("img_a", b"", "cap", None), ("img_b", b"x", "", None)]
+    corpus = _fused_corpus(tmp_path, rows, name="unusable2")
+    assert pixel_exact_dedup(corpus).count() == 0
+    assert cluster_caption_vote(corpus).count() == 0
