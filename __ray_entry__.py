@@ -824,71 +824,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # The correctness driver hash-checks exactly the FIRST 50 queries()
 # entries in insertion order. Rounds 1-3 spent that window on the
-# flagship + documents families (all green in CORRECTNESS_r01..r03);
-# round 4 rotates it onto the SQL-oracled queries the driver has never
-# hard-checked — the images / relational / sampling / shards families —
-# keeping four flagship rows for continuity and zero `no_oracle` rows.
-# Every name below has an oracle_sql() entry; the full registry is
-# unchanged (entries outside the window follow in their original
-# order and remain pytest-/sweep-covered).
+# flagship + documents families; round 4 rotated it onto the
+# images / relational / sampling / shards families. Round 5 finishes
+# the rotation: this list is `tools/verify_ledger.py --window 50`
+# output — six pinned names whose code paths changed THIS round
+# (flagship 4: the humid.py phase loop was rewritten for streaming;
+# fused_dedup_images: gained the ev_pixel evidence tier;
+# decontaminate_embeddings: driver-pull bound) followed by the 44
+# never-driver-verified oracled queries in least-recently-verified
+# order. The one gap the 50-slot window can't fit
+# (caption_simhash_distance_hist) is covered by a recorded sweep in
+# tools/sweeps/. Regenerate with the ledger, don't hand-edit.
 _DRIVER_WINDOW = [
-    # flagship continuity (full composite-word config, SQL-oracled)
+    # pinned: code paths modified in round 5
     "humid_uniq",
     "humid_edges",
     "humid_assign_full_sql",
     "humid_stats_full_sql",
-    # newly SQL-oracled this round (was the one non-flagship no_oracle)
-    "substring_dedup_docs",
-    # images family (never driver-checked before round 4)
-    "image_exact_dedup",
-    "curate_images",
-    "curate_images_keep_best",
-    "top_dup_clusters",
-    "caption_payload_corr",
-    "image_format_stats",
-    "caption_collisions",
-    "caption_phash_neardup",
-    "tiered_dedup_report_images",
-    "incremental_image_dedup",
-    "phash_distance_histogram",
-    "dup_rate_by_format",
-    "image_size_quantiles",
-    "caption_langid_hist",
-    "lang_partitioned_image_dedup",
-    "decontaminate_images",
-    "phash_bit_stats",
-    "cluster_caption_consistency",
-    "dedup_storage_savings",
-    "cluster_diameter_hist",
-    "caption_cluster_agreement",
-    "phash_band_entropy",
-    "aspect_ratio_stats",
     "fused_dedup_images",
-    "cluster_merge_profile",
-    "image_drop_report",
-    "caption_simhash_neardup",
-    "phash_knn",
-    "cluster_safe_split",
-    "dedup_sample_weights",
-    "pack_shards_images",
-    # relational family
-    "lineitem_pricing_summary",
-    "orders_by_nation",
-    "top_parts_by_revenue",
-    "priority_revenue",
-    "segment_revenue",
-    "customers_without_orders",
-    # sampling family
-    "hash_split_docs",
-    "stratified_sample_docs",
-    "weighted_sample_docs",
-    # shards family
-    "pack_shards_docs",
-    "shuffle_rank_docs",
-    "rank_by_length_docs",
-    # embeddings family
-    "semantic_dedup_exact",
     "decontaminate_embeddings",
+    # never-driver-verified oracled queries (ledger order)
+    "fingerprint_docs",
+    "repetition_stats_docs",
+    "unigram_logprob_docs",
+    "ccnet_buckets_docs",
+    "hash_sample_docs",
+    "top_docs_per_lang",
+    "mixture_rebalance_docs",
+    "quantile_filter_docs",
+    "zscore_lengths_docs",
+    "length_deciles_docs",
+    "tfidf_top_terms_docs",
+    "top_bigrams_docs",
+    "cms_token_freq_docs",
+    "normalize_text_docs",
+    "inverted_index_docs",
+    "redact_pii_docs",
+    "keyword_filter_docs",
+    "corpus_drift_docs",
+    "vocab_docs",
+    "shard_manifest_docs",
+    "events_hopping",
+    "events_session_stats",
+    "events_distinct_users",
+    "events_props_extract",
+    "events_asof_join",
+    "events_range_join",
+    "events_distinct_users_approx",
+    "events_value_quantiles",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_spikes",
+    "events_running_totals",
+    "events_daily_deltas",
+    "events_latest_per_user",
+    "corpus_checksum_docs",
+    "lang_source_rollup_docs",
+    "gopher_rules_docs",
+    "length_quantiles_docs",
+    "shipping_priority",
+    "ann_ivf_fullprobe",
+    "embedding_neardup_exact",
+    "audio_durations",
+    "video_sampled_frames",
+    "cluster_caption_vote",
 ]
 
 

@@ -896,18 +896,23 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
     report).
 
     Scale shape: the eval side is small BY DEFINITION (benchmark
-    suites are thousands of rows, not corpora) — pulled once, L2-
-    normalized, sorted by id, and broadcast via ``ray.put``; the train
-    side streams through ONE vectorized matmul kernel per batch.
-    No join, no train-side exchange, no top-k state: the reduction is
-    a per-row argmax against the broadcast matrix (np.argmax takes the
-    FIRST maximum, and the eval matrix is id-sorted, so float ties
-    break to the min eval id — the oracle's ORDER BY cos DESC,
-    eval_id). Past ``broadcast_max_eval`` rows the matrix ships as
-    id-ordered bounded chunks and the kernel folds a running max
-    across them (identical output — pinned by the forced-chunk
-    equality test), so no single ray.put object grows with the
-    suite."""
+    suites are thousands of rows, not corpora) — streamed off the
+    corpus in bounded chunks of ``broadcast_max_eval`` rows, each
+    L2-normalized (row-wise, chunk-independent), id-sorted WITHIN the
+    chunk, and ``ray.put`` as it fills: the driver never holds more
+    than one chunk of the eval matrix at a time, so driver RAM is
+    O(broadcast_max_eval), not O(suite). The train side streams
+    through ONE vectorized matmul kernel per batch. No join, no
+    train-side exchange, no top-k state: the reduction is a per-row
+    (max, min-eval-id) fold across chunks — within a chunk np.argmax
+    takes the FIRST maximum of the id-sorted rows, and across chunks
+    an exact float tie updates only to a SMALLER eval id, so the
+    tie -> min-eval-id contract (the oracle's ORDER BY cos DESC,
+    eval_id) holds for ANY chunk order. Identical output to the
+    one-chunk path is pinned by the forced-chunk equality test on
+    this host; a BLAS build whose reduction order varies with matrix
+    shape could differ in the last ULP across chunk boundaries (the
+    declared output contract is rounded-to-6)."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     _empty = pa.table({
@@ -924,33 +929,53 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
         keep = np.flatnonzero(vid % eval_mod == 0)
         return t.take(pa.array(keep, type=pa.int64()))
 
-    eids_parts, emat_parts = [], []
+    # Streaming chunk builder (the broadcast_max_labels convention,
+    # driver-bounded): accumulate eval batches up to
+    # ``broadcast_max_eval`` rows, then id-sort WITHIN the chunk,
+    # normalize, ``ray.put``, and release — the driver never holds the
+    # whole eval matrix, only the chunk being built. For suites within
+    # one chunk (every test/bench config) this is bit-identical to the
+    # old global-sort path: one chunk == globally id-sorted matrix.
+    eval_refs = []
+    pend_ids: list[np.ndarray] = []
+    pend_mats: list[np.ndarray] = []
+    pend_rows = 0
+
+    def flush(final: bool) -> None:
+        nonlocal pend_ids, pend_mats, pend_rows
+        if not pend_rows:
+            return
+        ids = np.concatenate(pend_ids)
+        m = np.concatenate(pend_mats, axis=0)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        full = (len(ids) // broadcast_max_eval) * broadcast_max_eval
+        stop = len(ids) if final else full
+        # normalize per emitted chunk (row-wise, so chunking-invariant);
+        # the carried remainder stays RAW — normalizing it here and
+        # again on the next flush would drift by an ULP
+        for i in range(0, stop, broadcast_max_eval):
+            eval_refs.append(
+                ray.put((ids[i:i + broadcast_max_eval],
+                         _normalize(m[i:i + broadcast_max_eval]))))
+        pend_ids = [ids[stop:]] if stop < len(ids) else []
+        pend_mats = [m[stop:]] if stop < len(ids) else []
+        pend_rows = len(ids) - stop
+
     for b in ds.map_batches(eval_partial, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
         ids, m = _to_matrix(b)
-        eids_parts.append(ids.astype(np.int64))
-        emat_parts.append(m)
-    if not eids_parts:
+        pend_ids.append(ids.astype(np.int64))
+        pend_mats.append(m)
+        pend_rows += len(ids)
+        if pend_rows >= broadcast_max_eval:
+            flush(final=False)
+    flush(final=True)
+    if not eval_refs:
         return ray.data.from_arrow(_empty)
-    eids = np.concatenate(eids_parts)
-    emat = np.concatenate(emat_parts, axis=0)
-    order = np.argsort(eids, kind="stable")
-    eids, emat = eids[order], _normalize(emat[order])
-    # broadcast ceiling (the broadcast_max_labels convention): past
-    # ``broadcast_max_eval`` rows the eval matrix ships as id-ordered
-    # CHUNKS — each bounded, read zero-copy from plasma per batch —
-    # and the kernel folds a running (max, argmin-id) across them.
-    # Strict ``>`` update over ascending-id chunks preserves the
-    # tie -> min-eval-id contract the single-matmul path gets from
-    # np.argmax-takes-first.
-    eval_refs = [
-        ray.put((eids[i:i + broadcast_max_eval],
-                 emat[i:i + broadcast_max_eval]))
-        for i in range(0, len(eids), broadcast_max_eval)
-    ]
 
     class _Contam:
         def __init__(self, eval_refs, threshold: float, eval_mod: int):
@@ -972,11 +997,15 @@ def decontaminate_embeddings(sf_dir: str, threshold: float = 0.95,
             for ref in self.eval_refs:
                 ceids, cemat = ray.get(ref)
                 sims = tm @ cemat.T
-                arg = np.argmax(sims, axis=1)  # first max == min eval id
+                arg = np.argmax(sims, axis=1)  # first max == min id in chunk
                 mx = sims[np.arange(len(ids)), arg]
-                upd = mx > best
+                cid = ceids[arg]
+                # tie-aware across chunks: an exact float tie moves to
+                # the smaller eval id, so tie -> min-eval-id holds for
+                # ANY chunk order (chunks need not be globally sorted)
+                upd = (mx > best) | ((mx == best) & (cid < best_id))
                 best[upd] = mx[upd]
-                best_id[upd] = ceids[arg[upd]]
+                best_id[upd] = cid[upd]
             from humid_ray.util import round_half_away
 
             return pa.table({

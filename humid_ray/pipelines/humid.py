@@ -288,7 +288,8 @@ class HumidPipeline:
             join_strategy = (
                 "broadcast"
                 if (assign_mf["rows"] <= cfg.broadcast_max_rows
-                    and assign_mf.get("bytes", 0) <= cfg.broadcast_max_bytes)
+                    and cp.manifest_bytes(assign_mf, assign_path)
+                    <= cfg.broadcast_max_bytes)
                 else "hash"
             )
         metrics["output_join_strategy"] = join_strategy
@@ -311,7 +312,8 @@ class HumidPipeline:
         )
         if (join_strategy == "broadcast" and need_sig_map
                 and total_rows <= cfg.broadcast_max_rows
-                and sig_mf.get("bytes", 0) <= cfg.broadcast_max_bytes):
+                and cp.manifest_bytes(sig_mf, sig_path)
+                <= cfg.broadcast_max_bytes):
             # phase-1 checkpoint reuse as a sorted-array lookup keyed on
             # hashed image_id — fully vectorized build and probe (no
             # per-row dict loop). A 64-bit key collision (odds ~1e-6 at

@@ -4813,21 +4813,31 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
 
-        # per-bucket decode memo: clusters are byte-dup-heavy by
+        # per-SEGMENT decode memo: clusters are byte-dup-heavy by
         # construction, and members byte-equal to EACH OTHER (not just
-        # to the rep) must not decode repeatedly
+        # to the rep) must not decode repeatedly. Byte-dups can only
+        # recur within one label segment (byte-equal payloads share a
+        # phash and therefore a label), so the memo is cleared at every
+        # segment boundary; within a pathological segment of many LARGE
+        # distinct images a cumulative-nbytes cap bounds worker heap
+        # (the old entry-count cap could hold gigabytes of ndarrays)
         decoded: dict[bytes, object] = {}
+        decoded_nbytes = 0
 
         def dec(b):
+            nonlocal decoded_nbytes
             img = decoded.get(b, _MISS)
             if img is _MISS:
                 try:
                     img = decode_image(b)
                 except Exception:  # noqa: BLE001 - undecodable -> None
                     img = None
-                if len(decoded) > 65536:
+                if decoded_nbytes > 256 << 20:
                     decoded.clear()
+                    decoded_nbytes = 0
                 decoded[b] = img
+                if img is not None:
+                    decoded_nbytes += img.nbytes
             return img
 
         order = np.lexsort((ids, lab))
@@ -4843,6 +4853,8 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
             i = j
             if len(seg) < 2:  # cannot happen (a label is fully
                 continue      # co-located and has >= 2 members) — belt
+            decoded.clear()   # byte-dups never span label segments
+            decoded_nbytes = 0
             rep_row = seg[0]  # ids ascend within the label segment
             rep_id = ids[rep_row]
             rep_bytes = payload[rep_row].as_py()

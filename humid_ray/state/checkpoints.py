@@ -96,6 +96,30 @@ def write_phase(
     return read_phase(path)
 
 
+def manifest_bytes(manifest: dict, path: str) -> int:
+    """Uncompressed byte size of a phase checkpoint, for broadcast-cap
+    decisions. Manifests written since the byte-cap landed record it;
+    for a LEGACY manifest (or an old workdir resumed under new code)
+    the size is re-stat'd from the parquet footers rather than
+    defaulting to 0 — a zero default would silently disarm
+    ``broadcast_max_bytes`` for exactly the wide-id multi-GB case it
+    guards against."""
+    if "bytes" in manifest:
+        return int(manifest["bytes"])
+    total = 0
+    try:
+        for f in _data_files(path):
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            total += sum(
+                md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups)
+            )
+    except OSError:
+        # unreadable checkpoint: assume the broadcast would be large
+        return 1 << 62
+    return total
+
+
 def update_metrics(path: str, extra: dict):
     """Merge extra lineage metrics into an existing phase manifest."""
     m = load_manifest(path) or {}

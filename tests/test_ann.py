@@ -459,6 +459,55 @@ def test_decontaminate_embeddings_chunked_equals_single(ray_session):
     assert a.equals(b)
 
 
+def test_decontaminate_embeddings_chunked_uneven(ray_session):
+    """broadcast_max_eval=2 exercises the streaming chunk builder's
+    full-chunk + remainder split (the driver-bounded path that replaced
+    the full-matrix concatenation); output must equal the default
+    one-chunk path."""
+    from humid_ray.pipelines.ann import decontaminate_embeddings
+
+    a = (decontaminate_embeddings(SF).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (decontaminate_embeddings(SF, broadcast_max_eval=2).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_decontaminate_embeddings_tie_unsorted_chunks(ray_session, tmp_path):
+    """Eval vectors written in DESCENDING id order, two of them exact
+    float ties for a train row; with per-row chunks the fold sees the
+    larger eval id first and must still report the MIN eval id (the
+    tie-aware cross-chunk update)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from humid_ray.pipelines.ann import decontaminate_embeddings
+
+    d = tmp_path / "emb"
+    # embeddings.parquet as a DIRECTORY of two files: the id-40 eval
+    # row sorts lexicographically first -> its block (and so its chunk)
+    # is folded BEFORE the id-20 tie
+    (d / "embeddings.parquet").mkdir(parents=True)
+    dim = 4
+    e = np.zeros(dim); e[0] = 1.0
+
+    def tb(ids, vecs):
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), type=pa.int32()),
+        })
+
+    pq_.write_table(tb([40], [e]), d / "embeddings.parquet" / "a.parquet")
+    pq_.write_table(tb([20, 1], [e, e * 2]),
+                    d / "embeddings.parquet" / "b.parquet")
+    out = (decontaminate_embeddings(str(d), broadcast_max_eval=1)
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[1, "nearest_eval_id"] == 20
+    assert bool(out.loc[1, "contaminated"])
+
+
 def test_decontaminate_embeddings_planted(ray_session, tmp_path):
     """A train vector equal to an eval vector must flag contaminated
     with that eval id; an orthogonal one must not."""

@@ -3,7 +3,11 @@ __ray_entry__.queries() against its oracle_sql() in DuckDB at the given
 sf dir and compare rows / schema / values (columns sorted by name, rows
 sorted by all columns — the driver's compare order).
 
-Usage: python tools/oracle_sweep.py [sf_dir] [query ...]
+Usage: python tools/oracle_sweep.py [--record ROUND] [sf_dir] [query ...]
+
+With --record N the full per-query result map is written to
+tools/sweeps/rN_<timestamp>.json, where verify_ledger.py picks it up
+as verification evidence for the cross-round ledger.
 
 CAVEAT: corpus-backed queries (humid_*, image/audio/video/multimodal)
 register oracles against the synthetic sf0.01 corpus glob — the scale
@@ -13,8 +17,11 @@ mismatches BY DESIGN; only the tabular queries are scale-portable.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
@@ -71,8 +78,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 def main() -> int:
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    record_round = None
+    if argv and argv[0] == "--record":
+        record_round = int(argv[1])
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=16, include_dashboard=False)
     import __ray_entry__ as E
@@ -107,6 +119,16 @@ def main() -> int:
     print(json.dumps({k: v for k, v in results.items() if v not in ("ok",)},
                      indent=1))
     print(f"done: {n_bad} bad")
+    if record_round is not None:
+        sweep_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "sweeps")
+        os.makedirs(sweep_dir, exist_ok=True)
+        path = os.path.join(
+            sweep_dir, f"r{record_round}_{int(time.time())}.json")
+        with open(path, "w") as fh:
+            json.dump({"round": record_round, "sf_dir": sf_dir,
+                       "results": results}, fh, indent=1)
+        print(f"recorded -> {path}")
     return 1 if n_bad else 0
 
 
