@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--umi", action="store_true",
                    help="parse a hex UMI token off image_id (budget precedence)")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="skip phase checkpoints: phases 1-4 stay in the "
+                        "object store (fastest one-shot run; not resumable)")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -79,6 +82,7 @@ def main(argv=None):
         signature_source="recompute" if args.recompute_phash else "stored",
         umi_from_id=args.umi,
         resume=not args.no_resume,
+        checkpoint_phases=not args.stream,
     )
     res = HumidPipeline(cfg).run(args.corpus)
     log = open(args.l, "w") if args.l else sys.stderr

@@ -113,6 +113,15 @@ class HumidConfig:
     write_stats: bool = True         # HUMID -s
     workdir: str = "/tmp/humid_ray"  # HUMID -d
 
+    # codec selection (humid_ray.codecs): "auto" picks the real
+    # library (Pillow / soundfile / PyAV) when importable, else the
+    # sandbox stand-ins; "sandbox" forces the stand-ins (reproduces
+    # the recorded pHash/decode-stats values under an installed
+    # Pillow); a library name forces it or raises ImportError.
+    # Decode-valued outputs are codec-dependent BY DESIGN — this IS
+    # semantic config, so it participates in the fingerprint.
+    codec: str = "auto"
+
     # execution
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size
     sig_batch_size: int = 4096
@@ -126,6 +135,12 @@ class HumidConfig:
     # evicts everything else from the object store
     broadcast_max_bytes: int = 256 * 1024 * 1024
     resume: bool = True              # skip phases whose checkpoints exist
+    # True: persist phases 1-4 as parquet checkpoints (resumable — the
+    # default, and what a 100 TB run wants). False: STREAM — phases
+    # materialize in the object store only, cutting the per-phase
+    # write-then-reread parquet round-trips that dominate small jobs
+    # (~12 s of fixed cost at 200k rows); outputs (05_*) always write.
+    checkpoint_phases: bool = True
     # wide binary payload rows get split into absurdly small blocks at
     # the default 128MiB target; raise it for image corpora
     target_max_block_size: int | None = 512 * 1024 * 1024
@@ -164,7 +179,7 @@ class HumidConfig:
         # which output phases run)
         for k in ("sig_concurrency", "sig_batch_size", "sig_num_cpus",
                   "join_strategy", "broadcast_max_rows", "broadcast_max_bytes",
-                  "resume", "workdir",
+                  "resume", "workdir", "checkpoint_phases",
                   "cc_strategy", "cc_local_max_edges", "hot_band_threshold",
                   "max_group_bruteforce", "write_filtered", "write_annotated",
                   "write_stats", "target_max_block_size"):

@@ -59,8 +59,13 @@ class PipelineResult:
     workdir: str
     metrics: dict = field(default_factory=dict)
     stats: dict | None = None
+    # streaming runs (checkpoint_phases=False) keep phases 1-4 here as
+    # materialized Datasets instead of parquet checkpoints
+    datasets: dict = field(default_factory=dict)
 
     def dataset(self, phase: str) -> "ray.data.Dataset":
+        if phase in self.datasets:
+            return self.datasets[phase]
         return ray.data.read_parquet(os.path.join(self.workdir, phase))
 
 
@@ -141,6 +146,32 @@ class HumidPipeline:
         timings: dict[str, float] = {}
         metrics: dict = {"config_fingerprint": fp}
 
+        # phase persistence: parquet checkpoints (resumable) or, when
+        # cfg.checkpoint_phases=False, object-store materialization
+        # only — same manifest shape (rows / bytes / metrics), none of
+        # the per-phase write-then-reread parquet round-trips
+        stream = not cfg.checkpoint_phases
+        mem: dict[str, "ray.data.Dataset"] = {}
+
+        def persist(name, path, compute, resume=None, phase_metrics=None,
+                    schema_hint=None):
+            if not stream:
+                return cp.run_phase(
+                    name, path, fp, compute,
+                    cfg.resume if resume is None else resume,
+                    metrics=phase_metrics, schema_hint=schema_hint,
+                )
+            ds = compute().materialize()
+            n = ds.count()
+            if n == 0 and schema_hint is not None:
+                # mirror write_phase's empty-output handling: keep the
+                # schema readable for downstream kernels
+                ds = ray.data.from_arrow(schema_hint.empty_table())
+            mem[os.path.basename(path)] = ds
+            mf = {"rows": n, "bytes": int(ds.size_bytes() or 0),
+                  "metrics": phase_metrics or {}}
+            return ds, mf, True
+
         # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33)
         first = rows.limit(1).take(1)
         umi_bits = probe_umi_bits(first[0]["image_id"] if first else None, cfg)
@@ -149,10 +180,10 @@ class HumidPipeline:
         # phase 1: signatures
         t0 = time.perf_counter()
         sig_path = os.path.join(wd, "01_signatures")
-        sig_ds, sig_mf, fresh = cp.run_phase(
-            "signatures", sig_path, fp,
+        sig_ds, sig_mf, fresh = persist(
+            "signatures", sig_path,
             lambda: extract_signatures(rows, cfg, umi_bits),
-            cfg.resume, schema_hint=SIG_SCHEMA,
+            schema_hint=SIG_SCHEMA,
         )
         total_rows = sig_mf["rows"]
         timings["signatures"] = time.perf_counter() - t0
@@ -166,12 +197,12 @@ class HumidPipeline:
         # phase 2: uniq (exact dedup)
         t0 = time.perf_counter()
         uniq_path = os.path.join(wd, "02_uniq")
-        uniq_ds, uniq_mf, _ = cp.run_phase(
-            "uniq", uniq_path, fp,
+        uniq_ds, uniq_mf, _ = persist(
+            "uniq", uniq_path,
             lambda: unique_signatures(
                 sig_ds.map_batches(usable_only, batch_format="pyarrow", zero_copy_batch=True)
             ),
-            cfg.resume, schema_hint=UNIQ_SCHEMA,
+            schema_hint=UNIQ_SCHEMA,
         )
         timings["uniq"] = time.perf_counter() - t0
         metrics["unique_sigs"] = uniq_mf["rows"]
@@ -179,7 +210,7 @@ class HumidPipeline:
         # phase 3: neighbor edges (LSH + verify)
         t0 = time.perf_counter()
         edges_path = os.path.join(wd, "03_edges")
-        if cfg.resume and cp.phase_is_done(edges_path, fp):
+        if not stream and cfg.resume and cp.phase_is_done(edges_path, fp):
             edges_ds, edges_mf = cp.read_phase(edges_path), cp.load_manifest(edges_path)
         elif cfg.distance == "minhash-jaccard":
             from humid_ray.stages.lsh import find_edges_minhash
@@ -187,12 +218,12 @@ class HumidPipeline:
             usable_sigs = sig_ds.map_batches(
                 usable_only, batch_format="pyarrow", zero_copy_batch=True
             )
-            edges_ds, edges_mf, _ = cp.run_phase(
-                "edges", edges_path, fp,
+            edges_ds, edges_mf, _ = persist(
+                "edges", edges_path,
                 lambda: find_edges_minhash(usable_sigs, uniq_ds, cfg,
                                            broadcast_max_rows=cfg.broadcast_max_rows),
                 resume=False,
-                metrics={"candidate_pairs": None, "hot_buckets": 0},
+                phase_metrics={"candidate_pairs": None, "hot_buckets": 0},
                 schema_hint=EDGE_SCHEMA,
             )
         else:
@@ -226,11 +257,11 @@ class HumidPipeline:
 
                 hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
                 hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
-            edges_ds, edges_mf, _ = cp.run_phase(
-                "edges", edges_path, fp,
+            edges_ds, edges_mf, _ = persist(
+                "edges", edges_path,
                 lambda: find_edges(uniq_ds, cfg, hot_keys or None),
                 resume=False,
-                metrics={"candidate_pairs": candidate_pairs, "hot_buckets": n_hot},
+                phase_metrics={"candidate_pairs": candidate_pairs, "hot_buckets": n_hot},
                 schema_hint=EDGE_SCHEMA,
             )
         timings["edges"] = time.perf_counter() - t0
@@ -270,11 +301,11 @@ class HumidPipeline:
             )
         else:
             comp_ds = connected_components(edges_ds, cfg)
-        assign_ds, assign_mf, _ = cp.run_phase(
-            "assign", assign_path, fp,
+        assign_ds, assign_mf, _ = persist(
+            "assign", assign_path,
             lambda: assign_clusters(uniq_ds, edges_ds, comp_ds, cfg,
                                     edge_arrays=edge_arrays),
-            cfg.resume, schema_hint=ASSIGN_SCHEMA,
+            schema_hint=ASSIGN_SCHEMA,
         )
         timings["assign"] = time.perf_counter() - t0
 
@@ -372,7 +403,7 @@ class HumidPipeline:
                 )
             if cfg.write_filtered:
                 fpath = os.path.join(wd, "05_filtered")
-                if not (cfg.resume and cp.phase_is_done(fpath, fp)):
+                if not (not stream and cfg.resume and cp.phase_is_done(fpath, fp)):
                     if cfg.filtered_output == "manifest":
                         if join_strategy == "hash":
                             from humid_ray.stages.outputs import (
@@ -393,7 +424,7 @@ class HumidPipeline:
                     cp.write_phase(out_ds, fpath, fp)
             if cfg.write_annotated:
                 apath = os.path.join(wd, "05_annotated")
-                if not (cfg.resume and cp.phase_is_done(apath, fp)):
+                if not (not stream and cfg.resume and cp.phase_is_done(apath, fp)):
                     if join_strategy == "hash":
                         from humid_ray.stages.outputs import annotated_output_hash_join
 
@@ -410,4 +441,5 @@ class HumidPipeline:
         metrics["timings_sec"] = {k: round(v, 3) for k, v in timings.items()}
         with open(os.path.join(wd, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1, default=str)
-        return PipelineResult(workdir=wd, metrics=metrics, stats=stats)
+        return PipelineResult(workdir=wd, metrics=metrics, stats=stats,
+                              datasets=mem)

@@ -2547,18 +2547,19 @@ def pixel_exact_dedup(corpus_dir: str):
     Decode-valued, so no SQL oracle (the multimodal-family
     convention); pinned by planted re-encode tests."""
     from humid_ray.functions.payloads import PayloadMemo
-    from humid_ray.png import decode_image
 
     class PixelIdentity:
         def __init__(self):
-            self.memo = PayloadMemo()
+            from humid_ray.codecs import image_decoder
 
-        @staticmethod
-        def _one(seg) -> tuple:
+            self.memo = PayloadMemo()
+            self.decode = image_decoder()  # codec seam: once per actor
+
+        def _one(self, seg) -> tuple:
             import hashlib as _hl
 
             try:
-                img = decode_image(bytes(seg))
+                img = self.decode(bytes(seg))
             except Exception:  # noqa: BLE001 - undecodable -> excluded
                 return (0, 0, -1)
             arr = np.ascontiguousarray(img)
@@ -3469,11 +3470,15 @@ def _distinct_i64(ds, col: str) -> np.ndarray:
 
 def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
                        broadcast_max_labels: int = 1_000_000):
-    """(image_id, cluster_rep, keep, ev_byte, ev_caption, ev_phash):
-    multi-evidence fused dedup — images are one identity when ANY
-    evidence tier links them (transitively):
+    """(image_id, cluster_rep, keep, ev_byte, ev_pixel, ev_caption,
+    ev_phash): multi-evidence fused dedup — images are one identity
+    when ANY evidence tier links them (transitively):
 
     * ``byte``    — byte-identical payload (the 128-bit+len composite),
+    * ``pixel``   — identical DECODED pixels (the tier between byte
+      identity and pHash: catches re-encodes of the same pixels —
+      zlib level, filter choice, container — with zero near-dup
+      false-positive risk; usable rows whose payload decodes),
     * ``caption`` — the same NON-EMPTY caption (A axis),
     * ``phash``   — pHash within Hamming <= ``max_distance``, equal
       phashes included (B axis; reference neighbor semantics,
@@ -3483,72 +3488,121 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
     row per cluster; ``ev_*`` are CLUSTER-level flags: tier t is true
     iff some edge of tier t is internal to the cluster. Every row is
     a node (rows with NULL phash / empty caption still byte-group).
+    Tier containment: among decodable rows byte-equal payloads are
+    pixel-equal, so byte evidence implies pixel evidence except for
+    clusters whose only byte dups are undecodable (asserted by the
+    containment test).
 
-    Scale shape: payload bytes hash in-batch and never shuffle; each
-    equality tier is clique-CONTRACTED to member->group-min star
-    edges (O(rows), one bucket exchange each); the Hamming tier runs
-    the flagship chain over DISTINCT phashes (counting pre-pass ->
-    salted banded LSH -> capped verify) and its edge list maps to
-    per-phash representative nodes through an is_in-filtered,
-    edge-bounded pull. One connected-components pass over the union
-    (auto local/distributed); the node->label map and the three
-    evidence label sets are edge-bounded and broadcast once via
-    ``ray.put`` — above that ceiling the label application switches
-    to the distributed-join pattern of ``curate_images``. Node ids
-    are 64-bit image_id digests (collision ~n^2/2^65; the DuckDB
-    oracle links by the raw strings and would surface one at test
-    scale)."""
+    Scale shape: payload bytes hash AND decode in-batch (one actor-
+    pool scan; ``PayloadMemo`` decodes each distinct payload once per
+    actor) and never shuffle — only digests do; each equality tier is
+    clique-CONTRACTED to member->group-min star edges (O(rows), one
+    bucket exchange each); the Hamming tier runs the flagship chain
+    over DISTINCT phashes (counting pre-pass -> salted banded LSH ->
+    capped verify) and its edge list maps to per-phash representative
+    nodes through an is_in-filtered, edge-bounded pull. One
+    connected-components pass over the union (auto local/distributed);
+    the node->label map and the four evidence label sets are
+    edge-bounded and broadcast once via ``ray.put`` — above that
+    ceiling the label application switches to the distributed-join
+    pattern of ``curate_images``. Node ids are 64-bit image_id digests
+    (collision ~n^2/2^65; the DuckDB oracle links by the raw strings
+    and would surface one at test scale)."""
+    from humid_ray.functions.payloads import PayloadMemo
     from humid_ray.util import hash_bytes_segments, splitmix64
 
     cfg = HumidConfig(sources=("phash",), clustering="maximum",
                       max_distance=max_distance)
     nb = UINT64(_CANON_BUCKETS)
 
-    def narrow(batch: pa.Table) -> pa.Table:
-        out = {"image_id": pa.array([], type=pa.string()),
-               "node": pa.array([], type=pa.int64()),
-               "h1": pa.array([], type=pa.int64()),
-               "h2": pa.array([], type=pa.int64()),
-               "ln": pa.array([], type=pa.int64()),
-               "bb": pa.array([], type=pa.int64()),
-               "cap_h": pa.array([], type=pa.int64()),
-               "cb": pa.array([], type=pa.int64()),
-               "phash": pa.array([], type=pa.int64()),
-               "pb": pa.array([], type=pa.int64())}
-        if batch.num_rows == 0:
-            return pa.table(out)
-        n = batch.num_rows
-        ids = batch.column("image_id").combine_chunks()
-        idata, ioffs = _flat_str(ids)
-        node = hash_bytes_segments(idata, ioffs)
-        data, offs = _flat_binary(batch.column("bytes"))
-        h1, h2 = _payload_digests(data, offs, n)
-        cap = batch.column("caption").combine_chunks()
-        cap_ok = pc.and_(pc.is_valid(cap), pc.not_equal(
-            pc.fill_null(cap, ""), "")).to_numpy(zero_copy_only=False)
-        cdata, coffs = _flat_str(pc.fill_null(cap, "")
-                                 if cap.null_count else cap)
-        cap_h = hash_bytes_segments(cdata, coffs)
-        ph = batch.column("phash")
-        ph_filled = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "image_id": batch.column("image_id"),
-            "node": u64col(node),
-            "h1": u64col(h1),
-            "h2": u64col(h2),
-            "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
-            "bb": pa.array((h1 % nb).astype(np.int64)),
-            "cap_h": pa.array(cap_h.view(np.int64), mask=~cap_ok),
-            "cb": pa.array((cap_h % nb).astype(np.int64)),
-            "phash": ph,
-            "pb": pa.array((splitmix64(ph_filled.view(UINT64)) % nb)
-                           .astype(np.int64)),
-        })
+    _narrow_empty = pa.table(
+        {"image_id": pa.array([], type=pa.string()),
+         "node": pa.array([], type=pa.int64()),
+         "h1": pa.array([], type=pa.int64()),
+         "h2": pa.array([], type=pa.int64()),
+         "ln": pa.array([], type=pa.int64()),
+         "bb": pa.array([], type=pa.int64()),
+         "px1": pa.array([], type=pa.int64()),
+         "px2": pa.array([], type=pa.int64()),
+         "pxln": pa.array([], type=pa.int64()),
+         "pxb": pa.array([], type=pa.int64()),
+         "cap_h": pa.array([], type=pa.int64()),
+         "cb": pa.array([], type=pa.int64()),
+         "phash": pa.array([], type=pa.int64()),
+         "pb": pa.array([], type=pa.int64())})
+
+    class _FusedNarrow:
+        def __init__(self):
+            from humid_ray.codecs import image_decoder
+
+            self.memo = PayloadMemo()
+            self.decode = image_decoder()  # codec seam: once per actor
+
+        def _pixels(self, seg) -> tuple:
+            import hashlib as _hl
+
+            try:
+                img = self.decode(bytes(seg))
+            except Exception:  # noqa: BLE001 - undecodable -> no pixels
+                return (0, 0, -1)
+            arr = np.ascontiguousarray(img)
+            d = _hl.blake2b(
+                repr((arr.shape, arr.dtype.str)).encode() + arr.tobytes(),
+                digest_size=16,
+            ).digest()
+            return (int.from_bytes(d[:8], "little"),
+                    int.from_bytes(d[8:], "little"), int(arr.nbytes))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _narrow_empty
+            n = batch.num_rows
+            ids = batch.column("image_id").combine_chunks()
+            idata, ioffs = _flat_str(ids)
+            node = hash_bytes_segments(idata, ioffs)
+            data, offs = _flat_binary(batch.column("bytes"))
+            h1, h2 = _payload_digests(data, offs, n)
+            cap = batch.column("caption").combine_chunks()
+            cap_ok = pc.and_(pc.is_valid(cap), pc.not_equal(
+                pc.fill_null(cap, ""), "")).to_numpy(zero_copy_only=False)
+            cdata, coffs = _flat_str(pc.fill_null(cap, "")
+                                     if cap.null_count else cap)
+            cap_h = hash_bytes_segments(cdata, coffs)
+            ph = batch.column("phash")
+            ph_ok = pc.is_valid(ph).to_numpy(zero_copy_only=False)
+            ph_filled = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # pixel identity, usable rows only (the pixel_exact_dedup
+            # convention): decode once per DISTINCT payload per actor
+            hits = self.memo.map(batch.column("bytes"), self._pixels)
+            px1 = np.fromiter((h[0] for h in hits), dtype=UINT64, count=n)
+            px2 = np.fromiter((h[1] for h in hits), dtype=UINT64, count=n)
+            pxln = np.fromiter((h[2] for h in hits), dtype=np.int64,
+                               count=n)
+            px_ok = ph_ok & (pxln >= 0)
+            return pa.table({
+                "image_id": batch.column("image_id"),
+                "node": u64col(node),
+                "h1": u64col(h1),
+                "h2": u64col(h2),
+                "ln": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+                "bb": pa.array((h1 % nb).astype(np.int64)),
+                "px1": pa.array(px1.view(np.int64), mask=~px_ok),
+                "px2": pa.array(px2.view(np.int64)),
+                "pxln": pa.array(pxln),
+                "pxb": pa.array((px1 % nb).astype(np.int64)),
+                "cap_h": pa.array(cap_h.view(np.int64), mask=~cap_ok),
+                "cb": pa.array((cap_h % nb).astype(np.int64)),
+                "phash": ph,
+                "pb": pa.array((splitmix64(ph_filled.view(UINT64)) % nb)
+                               .astype(np.int64)),
+            })
 
     rows = read_corpus(
         corpus_dir, columns=["image_id", "bytes", "caption", "phash"]
-    ).map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_FusedNarrow, batch_format="pyarrow",
+                  zero_copy_batch=True, batch_size=1024,
+                  concurrency=decode_pool())
     # one narrow projection, five consumers (three tiers, the uniq
     # collapse, the final labeling) — at flagship scale this slot is
     # the per-phase parquet checkpoint (state/checkpoints.py)
@@ -3560,6 +3614,14 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
     stars_b = _star_edges(
         rows.select_columns(["node", "h1", "h2", "ln", "bb"]),
         ("h1", "h2", "ln"), "bb").materialize()
+
+    def px_valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("px1")))
+
+    stars_px = _star_edges(
+        rows.select_columns(["node", "px1", "px2", "pxln", "pxb"])
+        .map_batches(px_valid, batch_format="pyarrow"),
+        ("px1", "px2", "pxln"), "pxb").materialize()
 
     def cap_valid(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column("cap_h")))
@@ -3586,7 +3648,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
     ph_node_edges = ray.data.from_arrow(pa.table(
         {"sig_a": pa.array(na), "sig_b": pa.array(nbv)}))
 
-    all_edges = stars_b.union(stars_c, stars_p, ph_node_edges)
+    all_edges = stars_b.union(stars_px, stars_c, stars_p, ph_node_edges)
     comp = connected_components(all_edges, cfg).materialize()
     n_labels = comp.count()
 
@@ -3594,6 +3656,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
     # cluster c iff c contains one of these nodes (all appear in comp)
     centers_by_tier = (
         _distinct_i64(stars_b, "sig_b"),
+        _distinct_i64(stars_px, "sig_b"),
         _distinct_i64(stars_c, "sig_b"),
         np.unique(np.concatenate([
             _distinct_i64(stars_p, "sig_b"), na, nbv])),
@@ -3674,18 +3737,19 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
             j = cds.join(comp, join_type="inner", on=("sig",),
                          **join_kwargs(len(c), n_labels))
             ev_sets.append(_distinct_i64(j, "comp"))
-    ref = ray.put((ev_sets[0], ev_sets[1], ev_sets[2]))
+    ref = ray.put((ev_sets[0], ev_sets[1], ev_sets[2], ev_sets[3]))
 
     def rep_bucket(g: pa.Table) -> pa.Table:
         out = {"image_id": pa.array([], type=pa.string()),
                "cluster_rep": pa.array([], type=pa.string()),
                "keep": pa.array([], type=pa.bool_()),
                "ev_byte": pa.array([], type=pa.bool_()),
+               "ev_pixel": pa.array([], type=pa.bool_()),
                "ev_caption": pa.array([], type=pa.bool_()),
                "ev_phash": pa.array([], type=pa.bool_())}
         if g.num_rows == 0:
             return pa.table(out)
-        evb, evc, evp = ray.get(ref)
+        evb, evpx, evc, evp = ray.get(ref)
         ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
         lab = g.column("label").to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, lab))
@@ -3707,6 +3771,7 @@ def fused_dedup_images(corpus_dir: str, max_distance: int = 1,
             "cluster_rep": pa.array(rep.tolist(), type=pa.string()),
             "keep": pa.array(ids == rep),
             "ev_byte": pa.array(member(evb)),
+            "ev_pixel": pa.array(member(evpx)),
             "ev_caption": pa.array(member(evc)),
             "ev_phash": pa.array(member(evp)),
         })
@@ -3721,7 +3786,19 @@ def fused_dedup_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
     """DuckDB oracle for ``fused_dedup_images``: star edges per
     equality tier + distinct-phash Hamming edges over representative
     ids, recursive closure over the union, per-label evidence via
-    count-vs-distinct / pairwise bit_count."""
+    count-vs-distinct / pairwise bit_count.
+
+    The pixel tier is decode-valued, so SQL derives it from two
+    properties of the synthetic corpus (each verified separately):
+    a row is decodable iff its stored phash is non-null (the synth
+    generator invariant every image oracle uses), and the corpus
+    contains no re-encodes — pixel-equality among decodable rows
+    coincides with byte-equality (asserted by
+    test_fused_pixel_tier_matches_byte_on_synth_corpus; re-encode
+    behavior itself is pinned by the planted-re-encode tests on tmp
+    corpora). Hence ev_pixel = byte-grouping restricted to
+    phash-valid rows, and pixel edges (a subset of byte edges here)
+    don't change the closure."""
     m = max_distance
     return (
         "WITH RECURSIVE r AS (SELECT image_id, bytes, caption, phash "
@@ -3752,6 +3829,8 @@ def fused_dedup_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "FROM r JOIN comp c ON c.image_id = r.image_id), "
         "evb AS (SELECT label FROM lab GROUP BY label "
         "HAVING count(*) > count(DISTINCT bytes)), "
+        "evpx AS (SELECT label FROM lab WHERE phash IS NOT NULL "
+        "GROUP BY label HAVING count(*) > count(DISTINCT bytes)), "
         "evc AS (SELECT label FROM lab "
         "WHERE caption IS NOT NULL AND caption <> '' GROUP BY label "
         "HAVING count(*) > count(DISTINCT caption)), "
@@ -3767,6 +3846,7 @@ def fused_dedup_images_sql(corpus_glob: str, max_distance: int = 1) -> str:
         "l.image_id = min(l.image_id) OVER (PARTITION BY l.label) "
         "AS \"keep\", "
         "l.label IN (SELECT label FROM evb) AS ev_byte, "
+        "l.label IN (SELECT label FROM evpx) AS ev_pixel, "
         "l.label IN (SELECT label FROM evc) AS ev_caption, "
         "l.label IN (SELECT label FROM evp) AS ev_phash "
         "FROM lab l"
@@ -4667,7 +4747,10 @@ def cluster_psnr_report(corpus_dir: str, max_distance: int = 1,
     member rows' payloads transit the label-bucket exchange that
     co-locates each cluster for decoding (a per-pair join would ship
     the representative's payload once per member instead)."""
-    from humid_ray.png import decode_image, psnr as _psnr
+    from humid_ray.codecs import image_decoder
+    from humid_ray.png import psnr as _psnr
+
+    decode_image = image_decoder()  # codec seam (resolved at build)
     from humid_ray.stages.components import components_from_arrays
     from humid_ray.stages.joins import (apply_sorted_labels, copart_buckets,
                                         key_buckets, sorted_member)

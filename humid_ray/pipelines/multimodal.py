@@ -6,10 +6,14 @@ actor-pool ``map_batches`` stages — decoder state built once per actor.
 
 Environment note: this container ships no image/audio libraries, so
 PNG decoding is the real pure-Python codec from ``humid_ray.png``,
-"jpeg" is the deterministic FJPG stand-in, and audio/video decode are
-STUBS gated behind NotImplementedError — the Ray-side plumbing
-(schema, batch size, actor signature, output layout) is real and
-tested; swap the codec call in the actor ``__init__`` for production.
+"jpeg" is the deterministic FJPG stand-in, and audio/video use the
+FWAV/FVID stand-in containers — the Ray-side plumbing (schema, batch
+size, actor signature, output layout) is real and tested. Every actor
+resolves its decoder ONCE in ``__init__`` through the
+``humid_ray.codecs`` registry: with Pillow / soundfile / PyAV
+installed, ``codec="auto"`` (or ``GRAFT_CODEC=auto``) picks the real
+library with per-payload fallback for the stand-in containers; decode-
+valued outputs (pHash, decode stats) are codec-dependent by design.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from humid_ray.png import decode_image, encode_png
+from humid_ray.png import encode_png
 from humid_ray.synth import corpus_files
 
 
@@ -46,10 +50,12 @@ class DecodeStats:
     numeric features; undecodable rows get ok=False (never crash the
     pipeline — HUMID's filtered-record rule)."""
 
-    def __init__(self):
+    def __init__(self, codec: str = "auto"):
+        from humid_ray.codecs import image_decoder
         from humid_ray.functions.payloads import PayloadMemo
 
-        self.decode = decode_image  # decoder "loaded" once per actor
+        # production codec seam: real library when importable
+        self.decode = image_decoder(codec)
         self.memo = PayloadMemo()   # byte-identical payloads decode once
 
     def _one(self, seg) -> tuple:
@@ -94,10 +100,12 @@ class Thumbnailer:
     """(image_id, thumb: binary PNG, tw, th) — decode -> mean-pool
     resize -> re-encode. Small batch size: rows carry binary payloads."""
 
-    def __init__(self, size: int = 8):
+    def __init__(self, size: int = 8, codec: str = "auto"):
+        from humid_ray.codecs import image_decoder
         from humid_ray.functions.payloads import PayloadMemo
 
         self.size = size
+        self.decode = image_decoder(codec)
         self.memo = PayloadMemo()  # byte-identical payloads resize once
 
     def _pool(self, img: np.ndarray) -> np.ndarray:
@@ -118,7 +126,7 @@ class Thumbnailer:
 
     def _one(self, seg) -> bytes | bool:
         try:
-            img = decode_image(bytes(seg))
+            img = self.decode(bytes(seg))
         except Exception:  # noqa: BLE001 - undecodable row -> skipped
             return False
         return encode_png(self._pool(img))
@@ -158,10 +166,11 @@ class AudioFeatureExtractor:
     row — decode once per row, emit small numeric features; undecodable
     rows get ok=False with nulled features (never crash the pipeline)."""
 
-    def __init__(self):
-        from humid_ray.av import audio_features, decode_fwav
+    def __init__(self, codec: str = "auto"):
+        from humid_ray.av import audio_features
+        from humid_ray.codecs import audio_decoder
 
-        self.decode = decode_fwav       # <- soundfile.read in production
+        self.decode = audio_decoder(codec)  # soundfile when importable
         self.features = audio_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -204,12 +213,13 @@ class VideoFrameSampler:
     (video_id, frame_idx, fw, fh, frame_phash) — random-access decode
     of only the sampled frames, never the whole clip."""
 
-    def __init__(self, stride: int = 4):
-        from humid_ray.av import decode_fvid_frame, fvid_info
+    def __init__(self, stride: int = 4, codec: str = "auto"):
+        from humid_ray.av import fvid_info
+        from humid_ray.codecs import video_frame_decoder
         from humid_ray.functions.phash import phash_image
 
         self.info = fvid_info           # <- container probe in production
-        self.frame = decode_fvid_frame  # <- PyAV seek+decode in production
+        self.frame = video_frame_decoder(codec)  # PyAV when importable
         self.phash = phash_image
         self.stride = stride
 
@@ -245,11 +255,12 @@ class _VideoDims:
     plus ONE frame decode, matching the stored metadata columns (the
     SQL-oracle surface for the video decode path)."""
 
-    def __init__(self):
-        from humid_ray.av import decode_fvid_frame, fvid_info
+    def __init__(self, codec: str = "auto"):
+        from humid_ray.av import fvid_info
+        from humid_ray.codecs import video_frame_decoder
 
         self.info = fvid_info
-        self.frame = decode_fvid_frame
+        self.frame = video_frame_decoder(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, nf, ws, hs = [], [], [], []
@@ -650,11 +661,14 @@ def set_neardup_pairs(sigs, threshold: float, n_perms: int, n_bands: int,
 class _VideoSignature:
     """Per decodable clip: UNIQUE frame-pHash set + MinHash sketch."""
 
-    def __init__(self, n_perms: int, stride: int = 1):
-        from humid_ray.av import decode_fvid_frame, fvid_info
+    def __init__(self, n_perms: int, stride: int = 1,
+                 codec: str = "auto"):
+        from humid_ray.av import fvid_info
+        from humid_ray.codecs import video_frame_decoder
         from humid_ray.functions.phash import phash_image
 
-        self.info, self.frame, self.phash = fvid_info, decode_fvid_frame, phash_image
+        self.info, self.phash = fvid_info, phash_image
+        self.frame = video_frame_decoder(codec)
         self.n_perms, self.stride = n_perms, stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -689,10 +703,11 @@ def video_neardup_pairs(corpus_dir: str, threshold: float = 0.6,
 class _AudioSignature:
     """Per decodable clip: spectral landmark set + MinHash sketch."""
 
-    def __init__(self, n_perms: int):
-        from humid_ray.av import audio_landmarks, decode_fwav
+    def __init__(self, n_perms: int, codec: str = "auto"):
+        from humid_ray.av import audio_landmarks
+        from humid_ray.codecs import audio_decoder
 
-        self.decode, self.landmarks = decode_fwav, audio_landmarks
+        self.decode, self.landmarks = audio_decoder(codec), audio_landmarks
         self.n_perms = n_perms
 
     def __call__(self, batch: pa.Table) -> pa.Table:

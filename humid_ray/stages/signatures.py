@@ -87,6 +87,11 @@ class SignatureExtractor:
         from humid_ray.functions.payloads import PayloadMemo
 
         self._phash_memo = PayloadMemo()
+        # production codec seam (humid_ray.codecs): resolved ONCE per
+        # actor — the real library when importable, sandbox otherwise
+        from humid_ray.codecs import image_decoder
+
+        self._decode = image_decoder(getattr(cfg, "codec", "auto"))
 
     # -- helpers -----------------------------------------------------------
 
@@ -115,9 +120,11 @@ class SignatureExtractor:
         if n == 0:
             return ph, ok
 
+        decode = self._decode
+
         def one(seg) -> tuple:
             try:
-                return (UINT64(phash_image(decode_image(bytes(seg)))), True)
+                return (UINT64(phash_image(decode(bytes(seg)))), True)
             except Exception:  # noqa: BLE001 - decode failure filters the row
                 return (UINT64(0), False)
 
@@ -233,13 +240,30 @@ def extract_signatures(ds, cfg: HumidConfig, umi_bits: int = 0):
             if cfg.validate_payload:
                 needed.append("bytes")
         ds = ds.select_columns([c for c in dict.fromkeys(needed)])
+    custom = resolve_custom_sources(cfg)
+    if cfg.signature_source != "recompute" and not cfg.validate_payload:
+        # stored fast path: no decode, no per-actor memo value — the
+        # kernel is stateless vectorized hashing, so run it as TASKS
+        # on the shared worker pool instead of spinning up an actor
+        # pool (actor startup is pure fixed cost on a job this light;
+        # per-task extractor construction is a couple of dicts)
+        def stored_kernel(batch: pa.Table, _cfg=cfg, _umi=umi_bits,
+                          _custom=custom) -> pa.Table:
+            return SignatureExtractor(_cfg, _umi, _custom)(batch)
+
+        return ds.map_batches(
+            stored_kernel,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.sig_batch_size,
+        )
     concurrency = cfg.sig_concurrency
     if concurrency is None:
         concurrency = default_sig_concurrency()
     return ds.map_batches(
         SignatureExtractor,
         fn_constructor_kwargs={"cfg": cfg, "umi_bits": umi_bits,
-                               "custom_sources": resolve_custom_sources(cfg)},
+                               "custom_sources": custom},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.sig_batch_size,

@@ -1595,6 +1595,87 @@ def test_fused_dedup_images_randomized_vs_duckdb(ray_session, tmp_path):
         assert mine[col].tolist() == oracle[col].tolist(), col
 
 
+def test_fused_dedup_images_pixel_reencode_chain(ray_session, tmp_path):
+    """The pixel tier links a re-encode chain the byte tier can't:
+    a (original PNG) -pixel- b (zlib re-encode, different bytes)
+    -byte- c (byte copy of b). pHashes are >1 bit apart and captions
+    distinct, so ONLY pixel+byte evidence fuses {a,b,c}; ev_pixel and
+    ev_byte fire, ev_caption/ev_phash don't. Plus containment: on this
+    all-decodable corpus every ev_byte cluster is an ev_pixel cluster
+    (byte-equal decodables are pixel-equal)."""
+    from humid_ray.pipelines.images import fused_dedup_images
+    from humid_ray.png import encode_png
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    third = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    p6 = encode_png(base)
+    p1 = _reencode_png(p6, 1)
+    rows = [
+        ("img_a", p6, "capA", 0x10),
+        ("img_b", p1, "capB", 0x800),            # pixel dup of a only
+        ("img_c", p1, "capC", 0xF000),           # byte dup of b
+        ("img_d", encode_png(other), "capD", 0x3),   # isolated
+        ("img_e", encode_png(third), "capE", 0x5000),  # byte pair e-f
+        ("img_f", encode_png(third), "capF", 0xA000),
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="pxchain")
+    out = (fused_dedup_images(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.cluster_rep.tolist() == [
+        "img_a", "img_a", "img_a", "img_d", "img_e", "img_e"]
+    assert out.ev_pixel.tolist() == [
+        True, True, True, False, True, True]
+    assert out.ev_byte.tolist() == [
+        True, True, True, False, True, True]
+    assert out.ev_caption.tolist() == [False] * 6
+    assert out.ev_phash.tolist() == [False] * 6
+    # tier containment on decodable rows: byte evidence -> pixel
+    assert (~out.ev_byte | out.ev_pixel).all()
+
+
+def test_fused_dedup_images_lossy_reencode_not_pixel(ray_session, tmp_path):
+    """A LOSSY re-encode of the same source pixels decodes to
+    different pixels: no pixel edge, no byte edge — the pair only
+    fuses if some other tier links it (here: none)."""
+    from humid_ray.pipelines.images import fused_dedup_images
+    from humid_ray.png import decode_image, encode_fjpg, encode_png
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    p = encode_png(base)
+    fj = encode_fjpg(base)
+    assert not np.array_equal(decode_image(fj), base)
+    rows = [
+        ("img_a", p, "x", 0x10),
+        ("img_b", fj, "y", 0x800),
+    ]
+    corpus = _fused_corpus(tmp_path, rows, name="pxlossy")
+    out = (fused_dedup_images(corpus).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert out.cluster_rep.tolist() == ["img_a", "img_b"]
+    assert not out.ev_pixel.any()
+
+
+def test_fused_pixel_tier_matches_byte_on_synth_corpus(ray_session,
+                                                       corpus_dir):
+    """The oracle premise for ev_pixel (fused_dedup_images_sql): the
+    synthetic corpus contains no re-encodes, so the pixel-identity
+    partition coincides with the byte-identity partition on decodable
+    (phash-valid) rows. If the generator ever grows re-encoded
+    variants, this fails and the SQL tier must become decode-aware."""
+    from humid_ray.pipelines.images import (
+        image_exact_dedup, pixel_exact_dedup,
+    )
+
+    px = pixel_exact_dedup(corpus_dir).to_pandas()
+    by = image_exact_dedup(corpus_dir).to_pandas()
+    pm = dict(zip(px.image_id, px.pixel_rep))
+    bm = dict(zip(by.image_id, by.canonical_id))
+    assert pm and all(pm[i] == bm[i] for i in pm)
+
+
 def test_fused_dedup_images_empty(ray_session, tmp_path):
     from humid_ray.pipelines.images import fused_dedup_images
 

@@ -162,3 +162,39 @@ def test_salting_preserves_edges(ray_session, corpus_dir, workdir):
     e2 = pq.read_table(os.path.join(wd2, "03_edges")).to_pandas()
     s2 = set(zip(e2.sig_a.tolist(), e2.sig_b.tolist()))
     assert s1 == s2
+
+
+def test_streaming_phases_equal_checkpointed(ray_session, corpus_dir,
+                                             workdir):
+    """checkpoint_phases=False streams phases 1-4 through the object
+    store (no parquet round-trips); every result surface — uniq /
+    edges / assign tables, stats summary, lineage counters, filtered
+    output — must equal the checkpointed run's."""
+    _, ck = _run(corpus_dir, workdir, resume=False)
+    wd2 = workdir + "_stream"
+    _, st = _run(corpus_dir, wd2, resume=False, checkpoint_phases=False)
+
+    # streaming wrote no intermediate checkpoints, but outputs landed
+    assert not os.path.exists(os.path.join(wd2, "01_signatures"))
+    assert os.path.exists(os.path.join(wd2, "05_filtered"))
+
+    for phase, key in (("02_uniq", ["sig"]),
+                       ("03_edges", ["sig_a", "sig_b"]),
+                       ("04_assign", ["sig"])):
+        a = (ck.dataset(phase).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        b = (st.dataset(phase).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        assert a.equals(b), phase
+
+    assert ck.stats["summary"] == st.stats["summary"]
+    for k in ("rows_scanned", "unique_sigs", "candidate_pairs",
+              "verified_dup_pairs"):
+        assert ck.metrics[k] == st.metrics[k], k
+
+    fa = pq.read_table(os.path.join(workdir, "05_filtered")).to_pandas()
+    fb = pq.read_table(os.path.join(wd2, "05_filtered")).to_pandas()
+    key = [c for c in ("image_id",) if c in fa.columns] or list(fa.columns[:1])
+    fa = fa.sort_values(key).reset_index(drop=True)
+    fb = fb.sort_values(key).reset_index(drop=True)
+    assert fa.equals(fb)
