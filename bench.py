@@ -166,13 +166,15 @@ def run_bench() -> dict:
     # sig_batch_size 1024 (was 256): with the PayloadMemo decode cache
     # a bigger batch raises the in-batch dup hit rate and cuts
     # per-batch dispatch — measured ~1.5 s off the sf0.1 headline
-    # checkpoint_phases=False: the bench is a fresh-workdir one-shot
-    # run, so the per-phase parquet write-then-reread round-trips are
-    # pure fixed cost (resumability is benched by its own tests)
+    # checkpoint_phases="async": phases stream through the object
+    # store while their parquet checkpoints write in the background —
+    # streaming speed (measured: checkpoint_wait 0.0, fully
+    # overlapped) AND the per-partition resumability the north rule
+    # requires, in the same timed run
     headline, rec_trials, result = pipeline_trials(
         "rec", write_filtered=True, write_annotated=False, write_stats=True,
         signature_source="recompute", sig_batch_size=1024,
-        filtered_output="manifest", checkpoint_phases=False,
+        filtered_output="manifest", checkpoint_phases="async",
     )
     queries["humid_pipeline_recompute"] = headline
 
@@ -190,7 +192,7 @@ def run_bench() -> dict:
     # never reads the payload bytes (validate_payload off by default)
     stored_best, stored_trials, _ = pipeline_trials(
         "stored", write_filtered=False, write_annotated=False, write_stats=True,
-        checkpoint_phases=False,
+        checkpoint_phases="async",
     )
     queries["humid_pipeline_stored"] = stored_best
 

@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--stream", action="store_true",
                    help="skip phase checkpoints: phases 1-4 stay in the "
                         "object store (fastest one-shot run; not resumable)")
+    p.add_argument("--async-checkpoints", action="store_true",
+                   help="stream phases AND write their checkpoints in the "
+                        "background (streaming speed, full resumability)")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -82,7 +85,8 @@ def main(argv=None):
         signature_source="recompute" if args.recompute_phash else "stored",
         umi_from_id=args.umi,
         resume=not args.no_resume,
-        checkpoint_phases=not args.stream,
+        checkpoint_phases=("async" if args.async_checkpoints
+                           else not args.stream),
     )
     res = HumidPipeline(cfg).run(args.corpus)
     log = open(args.l, "w") if args.l else sys.stderr

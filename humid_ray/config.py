@@ -135,12 +135,17 @@ class HumidConfig:
     # evicts everything else from the object store
     broadcast_max_bytes: int = 256 * 1024 * 1024
     resume: bool = True              # skip phases whose checkpoints exist
-    # True: persist phases 1-4 as parquet checkpoints (resumable — the
-    # default, and what a 100 TB run wants). False: STREAM — phases
-    # materialize in the object store only, cutting the per-phase
-    # write-then-reread parquet round-trips that dominate small jobs
-    # (~12 s of fixed cost at 200k rows); outputs (05_*) always write.
-    checkpoint_phases: bool = True
+    # True: persist phases 1-4 as parquet checkpoints synchronously
+    # (each phase is write-then-reread — the conservative default).
+    # False: STREAM — phases materialize in the object store only,
+    # cutting the per-phase parquet round-trips that dominate small
+    # jobs (~12 s of fixed cost at 200k rows); not resumable; outputs
+    # (05_*) always write. "async": stream AND checkpoint — downstream
+    # phases consume the object-store blocks immediately while the
+    # parquet checkpoint writes in a background thread (the run waits
+    # for all writes before returning, so durability is identical to
+    # True); resume works against async-written checkpoints.
+    checkpoint_phases: bool | str = True
     # wide binary payload rows get split into absurdly small blocks at
     # the default 128MiB target; raise it for image corpora
     target_max_block_size: int | None = 512 * 1024 * 1024
@@ -154,6 +159,9 @@ class HumidConfig:
             raise ValueError(f"unknown clustering {self.clustering}")
         if self.minhash_verify not in ("exact", "estimate", "edit"):
             raise ValueError(f"unknown minhash_verify {self.minhash_verify}")
+        if self.checkpoint_phases not in (True, False, "async"):
+            raise ValueError(
+                f"unknown checkpoint_phases {self.checkpoint_phases!r}")
         if not self.sources:
             raise ValueError("need at least one signature source")
         # names outside the built-ins resolve through the signature

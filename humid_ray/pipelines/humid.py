@@ -146,12 +146,23 @@ class HumidPipeline:
         timings: dict[str, float] = {}
         metrics: dict = {"config_fingerprint": fp}
 
-        # phase persistence: parquet checkpoints (resumable) or, when
-        # cfg.checkpoint_phases=False, object-store materialization
-        # only — same manifest shape (rows / bytes / metrics), none of
-        # the per-phase write-then-reread parquet round-trips
-        stream = not cfg.checkpoint_phases
+        # phase persistence: synchronous parquet checkpoints
+        # (checkpoint_phases=True — write-then-reread), object-store
+        # materialization only (False — fastest, not resumable), or
+        # "async" — downstream phases consume the materialized blocks
+        # immediately while the parquet checkpoint writes in a
+        # background thread; the run waits for every write before
+        # returning, so durability matches the synchronous mode. All
+        # modes share the manifest shape (rows / bytes / metrics).
+        stream = cfg.checkpoint_phases is not True
+        ck_async = cfg.checkpoint_phases == "async"
         mem: dict[str, "ray.data.Dataset"] = {}
+        import concurrent.futures
+
+        ck_pool = (concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="ck")
+            if ck_async else None)
+        ck_futures: list = []
 
         def persist(name, path, compute, resume=None, phase_metrics=None,
                     schema_hint=None):
@@ -161,6 +172,10 @@ class HumidPipeline:
                     cfg.resume if resume is None else resume,
                     metrics=phase_metrics, schema_hint=schema_hint,
                 )
+            if (ck_async
+                    and (cfg.resume if resume is None else resume)
+                    and cp.phase_is_done(path, fp)):
+                return cp.read_phase(path), cp.load_manifest(path), False
             # every phase-1..4 output is signature-shaped (narrow,
             # payloads never enter a phase checkpoint), but inherits
             # ONE BLOCK PER UPSTREAM TASK (a 1M-row corpus leaves
@@ -179,6 +194,12 @@ class HumidPipeline:
             mem[os.path.basename(path)] = ds
             mf = {"rows": n, "bytes": int(ds.size_bytes() or 0),
                   "metrics": phase_metrics or {}}
+            if ck_async:
+                # write the checkpoint from the ALREADY-materialized
+                # blocks (no recompute) while the caller moves on
+                ck_futures.append(ck_pool.submit(
+                    cp.write_phase, ds, path, fp,
+                    phase_metrics, schema_hint))
             return ds, mf, True
 
         # phase 0: probe UMI budget (reference peekUMI src/humid.cc:24-33).
@@ -225,7 +246,8 @@ class HumidPipeline:
         # phase 3: neighbor edges (LSH + verify)
         t0 = time.perf_counter()
         edges_path = os.path.join(wd, "03_edges")
-        if not stream and cfg.resume and cp.phase_is_done(edges_path, fp):
+        if ((not stream or ck_async) and cfg.resume
+                and cp.phase_is_done(edges_path, fp)):
             edges_ds, edges_mf = cp.read_phase(edges_path), cp.load_manifest(edges_path)
         elif cfg.distance == "minhash-jaccard":
             from humid_ray.stages.lsh import find_edges_minhash
@@ -427,7 +449,8 @@ class HumidPipeline:
                 )
             if cfg.write_filtered:
                 fpath = os.path.join(wd, "05_filtered")
-                if not (not stream and cfg.resume and cp.phase_is_done(fpath, fp)):
+                if not ((not stream or ck_async) and cfg.resume
+                        and cp.phase_is_done(fpath, fp)):
                     if cfg.filtered_output == "manifest":
                         if join_strategy == "hash":
                             from humid_ray.stages.outputs import (
@@ -448,7 +471,8 @@ class HumidPipeline:
                     cp.write_phase(out_ds, fpath, fp)
             if cfg.write_annotated:
                 apath = os.path.join(wd, "05_annotated")
-                if not (not stream and cfg.resume and cp.phase_is_done(apath, fp)):
+                if not ((not stream or ck_async) and cfg.resume
+                        and cp.phase_is_done(apath, fp)):
                     if join_strategy == "hash":
                         from humid_ray.stages.outputs import annotated_output_hash_join
 
@@ -461,6 +485,17 @@ class HumidPipeline:
                 write_stats_files(stats, os.path.join(wd, "05_stats"))
                 metrics.update(stats["summary"])
         timings["outputs"] = time.perf_counter() - t0
+
+        if ck_futures:
+            # durability barrier: every async checkpoint write must
+            # land before the run reports success (usually already
+            # done — the writes overlapped later phases)
+            t0 = time.perf_counter()
+            for f in ck_futures:
+                f.result()
+            timings["checkpoint_wait"] = time.perf_counter() - t0
+        if ck_pool is not None:
+            ck_pool.shutdown(wait=True)
 
         metrics["timings_sec"] = {k: round(v, 3) for k, v in timings.items()}
         with open(os.path.join(wd, "metrics.json"), "w") as f:

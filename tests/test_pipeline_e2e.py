@@ -198,3 +198,37 @@ def test_streaming_phases_equal_checkpointed(ray_session, corpus_dir,
     fa = fa.sort_values(key).reset_index(drop=True)
     fb = fb.sort_values(key).reset_index(drop=True)
     assert fa.equals(fb)
+
+
+def test_async_checkpoints_equal_and_resumable(ray_session, corpus_dir,
+                                               workdir):
+    """checkpoint_phases='async' streams like the no-checkpoint mode
+    but still lands every phase checkpoint (written in the background
+    from the materialized blocks, awaited before the run returns):
+    results equal the synchronous run, manifests validate, and a
+    second resume=True run skips all four phases."""
+    _, sync_res = _run(corpus_dir, workdir, resume=False)
+    wd2 = workdir + "_async"
+    _, a = _run(corpus_dir, wd2, resume=False, checkpoint_phases="async")
+
+    from humid_ray.state import checkpoints as cp
+
+    fp = a.metrics["config_fingerprint"]
+    mtimes = {}
+    for phase in ("01_signatures", "02_uniq", "03_edges", "04_assign"):
+        path = os.path.join(wd2, phase)
+        assert cp.phase_is_done(path, fp), phase
+        mtimes[phase] = os.path.getmtime(os.path.join(path, "_MANIFEST.json"))
+        want = (sync_res.dataset(phase).to_pandas()
+                .sort_values(list(sync_res.dataset(phase).schema().names))
+                .reset_index(drop=True))
+        got = (pq.read_table(path).to_pandas()
+               .sort_values(list(want.columns)).reset_index(drop=True))
+        assert want.equals(got), phase
+
+    # resume run: every phase skipped -> checkpoints untouched
+    _, b = _run(corpus_dir, wd2, resume=True, checkpoint_phases="async")
+    for phase, m in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(wd2, phase, "_MANIFEST.json")) == m, phase
+    assert b.metrics["unique_sigs"] == a.metrics["unique_sigs"]
