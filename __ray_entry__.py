@@ -190,8 +190,13 @@ def _humid_cluster_hist_full_sql(sf_dir: str):
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; returns the assignment table
-    (one row per unique signature with cluster id / representative)."""
-    res, _ = _pipeline_result("/root/testdata/sf0.001")
+    (one row per unique signature with cluster id / representative).
+    Runs the shipped async-checkpoint mode: phases stream through the
+    object store while their checkpoints write in the background, so
+    the smoke covers the production configuration; a rerun resumes
+    from the async-written checkpoints."""
+    res, _ = _pipeline_result("/root/testdata/sf0.001",
+                              checkpoint_phases="async")
     return res.dataset("04_assign")
 
 
